@@ -1,0 +1,254 @@
+"""The flagship pipeline: CDC replay into the transcripts lake.
+
+Ray shape (SURVEY.md §3.1 "Ray shape" and §4 physical plan)::
+
+    read_change_log(events)                         # pruned at the read
+      → map_batches(ChangeNormalizer, pyarrow)      # validate + rename + scrub
+                                                    #   + assign _part + LOCAL pre-dedup
+      → groupby("_part")                            # the ONE shuffle (hash on conv_id)
+      → map_groups(merge-and-commit, pyarrow)       # per-partition LWW merge vs base,
+                                                    #   atomic manifest commit
+      → small metrics dataset (one row per partition)
+
+The pre-shuffle combiner (per-batch keep-max-lsn, associative — see
+stages/merge.dedup_last_writer) is the skew mitigation: an
+update-heavy hot conv_id collapses to ≤ one row per (conv_id,
+turn_idx) per input batch before any bytes move, the batch analog of
+salting.  Residual skew is bounded by partition granularity; pick
+``num_partitions`` ≥ 8× workers so hot partitions interleave.
+
+Normalization reimplements the reference's extract/load fixups
+(SURVEY.md §2.3): column rename maps (postgres/postgres.py:203-228),
+header/ column canonicalization, null-byte scrub
+(postgres/_cleanup.py:30-54 — here vectorized and unconditional),
+op-enum validation with a dead-letter route (ago/ago.py:319-344),
+and type casts to the change schema.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import partition_ids
+from ..schema import CHANGE_SCHEMA, OPS
+from ..stages.merge import dedup_last_writer, merge_partition
+
+PART_COL = "_part"
+
+
+class ChangeNormalizer:
+    """Stateless-ish batch normalizer (used as an actor pool so the
+    compiled rename map / validators are built once per worker —
+    reference pattern: pyproj Transformer cached outside the row loop,
+    ago/ago.py:347-354)."""
+
+    def __init__(
+        self,
+        num_partitions: int,
+        *,
+        rename_map: dict[str, str] | None = None,
+        invalid_ops: str = "error",  # "error" | "drop"
+        scrub_text: bool = True,
+        min_lsn_exclusive: int = -1,
+    ):
+        self.num_partitions = num_partitions
+        self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
+        self.invalid_ops = invalid_ops
+        self.scrub_text = scrub_text
+        self.min_lsn_exclusive = min_lsn_exclusive
+        self._valid_ops = pa.array(list(OPS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # header canonicalization: lowercase + rename map
+        # (reference lowercases headers, opendata/opendata.py:82-84)
+        names = [self.rename_map.get(n.lower(), n.lower()) for n in batch.column_names]
+        batch = batch.rename_columns(names)
+
+        # watermark pre-filter (cheap, exact filter re-done per partition)
+        if self.min_lsn_exclusive >= 0:
+            batch = batch.filter(pc.greater(batch.column("lsn"), self.min_lsn_exclusive))
+        if len(batch) == 0:
+            return _with_part_col(CHANGE_SCHEMA.empty_table())
+
+        # op enum validation
+        ok = pc.is_in(batch.column("op"), value_set=self._valid_ops)
+        if not pc.all(ok).as_py():
+            if self.invalid_ops == "drop":
+                batch = batch.filter(ok)
+            else:
+                bad = pc.unique(batch.filter(pc.invert(ok)).column("op")).to_pylist()
+                raise ValueError(f"invalid op values: {bad}")
+
+        # cast metadata + payload to the change schema types
+        # (lsn → int64, turn_idx kept as-is if wider — evolution)
+        if batch.column("lsn").type != pa.int64():
+            i = batch.column_names.index("lsn")
+            batch = batch.set_column(i, "lsn", batch.column("lsn").cast(pa.int64()))
+
+        # null-byte scrub, vectorized (reference scans 500 lines then
+        # rewrites the file; here one pc.replace_substring per batch)
+        if self.scrub_text and "text" in batch.column_names:
+            i = batch.column_names.index("text")
+            t = batch.column("text")
+            if pa.types.is_string(t.type) or pa.types.is_large_string(t.type):
+                batch = batch.set_column(
+                    i, batch.schema.field(i), pc.replace_substring(t, "\x00", "")
+                )
+
+        # local combiner: keep max-lsn row per key within the batch
+        batch = dedup_last_writer(batch)
+
+        return _with_part_col(batch, self.num_partitions)
+
+
+def _with_part_col(batch: pa.Table, num_partitions: int = 1) -> pa.Table:
+    pids = partition_ids(batch.column("conv_id"), num_partitions) if len(batch) else np.array([], np.int32)
+    return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
+
+
+def _merge_group_to_state(group: pa.Table, keep_lsn: bool) -> pa.Table:
+    changes = group.drop_columns([PART_COL])
+    return merge_partition(None, changes, keep_lsn=keep_lsn)
+
+
+def replay_to_table(
+    changes_ds,
+    *,
+    num_partitions: int = 32,
+    rename_map: dict[str, str] | None = None,
+    keep_lsn: bool = False,
+    concurrency: int | None = None,
+):
+    """Replay a change stream into final table state with NO base lake
+    (first full load — the reference's truncate-and-load,
+    oracle/oracle.py:286-406). Returns a Dataset of the final rows."""
+    ds = _normalized(
+        changes_ds,
+        ChangeNormalizer(num_partitions, rename_map=rename_map),
+        concurrency,
+    )
+    return ds.groupby(PART_COL).map_groups(
+        lambda g: _merge_group_to_state(g, keep_lsn), batch_format="pyarrow"
+    )
+
+
+def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
+    """Stateless tasks by default (elastic); an actor pool when the
+    caller pins ``concurrency`` (heavy rename maps / validators built
+    once per actor)."""
+    if concurrency is None:
+        return changes_ds.map_batches(normalizer, batch_format="pyarrow")
+    return changes_ds.map_batches(
+        ChangeNormalizer,
+        fn_constructor_kwargs={
+            "num_partitions": normalizer.num_partitions,
+            "rename_map": normalizer.rename_map,
+            "invalid_ops": normalizer.invalid_ops,
+            "scrub_text": normalizer.scrub_text,
+            "min_lsn_exclusive": normalizer.min_lsn_exclusive,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class _MergeCommit:
+    """Per-partition merge + exactly-once commit (runs inside
+    map_groups tasks; constructs a lake handle lazily per process)."""
+
+    __name__ = "merge_commit"  # map_groups wraps fn and reads __name__
+
+    def __init__(self, lake_root: str):
+        self.lake_root = lake_root
+        self._lake = None
+
+    def __getstate__(self):
+        return {"lake_root": self.lake_root, "_lake": None}
+
+    @property
+    def lake(self):
+        if self._lake is None:
+            from ..state.lake import TranscriptLake
+
+            self._lake = TranscriptLake(self.lake_root)
+        return self._lake
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = int(group.column(PART_COL)[0].as_py())
+        changes = group.drop_columns([PART_COL])
+
+        wm = self.lake.watermark(pid)
+        changes = changes.filter(pc.greater(changes.column("lsn"), wm))
+        n_events = len(changes)
+        if n_events == 0:  # fully below watermark → idempotent no-op
+            return _metrics_row(pid, wm, wm, 0, self.lake.manifest(pid), 0.0)
+
+        base = self.lake.read_partition(pid)
+        high_lsn = int(pc.max(changes.column("lsn")).as_py())
+        merged = merge_partition(base, changes)
+        dt = time.perf_counter() - t0
+        m = self.lake.commit_partition(
+            pid,
+            merged,
+            high_lsn,
+            lineage_record={
+                "lsn_lo": int(pc.min(changes.column("lsn")).as_py()),
+                "lsn_hi": high_lsn,
+                "events_applied": n_events,
+                "rows_before": len(base),
+                "rows_after": len(merged),
+                "merge_sec": round(dt, 4),
+                "events_per_sec": round(n_events / dt, 1) if dt > 0 else None,
+            },
+        )
+        return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
+
+
+def _metrics_row(pid, wm_before, wm_after, n_events, manifest, secs) -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "watermark_before": pa.array([wm_before], pa.int64()),
+            "watermark_after": pa.array([wm_after], pa.int64()),
+            "events_applied": pa.array([n_events], pa.int64()),
+            "row_count": pa.array([manifest.row_count if manifest else 0], pa.int64()),
+            "merge_sec": pa.array([round(secs, 4)], pa.float64()),
+        }
+    )
+
+
+def replay_into_lake(
+    lake_root: str,
+    changes_ds,
+    *,
+    rename_map: dict[str, str] | None = None,
+    concurrency: int | None = None,
+):
+    """Replay a change stream into an existing lake. Exactly-once:
+    events at or below each partition's committed watermark are
+    skipped, so re-running after a crash (or replaying an overlapping
+    LSN range) converges to the same state.
+
+    Returns a pandas DataFrame of per-partition metrics (small —
+    one row per touched partition)."""
+    from ..state.lake import TranscriptLake
+
+    lake = TranscriptLake(lake_root)
+    ds = _normalized(
+        changes_ds,
+        ChangeNormalizer(
+            lake.num_partitions,
+            rename_map=rename_map,
+            min_lsn_exclusive=lake.min_watermark(),
+        ),
+        concurrency,
+    )
+    metrics = ds.groupby(PART_COL).map_groups(
+        _MergeCommit(lake_root), batch_format="pyarrow"
+    )
+    return metrics.to_pandas()

@@ -1,0 +1,192 @@
+"""End-to-end replay pipeline tests (Ray session from conftest).
+
+Covers the north_rule contract: full-replay equality vs the
+sequential oracle, exactly-once resume, crash recovery, schema
+evolution through the pipeline, lineage metrics.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+    apply_changes_reference,
+    generate_base,
+    generate_changes,
+    write_change_log,
+)
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+    replay_into_lake,
+    replay_to_table,
+)
+from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+    prune_files_by_lsn,
+    read_change_log,
+)
+from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+
+def lake_state(lake: TranscriptLake) -> pd.DataFrame:
+    df = lake.read_all().to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+def assert_text_equal(got: pd.DataFrame, exp: pd.DataFrame):
+    exp = exp.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
+@pytest.fixture
+def lake_with_base(tmp_path):
+    base = generate_base(n_convs=60, max_turns=15)
+    lake = TranscriptLake.create(str(tmp_path / "lake"), num_partitions=8)
+    # seed the lake via the commit path (full load = truncate-and-swap)
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
+
+    pids = partition_ids(base.column("conv_id"), 8)
+    for pid in range(8):
+        part = base.filter(pa.array(pids == pid))
+        lake.commit_partition(pid, part, high_lsn=-1)
+    return lake, base
+
+
+def test_replay_into_lake_matches_oracle(ray_session, lake_with_base, tmp_path):
+    lake, base = lake_with_base
+    changes = generate_changes(8000, n_convs=80, delete_frac=0.15, dup_frac=0.05, hot_frac=0.2)
+    log_dir = str(tmp_path / "wal")
+    write_change_log(changes, log_dir, n_files=6)
+
+    metrics = replay_into_lake(lake.root, read_change_log(log_dir))
+    assert metrics["events_applied"].sum() > 0
+
+    exp = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), exp)
+
+    # lineage/metrics exposed per partition
+    m = lake.metrics()
+    assert m["row_count"] == len(exp)
+    assert m["max_watermark"] == 7999
+
+
+def test_replay_exactly_once_resume(ray_session, lake_with_base, tmp_path):
+    """Replaying the same WAL range twice is a no-op (SCN-watermark
+    semantics, reference db2/db2.py:596-655)."""
+    lake, base = lake_with_base
+    changes = generate_changes(3000, n_convs=70, delete_frac=0.1)
+    log_dir = str(tmp_path / "wal")
+    write_change_log(changes, log_dir, n_files=4)
+
+    replay_into_lake(lake.root, read_change_log(log_dir))
+    state1 = lake_state(lake)
+    wm1 = lake.watermarks()
+
+    # second replay of the identical range: all events ≤ watermark
+    metrics2 = replay_into_lake(
+        lake.root, read_change_log(log_dir, min_lsn_exclusive=lake.min_watermark())
+    )
+    assert metrics2.empty or metrics2["events_applied"].sum() == 0
+    pd.testing.assert_frame_equal(lake_state(lake), state1)
+    assert lake.watermarks() == wm1
+
+
+def test_replay_incremental_batches(ray_session, lake_with_base, tmp_path):
+    """Tail the log in two increments; final state == one-shot."""
+    lake, base = lake_with_base
+    ch1 = generate_changes(2000, n_convs=70, seed=1)
+    ch2 = generate_changes(2000, n_convs=70, start_lsn=2000, seed=2)
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_change_log(ch1, d1, n_files=3)
+    write_change_log(ch2, d2, n_files=3)
+
+    replay_into_lake(lake.root, read_change_log(d1))
+    replay_into_lake(lake.root, read_change_log(d2))
+
+    exp = apply_changes_reference(base, pa.concat_tables([ch1, ch2]))
+    assert_text_equal(lake_state(lake), exp)
+
+
+def test_crash_between_data_and_manifest_recovers(ray_session, lake_with_base, tmp_path):
+    """Orphan data files (crash before manifest replace) are invisible
+    and a rerun converges (FIXTURES.md §4)."""
+    lake, base = lake_with_base
+    changes = generate_changes(1000, n_convs=50)
+    log_dir = str(tmp_path / "wal")
+    write_change_log(changes, log_dir, n_files=2)
+
+    # simulate a crashed task: orphan data file, no manifest update
+    pdir = lake.part_dir(3)
+    os.makedirs(pdir, exist_ok=True)
+    with open(os.path.join(pdir, "data-999999-deadbeef.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+
+    replay_into_lake(lake.root, read_change_log(log_dir))
+    exp = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), exp)
+
+    removed = lake.vacuum()
+    assert any("deadbeef" in r for r in removed)
+    assert_text_equal(lake_state(lake), exp)  # vacuum touches only orphans
+
+
+def test_replay_to_table_no_base(ray_session):
+    changes = generate_changes(4000, n_convs=50, delete_frac=0.2, dup_frac=0.1)
+    import ray.data
+
+    out = replay_to_table(ray.data.from_arrow(changes), num_partitions=6)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    exp = apply_changes_reference(None, changes)
+    assert_text_equal(got, exp)
+
+
+def test_schema_evolution_through_pipeline(ray_session, lake_with_base, tmp_path):
+    """Late WAL files carry an extra column + widened turn_idx and a
+    renamed column handled by the rename map
+    (reference --column_mappings, postgres/postgres.py:203-228)."""
+    lake, base = lake_with_base
+    ch = generate_changes(500, n_convs=40)
+    ch = ch.set_column(
+        ch.column_names.index("turn_idx"),
+        pa.field("turn_idx", pa.int64()),
+        ch.column("turn_idx").cast(pa.int64()),
+    )
+    ch = ch.append_column("meta", pa.array(["m"] * len(ch), pa.string()))
+    ch = ch.rename_columns([{"text": "message"}.get(c, c) for c in ch.column_names])
+    log_dir = str(tmp_path / "wal")
+    write_change_log(ch, log_dir, n_files=2)
+
+    replay_into_lake(lake.root, read_change_log(log_dir), rename_map={"message": "text"})
+    df = lake_state(lake)
+    assert "meta" in df.columns
+    exp = apply_changes_reference(
+        base, ch.rename_columns([{"message": "text"}.get(c, c) for c in ch.column_names])
+    )
+    assert len(df) == len(exp)
+    pd.testing.assert_series_equal(df["text"], exp["text"], check_names=False)
+
+
+def test_prune_files_by_lsn():
+    paths = [
+        "wal/changes-00000-lsn-0-100.parquet",
+        "wal/changes-00001-lsn-100-200.parquet",
+        "wal/other.parquet",
+    ]
+    assert prune_files_by_lsn(paths, 99) == paths[1:]
+    assert prune_files_by_lsn(paths, 98) == paths
+    assert prune_files_by_lsn(paths, 500) == ["wal/other.parquet"]
+
+
+def test_invalid_op_raises(ray_session, tmp_path):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import ChangeNormalizer
+
+    ch = generate_changes(10, n_convs=5)
+    bad = ch.set_column(0, "op", pa.array(["bogus"] * len(ch)))
+    with pytest.raises(ValueError, match="invalid op"):
+        ChangeNormalizer(4)(bad)
+    # drop mode routes them out instead
+    out = ChangeNormalizer(4, invalid_ops="drop")(bad)
+    assert len(out) == 0
