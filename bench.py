@@ -1,0 +1,170 @@
+"""Benchmark harness.
+
+Headline: sustained CDC upsert throughput — replay a deterministic
+change log (datagen, cached under /tmp) into a fresh partitioned lake
+via the full normalize → shuffle → merge → commit path.  Also times
+every registered query over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "replay": {...events/sec...}}
+
+``--scaling``: run the replay at 8 and 32 CPUs in fresh processes on
+the same input and report throughputs + efficiency = (T8/T32)/4
+(the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DIR = "/tmp/graft_bench"
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "4000000"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "50000"))
+N_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64"))
+WAL_FILES = 32
+
+
+def build_wal() -> str:
+    """Deterministic change log, cached across runs/processes."""
+    wal_dir = os.path.join(BENCH_DIR, f"wal-{N_EVENTS}-{N_CONVS}")
+    done = os.path.join(wal_dir, ".done")
+    if os.path.exists(done):
+        return wal_dir
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        generate_changes,
+        write_change_log,
+    )
+
+    shutil.rmtree(wal_dir, ignore_errors=True)
+    changes = generate_changes(
+        N_EVENTS,
+        n_convs=N_CONVS,
+        max_turns=50,
+        update_frac=0.5,
+        delete_frac=0.1,
+        hot_frac=0.1,
+        dup_frac=0.02,
+        seed=42,
+    )
+    write_change_log(changes, wal_dir, n_files=WAL_FILES)
+    with open(done, "w") as f:
+        f.write("ok")
+    return wal_dir
+
+
+def run_replay(num_cpus: int) -> dict:
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    wal_dir = build_wal()
+    lake_root = os.path.join(BENCH_DIR, f"lake-{num_cpus}-{os.getpid()}")
+    shutil.rmtree(lake_root, ignore_errors=True)
+    TranscriptLake.create(lake_root, num_partitions=N_PARTITIONS)
+
+    # warm OS page cache so we measure compute + shuffle, not cold disk
+    read_change_log(wal_dir).count()
+
+    t0 = time.perf_counter()
+    replay_into_lake(lake_root, read_change_log(wal_dir))
+    dt = time.perf_counter() - t0
+    lake = TranscriptLake(lake_root)
+    rows = lake.total_rows()
+    shutil.rmtree(lake_root, ignore_errors=True)
+    return {
+        "events": N_EVENTS,
+        "replay_sec": round(dt, 2),
+        "events_per_sec": round(N_EVENTS / dt),
+        "lake_rows": rows,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    replay = run_replay(num_cpus)
+    queries = {} if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "0" else run_queries(sf_dir)
+    result = {
+        "metric": "cdc_replay_sec",
+        "value": replay["replay_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "replay": replay,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["replay"]["events_per_sec"]
+    tput_hi = hi["replay"]["events_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "events": lo["replay"]["events"],
+                "events_per_sec_8": tput_lo,
+                "events_per_sec_32": tput_hi,
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "scaling_efficiency": round((tput_hi / tput_lo) / 4, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,690 @@
+"""Analytic / CDC query pipelines over the driver testdata tables.
+
+Every entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset |
+pandas.DataFrame`` with a matching ANSI-SQL oracle in ``ORACLE_SQL``
+(DuckDB, same parquet tables) unless the op is non-SQL-expressible.
+Column names match the SQL aliases exactly; monetary aggregates are
+computed as integer cents (``round(x*100)`` with ties away from zero,
+identical IEEE fp on both sides) so value hashes compare exactly.
+
+Design rules (SURVEY.md §4): prune columns at the read; vectorized
+Arrow kernels in ``map_batches``; broadcast small join sides via
+``ray.put`` + ``SortedIntMap`` (no per-batch re-shipping, no shuffle
+joins for dimension tables); the only all-to-all exchanges are the
+final small ``groupby``/``sort`` steps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.lookup import SortedIntMap
+from .replay import replay_to_table
+
+# --------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, filter=filter)
+
+
+def _cents(col):
+    """Exact integer cents: round(x*100), ties away from zero —
+    bit-identical to DuckDB ``CAST(round(x*100) AS BIGINT)``."""
+    return pc.cast(
+        pc.round(pc.multiply(col, pa.scalar(100.0)), 0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _np(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _ts(s: str):
+    return pa.scalar(pd.Timestamp(s).to_pydatetime(), pa.timestamp("us"))
+
+
+# --------------------------------------------------------------------
+# CDC queries (the flagship path)
+# --------------------------------------------------------------------
+
+
+def _derive_changelog(sf_dir: str):
+    """Map the ``events`` stream deterministically onto the CDC change
+    schema: lsn=event_id, key=(conv-<user_id>, event_id%100),
+    op: error→delete, signup→insert, else update."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "props"])
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        op = pc.if_else(
+            pc.equal(et, "error"),
+            pa.scalar("delete"),
+            pc.if_else(pc.equal(et, "signup"), pa.scalar("insert"), pa.scalar("update")),
+        )
+        eid = _np(b.column("event_id"))
+        conv = pc.binary_join_element_wise(
+            pa.scalar("conv-"), pc.cast(b.column("user_id"), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "op": op,
+                "lsn": b.column("event_id"),
+                "conv_id": conv,
+                "turn_idx": pa.array((eid % 100).astype(np.int32)),
+                "role": et,
+                "text": b.column("props"),
+                "tool": pa.nulls(len(b), pa.string()),
+                "ts": b.column("ts"),
+            }
+        )
+
+    return ds.map_batches(to_changes, batch_format="pyarrow")
+
+
+def cdc_replay_full(sf_dir: str):
+    """Full WAL replay into final table state via the real merge path
+    (hash-partition on conv_id → per-partition LWW merge)."""
+    out = replay_to_table(_derive_changelog(sf_dir), num_partitions=32, keep_lsn=True)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
+def cdc_latest_event_per_user(sf_dir: str):
+    """LWW collapse keyed on user_id (upsert dedup as a query)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def local(b: pa.Table) -> pa.Table:  # batch combiner
+        s = b.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        uid = _np(s.column("user_id"))
+        keep = np.append(uid[:-1] != uid[1:], True)
+        return s.filter(pa.array(keep))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id").tail(1)
+        # rename here: Dataset.rename_columns after a pandas map_groups
+        # mis-fuses in ray 2.49 (Project UDF receives a DataFrame)
+        return g.rename(
+            columns={
+                "event_id": "last_event_id",
+                "event_type": "last_event_type",
+                "value": "last_value",
+                "ts": "last_ts",
+            }
+        )
+
+    return ds.map_batches(local, batch_format="pyarrow").groupby("user_id").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def cdc_partition_watermarks(sf_dir: str):
+    """Per-conversation high-watermark + applied-event counts (the
+    manifest lineage view, as a query)."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _derive_changelog(sf_dir)
+    return ds.groupby("conv_id").aggregate(
+        Max("lsn", alias_name="high_lsn"), Count(alias_name="n_events")
+    )
+
+
+# --------------------------------------------------------------------
+# events analytics (windows, histograms)
+# --------------------------------------------------------------------
+
+
+def events_hourly_user_windows(sf_dir: str):
+    """Tumbling 1h window per user (streaming-window analog —
+    SURVEY.md §2.10; Ray has no event-time windows, so the window key
+    is computed per batch and aggregated by (user, window))."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def win(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
+                "value_cents": _cents(b.column("value")),
+            }
+        )
+
+    return (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def events_type_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"), "value_cents": _cents(b.column("value"))})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def events_value_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        return pa.table(
+            {"bucket": pc.cast(pc.floor(pc.divide(v, pa.scalar(50.0))), pa.int32())}
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def asof_prior_click_per_purchase(sf_dir: str):
+    """As-of join on the event stream: for each purchase, the most
+    recent strictly-prior click of the same user (event_id order).
+    Custom operator: groupby(user) + per-group vectorized ffill —
+    the composition route for operators Ray Data lacks."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        click_id = g["event_id"].where(g["event_type"] == "click")
+        # last click at-or-before previous row == last click strictly before this row
+        g["prior_click_event_id"] = click_id.ffill().shift(1).astype("Int64")
+        out = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "prior_click_event_id"]]
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# TPC-H-ish analytics (join / aggregate / sort / limit / filter)
+# --------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-01"
+
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= pd.Timestamp(_Q1_CUTOFF).to_pydatetime()),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        e, d, t = b.column("l_extendedprice"), b.column("l_discount"), b.column("l_tax")
+        disc = pc.multiply(e, pc.subtract(pa.scalar(1.0), d))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t))
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "base_cents": _cents(e),
+                "disc_cents": _cents(disc),
+                "charge_cents": _cents(charge),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+_Q3_DATE = "1998-01-01"
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """Broadcast-join q3: BUILDING customers' pre-cutoff orders ×
+    post-cutoff lineitems, top-10 revenue orders."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = SortedIntMap(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    cutoff = pd.Timestamp(_Q3_DATE).to_pydatetime()
+    orders_t = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+              filter=(pc.field("o_orderdate") < cutoff))
+        .to_pandas()
+    )
+    sel = building.contains(orders_t["o_custkey"].to_numpy())
+    orders_t = orders_t[sel]
+    omap_ref = ray.put(
+        SortedIntMap(
+            orders_t["o_orderkey"].to_numpy(),
+            orders_t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        )
+    )
+
+    class JoinRevenue:
+        def __init__(self, omap_ref):
+            self.omap = ray.get(omap_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok_keys = _np(b.column("l_orderkey"))
+            dates, found = self.omap.get(ok_keys, default=0)
+            b = b.append_column("o_orderdate_i", pa.array(dates))
+            b = b.filter(pa.array(found))
+            rev = _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+            return pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "o_orderdate": b.column("o_orderdate_i").cast(pa.timestamp("us")),
+                    "revenue_cents": rev,
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff),
+    )
+    out = (
+        li.map_batches(JoinRevenue, fn_constructor_kwargs={"omap_ref": omap_ref},
+                       batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out
+
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR_LO, _Q5_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+def q5_region_revenue(sf_dir: str):
+    """q5: revenue per nation for one region/year where supplier and
+    customer share the nation.  All dimension sides broadcast."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rk = region.loc[region["r_name"] == _Q5_REGION, "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rk]
+    nat_names = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    lo, hi = pd.Timestamp(_Q5_YEAR_LO).to_pydatetime(), pd.Timestamp(_Q5_YEAR_HI).to_pydatetime()
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    ).to_pandas()
+
+    cmap = SortedIntMap(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy().astype(np.int64))
+    o_nat, _ = cmap.get(orders["o_custkey"].to_numpy(), default=-1)
+    refs = ray.put(
+        {
+            "order_nation": SortedIntMap(orders["o_orderkey"].to_numpy(), o_nat),
+            "supp_nation": SortedIntMap(
+                supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy().astype(np.int64)
+            ),
+            "nat_names": nat_names,
+        }
+    )
+
+    class NationRevenue:
+        def __init__(self, refs):
+            d = ray.get(refs)
+            self.order_nation = d["order_nation"]
+            self.supp_nation = d["supp_nation"]
+            self.nat_names = d["nat_names"]
+            keys = np.array(sorted(self.nat_names), dtype=np.int64)
+            self.region_keys = keys
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            on, ofound = self.order_nation.get(_np(b.column("l_orderkey")), default=-1)
+            sn, sfound = self.supp_nation.get(_np(b.column("l_suppkey")), default=-2)
+            keep = ofound & sfound & (on == sn) & np.isin(on, self.region_keys)
+            b = b.filter(pa.array(keep))
+            rev = _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+            names = pd.Series(on[keep]).map(self.nat_names).to_numpy(dtype=object)
+            return pa.table({"n_name": pa.array(names, pa.string()), "revenue_cents": rev})
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    return (
+        li.map_batches(NationRevenue, fn_constructor_kwargs={"refs": refs},
+                       batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def top_orders_by_price(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "price_cents": _cents(b.column("o_totalprice"))}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def filter_lineitem_range(sf_dir: str):
+    lo = pd.Timestamp("2000-01-01").to_pydatetime()
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_quantity") >= 45.0)),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+_ANTI_CUTOFF = "1996-01-01"
+
+
+def anti_join_customers_without_orders(sf_dir: str):
+    """Anti-semi-join — the reference's delete-stale EXCEPT
+    (postgres/postgres.py:450-495) as a broadcast key-set filter:
+    customers with no orders before the cutoff date."""
+    import ray
+
+    okeys = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") < pd.Timestamp(_ANTI_CUTOFF).to_pydatetime()),
+        )
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    ref = ray.put(SortedIntMap(np.unique(okeys)))
+
+    class NotInOrders:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = ~self.keys.contains(_np(b.column("c_custkey")))
+            return b.filter(pa.array(mask))
+
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        NotInOrders, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow", concurrency=2
+    )
+
+
+def semi_join_big_parts_ordered(sf_dir: str):
+    """Semi-join: parts (p_size ≥ 40) that appear in lineitem."""
+    import ray
+
+    pkeys = _read(sf_dir, "lineitem", columns=["l_partkey"]).to_pandas()["l_partkey"].to_numpy()
+    ref = ray.put(SortedIntMap(np.unique(pkeys)))
+
+    class InLineitem:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(self.keys.contains(_np(b.column("p_partkey")))))
+
+    return _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_size"],
+        filter=(pc.field("p_size") >= 40),
+    ).map_batches(InLineitem, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def join_orders_customer_nation(sf_dir: str):
+    """Two-hop dimension enrichment: orders → customer → nation,
+    revenue per nation (broadcast both dims)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    ref = ray.put(
+        {
+            "cmap": SortedIntMap(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy().astype(np.int64)),
+            "names": nat_names,
+        }
+    )
+
+    class Enrich:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.cmap, self.names = d["cmap"], d["names"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk, found = self.cmap.get(_np(b.column("o_custkey")), default=-1)
+            names = pd.Series(nk).map(self.names).to_numpy(dtype=object)
+            t = pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "price_cents": _cents(b.column("o_totalprice")),
+                }
+            )
+            return t.filter(pa.array(found))
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(Enrich, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents"))
+    )
+
+
+def distinct_segment_stats(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "n_customers": [len(g)],
+                "n_nations": [g["c_nationkey"].nunique()],
+            }
+        )
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_replay_full": cdc_replay_full,
+    "cdc_latest_event_per_user": cdc_latest_event_per_user,
+    "cdc_partition_watermarks": cdc_partition_watermarks,
+    "events_hourly_user_windows": events_hourly_user_windows,
+    "events_type_counts": events_type_counts,
+    "events_value_histogram": events_value_histogram,
+    "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "top_orders_by_price": top_orders_by_price,
+    "filter_lineitem_range": filter_lineitem_range,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
+    "join_orders_customer_nation": join_orders_customer_nation,
+    "distinct_segment_stats": distinct_segment_stats,
+}
+
+_CHANGES_CTE = """
+WITH changes AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'signup' THEN 'insert'
+              ELSE 'update' END AS op,
+         event_id AS lsn,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 100 AS INTEGER) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         ts
+  FROM events
+)
+"""
+
+ORACLE_SQL = {
+    "cdc_replay_full": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "cdc_latest_event_per_user": """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""",
+    "cdc_partition_watermarks": _CHANGES_CTE
+    + """
+SELECT conv_id, max(lsn) AS high_lsn, count(*) AS n_events FROM changes GROUP BY conv_id
+""",
+    "events_hourly_user_windows": """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+""",
+    "events_type_counts": """
+SELECT event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY event_type
+""",
+    "events_value_histogram": """
+SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n FROM events GROUP BY 1
+""",
+    "asof_prior_click_per_purchase": """
+SELECT p.event_id, p.user_id,
+       (SELECT max(c.event_id) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.event_id < p.event_id)
+       AS prior_click_event_id
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_revenue_orders": f"""
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+""",
+    "q5_region_revenue": f"""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO}' AND o_orderdate < TIMESTAMP '{_Q5_YEAR_HI}'
+GROUP BY n_name
+""",
+    "top_orders_by_price": """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 20
+""",
+    "filter_lineitem_range": """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45
+""",
+    "anti_join_customers_without_orders": f"""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < TIMESTAMP '{_ANTI_CUTOFF}')
+""",
+    "semi_join_big_parts_ordered": """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size >= 40 AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    "join_orders_customer_nation": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "distinct_segment_stats": """
+SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""",
+}

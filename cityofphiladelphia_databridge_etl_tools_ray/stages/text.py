@@ -1,0 +1,159 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All vectorized: Arrow compute kernels (RE2 regexes, identical engine
+to DuckDB's) or numpy over the Arrow string buffers — no Python
+per-row loops in hot paths.  The stopword/cleaner idea generalizes
+the reference's per-row cleaners (AGO.format_row strips quotes /
+non-ascii per value, ago/ago.py:436-474 — here a single
+``pc.count_substring_regex`` / ``pc.replace_substring_regex`` per
+batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_SPLIT = r"\s+"
+STOPWORDS = ("the", "a", "and", "of", "to")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+#: tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (public-knowledge word lists).
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "des", "que"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "de", "que"},
+    "zh": set("的了是我不在有他这就人都一".split()) | {"的", "了", "是"},
+}
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id + n_tokens, where n_tokens = number of pieces when
+    splitting on runs of whitespace (DuckDB
+    ``len(string_split_regex(text, '\\s+'))`` semantics — an empty
+    string yields 1)."""
+    t = batch.column(text_col)
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(t, TOKEN_SPLIT))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n_tokens, pa.int64())}
+    )
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-score features: char count, token count, stopword
+    count/ratio.  Ratios are exact int/int divisions → identical fp
+    on any engine."""
+    t = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(t, TOKEN_SPLIT)), pa.int64()
+    )
+    n_stop = pc.cast(pc.count_substring_regex(t, STOPWORD_RE), pa.int64())
+    ratio = pc.round(
+        pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tokens, pa.float64())),
+        6,
+        round_mode="half_towards_infinity",
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_stopwords": n_stop,
+            "stopword_ratio": ratio,
+        }
+    )
+
+
+class LangId:
+    """Stopword-profile language ID (actor-pool stage: profiles
+    compiled once per actor in ``__init__``)."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_PROFILES)
+        self.vocab: dict[str, np.ndarray] = {}
+        for i, lang in enumerate(self.langs):
+            for w in LANG_PROFILES[lang]:
+                v = self.vocab.setdefault(w, np.zeros(len(self.langs), np.int32))
+                v[i] += 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().str.lower()
+        toks = texts.str.split()
+        scores = np.zeros((len(batch), len(self.langs)), np.int32)
+        vocab = self.vocab
+        for i, words in enumerate(toks):
+            for w in words or ():
+                v = vocab.get(w)
+                if v is not None:
+                    scores[i] += v
+        best = scores.argmax(axis=1)
+        no_signal = scores.max(axis=1) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[no_signal] = "und"
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(pred, pa.string()),
+                "lang_score": pa.array(scores.max(axis=1).astype(np.int64)),
+            }
+        )
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: stable 64-bit content hash of the
+    whitespace-normalized lowercase text (the exact-dedup key)."""
+    t = pc.utf8_lower(batch.column(text_col))
+    norm = pc.replace_substring_regex(t, r"\s+", " ")
+    h = pd.util.hash_array(np.asarray(norm.to_pandas(), dtype=object), categorize=False)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(h.astype(np.int64)),
+        }
+    )
+
+
+def charset_bitmask(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, 2) uint64 bitmask of which of the first 128 byte values
+    appear in each string — computed from the raw Arrow buffers, no
+    per-row Python.  Non-ASCII bytes are masked into bit 127."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    arr = texts.cast(pa.binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offsets[-1]))[int(offsets[0]):]
+    doc_ix = np.repeat(np.arange(n), (offsets[1:] - offsets[:-1]).astype(np.int64))
+    codes = np.minimum(data.astype(np.int64), 127)
+    present = np.zeros((n, 128), dtype=bool)
+    present[doc_ix, codes] = True
+    packed = np.packbits(present, axis=1, bitorder="little").view(np.uint64)
+    return packed  # shape (n, 2)
+
+
+def charset_jaccard_matrix(masks_a: np.ndarray, masks_b: np.ndarray) -> np.ndarray:
+    """Pairwise character-set Jaccard |A∩B|/|A∪B| from bitmasks —
+    DuckDB ``jaccard(s1, s2)`` semantics."""
+    a = masks_a[:, None, :]
+    b = masks_b[None, :, :]
+    inter = _popcount(a & b).sum(axis=2)
+    union = _popcount(a | b).sum(axis=2)
+    union = np.maximum(union, 1)
+    return inter / union
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(*x.shape, 8), axis=-1)
+        .sum(axis=-1)
+        .astype(np.int64)
+    )
