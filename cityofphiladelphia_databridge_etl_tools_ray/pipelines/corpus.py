@@ -1,0 +1,312 @@
+"""Corpus operators for large-scale training-data pipelines:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard) and text
+analysis (token counts, quality scores, language ID, fingerprints)
+over the ``documents`` table.
+
+Scale design:
+- Exact dedup shuffles on a 64-bit fingerprint (cheap key) and
+  resolves hash collisions by grouping on the full text within each
+  fingerprint group — never a global shuffle keyed on raw text.
+- MinHash+LSH is the scale path for near-dup: signatures travel with
+  the rows through ONE groupby on (band_id, band_hash); candidate
+  verification happens inside each band group (no driver-side
+  materialization, no all-pairs).
+- The exact n-gram-Jaccard baseline broadcasts the (small) signature
+  table via ``ray.put`` and block-nested-loops batches against it —
+  the oracle-checkable ground truth whose n² cost is exactly what LSH
+  avoids; at 100 TB only the LSH variant runs.
+- SimHash finds Hamming-≤T pairs via pigeonhole bucketing on 16-bit
+  chunks (T ≤ 3 ⇒ some chunk matches exactly), one groupby per chunk
+  expressed as a single exploded groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textsig
+from ..stages.text import LangId, fingerprints, quality_stats, token_counts
+
+SHINGLE_K = 2  # word bigrams
+JACCARD_TAU = 0.5
+NUM_PERM = 128
+NUM_BANDS = 16  # 8 rows/band: P(candidate) ≈ 1-(1-j^8)^16; j=0.5 → 0.46, j=0.8 → 0.95
+SIMHASH_MAX_HAMMING = 3
+_PAIR_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id_a", pa.int64()),
+        pa.field("doc_id_b", pa.int64()),
+        pa.field("jaccard_e6", pa.int64()),
+    ]
+)
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------
+
+
+def text_token_counts(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_counts, batch_format="pyarrow"
+    )
+
+
+def text_quality_scores(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_stats, batch_format="pyarrow"
+    )
+
+
+def text_language_id(sf_dir: str):
+    """Stopword-profile language ID (actor pool: profiles built once
+    per actor). Non-SQL-expressible → rows-only oracle."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def text_fingerprints(sf_dir: str):
+    """64-bit whitespace-normalized content hash per doc (rows-only:
+    the hash function is engine-internal)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprints, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per identical text, with copy
+    count.  Local Arrow group_by pre-aggregates inside each batch,
+    the shuffle key is the 64-bit fingerprint, and fingerprint
+    collisions are resolved by grouping on full text within the
+    (tiny) fingerprint group."""
+
+    def local(b: pa.Table) -> pa.Table:
+        g = b.group_by("text").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        txt = g.column("text")
+        fp = pd.util.hash_array(
+            np.asarray(txt.to_pandas(), dtype=object), categorize=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp),
+                "text": txt,
+                "min_doc": g.column("doc_id_min"),
+                "cnt": g.column("doc_id_count"),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", sort=False).agg(
+            doc_id=("min_doc", "min"), n_copies=("cnt", "sum")
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------
+# shingle signatures (shared by the near-dup family)
+# --------------------------------------------------------------------
+
+
+def _sig_table(b: pa.Table) -> pa.Table:
+    """(doc_id, n_shingles, shingles list<uint64> sorted distinct)."""
+    flat, off = textsig.shingle_hashes(b.column("text"), k=SHINGLE_K)
+    flat, off = textsig.distinct_per_doc(flat, off)
+    lists = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), pa.array(flat, pa.uint64()))
+    return pa.table(
+        {
+            "doc_id": b.column("doc_id"),
+            "n_shingles": pa.array((off[1:] - off[:-1]).astype(np.int64)),
+            "shingles": lists,
+        }
+    )
+
+
+def _sets_from_lists(col) -> tuple[np.ndarray, np.ndarray]:
+    """Rebuild (flat, offsets) numpy views from an Arrow list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.asarray(col.offsets, dtype=np.int64)
+    flat = np.asarray(col.values, dtype=np.uint64)
+    return flat[off[0] : off[-1]], off - off[0]
+
+
+def _verify_group(g: pa.Table) -> pa.Table:
+    """All-pairs exact Jaccard inside one candidate group; emits pairs
+    with j ≥ τ (doc_id_a < doc_id_b)."""
+    if len(g) < 2:
+        return _PAIR_SCHEMA.empty_table()
+    g = g.sort_by("doc_id")
+    ids = np.asarray(g.column("doc_id"), dtype=np.int64)
+    keep_first = np.ones(len(ids), dtype=bool)
+    keep_first[1:] = ids[1:] != ids[:-1]
+    if not keep_first.all():
+        g = g.filter(pa.array(keep_first))
+        ids = ids[keep_first]
+    if len(g) < 2:
+        return _PAIR_SCHEMA.empty_table()
+    sets = _sets_from_lists(g.column("shingles"))
+    jac = textsig.pairwise_jaccard_dense(sets, sets)
+    ia, ib = np.triu_indices(len(ids), 1)
+    mask = jac[ia, ib] >= JACCARD_TAU
+    return pa.table(
+        {
+            "doc_id_a": pa.array(ids[ia[mask]]),
+            "doc_id_b": pa.array(ids[ib[mask]]),
+            "jaccard_e6": pa.array(textsig.jaccard_e6(jac[ia[mask], ib[mask]])),
+        }
+    )
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs, exact-verified: shingle → minhash →
+    band-bucket groupby → in-group exact Jaccard ≥ τ → cross-band pair
+    dedup.  Probabilistic candidate generation → rows-only oracle (the
+    exact baseline ``dedup_ngram_jaccard`` is the SQL-checked twin)."""
+    from ray.data.aggregate import Max
+
+    def explode(b: pa.Table) -> pa.Table:
+        sig_t = _sig_table(b)
+        flat, off = _sets_from_lists(sig_t.column("shingles"))
+        sigs = textsig.minhash_signatures(flat, off, num_perm=NUM_PERM)
+        bands = textsig.band_hashes(sigs, num_bands=NUM_BANDS)  # (n, B)
+        n = len(sig_t)
+        rep = np.repeat(np.arange(n, dtype=np.int64), NUM_BANDS)
+        out = sig_t.take(pa.array(rep))
+        return out.append_column(
+            "band_id", pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n))
+        ).append_column("band_hash", pa.array(bands.ravel()))
+
+    pairs = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(_verify_group, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Max("jaccard_e6", alias_name="jaccard_e6")
+    )
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs word-bigram Jaccard ≥ τ (the oracle-checkable
+    baseline).  The signature table is broadcast once via ``ray.put``
+    (small side at bench scale — at 100 TB this operator is replaced
+    by ``dedup_minhash_lsh``; this one is its ground-truth kernel)."""
+    import ray
+
+    sig_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _sig_table, batch_format="pyarrow"
+    )
+    all_sig = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in sig_ds.iter_batches(batch_format="pyarrow")]
+    )
+    all_ids = np.asarray(all_sig.column("doc_id"), dtype=np.int64)
+    all_sets = _sets_from_lists(all_sig.column("shingles"))
+    ref = ray.put({"ids": all_ids, "flat": all_sets[0], "off": all_sets[1]})
+
+    class AllPairs:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.ids, self.flat, self.off = d["ids"], d["flat"], d["off"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            sets = _sets_from_lists(b.column("shingles"))
+            jac = textsig.pairwise_jaccard_dense(sets, (self.flat, self.off))
+            a_ix, b_ix = np.nonzero(
+                (jac >= JACCARD_TAU) & (ids[:, None] < self.ids[None, :])
+            )
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(ids[a_ix]),
+                    "doc_id_b": pa.array(self.ids[b_ix]),
+                    "jaccard_e6": pa.array(textsig.jaccard_e6(jac[a_ix, b_ix])),
+                }
+            )
+
+    return sig_ds.map_batches(
+        AllPairs, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs: 64-bit signature, Hamming ≤ T, found
+    via pigeonhole bucketing on the 4 16-bit chunks (T ≤ 3 guarantees
+    at least one chunk matches exactly).  Rows-only oracle."""
+    from ray.data.aggregate import Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        flat, off = textsig.shingle_hashes(b.column("text"), k=SHINGLE_K)
+        flat, off = textsig.distinct_per_doc(flat, off)
+        sim = textsig.simhash64(flat, off)  # (n,) int64
+        n = len(sim)
+        shifts = (np.arange(4) * 16).astype(np.uint64)
+        chunks = (sim.view(np.uint64)[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(b.column("doc_id"), np.int64)[rep]),
+                "simhash": pa.array(sim[rep]),
+                "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "chunk_val": pa.array(chunks.astype(np.int64).ravel()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return pa.schema(
+                [
+                    pa.field("doc_id_a", pa.int64()),
+                    pa.field("doc_id_b", pa.int64()),
+                    pa.field("hamming", pa.int64()),
+                ]
+            ).empty_table()
+        g = g.sort_by("doc_id")
+        ids = np.asarray(g.column("doc_id"), dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids = ids[keep]
+        sims = np.asarray(g.column("simhash"), dtype=np.int64)[keep]
+        ia, ib = np.triu_indices(len(ids), 1)
+        d = textsig.hamming64(sims[ia], sims[ib])
+        m = d <= SIMHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[ia[m]]),
+                "doc_id_b": pa.array(ids[ib[m]]),
+                "hamming": pa.array(d[m]),
+            }
+        )
+
+    pairs = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

@@ -22,7 +22,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.lookup import SortedIntMap
+from .corpus import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    text_fingerprints,
+    text_language_id,
+    text_quality_scores,
+    text_token_counts,
+)
 from .replay import replay_to_table
+from .similarity import ann_bruteforce_topk, ann_ivf_topk, dedup_embedding_cosine
 
 # --------------------------------------------------------------------
 # helpers
@@ -572,6 +583,19 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    # corpus / training-data ops (documents table)
+    "text_token_counts": text_token_counts,
+    "text_quality_scores": text_quality_scores,
+    "text_language_id": text_language_id,
+    "text_fingerprints": text_fingerprints,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    # similarity search (embeddings table)
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 _CHANGES_CTE = """
@@ -686,5 +710,56 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    # ---- corpus / training-data ops.  No oracle entries for
+    # text_language_id / text_fingerprints (engine-internal hash),
+    # dedup_minhash_lsh / dedup_simhash (probabilistic candidates) and
+    # ann_ivf_topk (approximate): rows-only check; their exact twins
+    # (dedup_ngram_jaccard, ann_bruteforce_topk) ARE oracle-checked
+    # and pytest pins the approximate ops against the exact ones.
+    "text_token_counts": r"""
+SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "text_quality_scores": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_stopwords,
+       round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+FROM t
+""",
+    "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+""",
+    "dedup_ngram_jaccard": """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+bg AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS s
+       FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM pairs WHERE j >= 0.5
+""",
+    "dedup_embedding_cosine": """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+""",
+    "ann_bruteforce_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+      FROM s)
+SELECT qid, nid, CAST(rnk AS BIGINT) AS "rank" FROM r WHERE rnk <= 5
 """,
 }

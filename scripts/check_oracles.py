@@ -73,6 +73,9 @@ def main():
             print(f"ROWS-ONLY {name}: {len(got)} rows ({dt:.1f}s)")
             continue
         exp = canon(con.execute(sqls[name]).fetchdf())
+        if len(got) == 0 and len(exp) == 0:
+            print(f"OK   {name}: 0 rows both sides ({dt:.1f}s)")
+            continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             failures.append(name)

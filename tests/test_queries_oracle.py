@@ -42,6 +42,8 @@ def test_query_matches_oracle(ray_session, con, name):
         assert len(got) >= 0  # rows-only check (non-SQL-expressible op)
         return
     exp = canon(con.execute(ORACLE_SQL[name]).fetchdf())
+    if len(got) == 0 and len(exp) == 0:
+        return  # both empty (ray's to_pandas drops columns on 0-row datasets)
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-9)
