@@ -116,27 +116,39 @@ def generate_changes(
     ts = EPOCH_US + lsn * 1_000_000
     is_del = op == "delete"
 
-    tbl = pa.Table.from_arrays(
-        [
-            pa.array(op, pa.string()),
-            pa.array(lsn, pa.int64()),
-            pa.array(conv, pa.string()),
-            pa.array(turn, pa.int32()),
-            pa.array(role, pa.string(), mask=is_del),
-            pa.array(text, pa.string(), mask=is_del),
-            pa.array(tool, pa.string(), mask=is_del),
-            pa.array(ts, pa.timestamp("us"), mask=is_del),
-        ],
-        schema=CHANGE_SCHEMA,
-    )
+    # Duplicate + shuffle at the numpy-index level, then materialize the
+    # Arrow table in bounded chunks: one contiguous string array of the
+    # whole log can exceed the 2 GiB int32-offset limit at bench scale
+    # (text carries 4 KiB salt cells), so never `take` the full table.
+    idx = np.arange(n_events, dtype=np.int64)
     n_dup = int(n_events * dup_frac)
     if n_dup:
         dup_pos = rng.choice(n_events, size=n_dup, replace=False)
-        tbl = pa.concat_tables([tbl, tbl.take(pa.array(np.sort(dup_pos)))])
+        idx = np.concatenate([idx, np.sort(dup_pos)])
     if shuffle:
-        perm = rng.permutation(len(tbl))
-        tbl = tbl.take(pa.array(perm))
-    return tbl
+        idx = idx[rng.permutation(len(idx))]
+
+    chunk = 500_000
+    pieces = []
+    for lo_i in range(0, len(idx), chunk):
+        s = idx[lo_i : lo_i + chunk]
+        d = is_del[s]
+        pieces.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(op[s], pa.string()),
+                    pa.array(lsn[s], pa.int64()),
+                    pa.array(conv[s], pa.string()),
+                    pa.array(turn[s], pa.int32()),
+                    pa.array(role[s], pa.string(), mask=d),
+                    pa.array(text[s], pa.string(), mask=d),
+                    pa.array(tool[s], pa.string(), mask=d),
+                    pa.array(ts[s], pa.timestamp("us"), mask=d),
+                ],
+                schema=CHANGE_SCHEMA,
+            )
+        )
+    return pa.concat_tables(pieces)
 
 
 def write_change_log(changes: pa.Table, out_dir: str, n_files: int = 8) -> list[str]:
