@@ -39,6 +39,30 @@ from ..stages.merge import dedup_last_writer, merge_partition
 
 PART_COL = "_part"
 
+_ALLOC_TUNED = False
+
+
+def _tune_worker_allocator() -> None:
+    """Disable jemalloc page decay in this worker process (idempotent,
+    call from any per-batch hot path).
+
+    Arrow's jemalloc pool returns dirty pages to the OS after ~1 s of
+    decay; every subsequent large kernel output then re-faults fresh
+    pages.  Under many concurrent worker processes, page-fault handling
+    (zeroing + TLB shootdowns) serializes in the kernel and measures
+    ~100× slower than warm-page copies on large hosts — the replay's
+    merge stage ran 5× slower end-to-end before this.  Retaining pages
+    for the worker's lifetime trades bounded per-worker RSS (the peak
+    block working set) for allocation at memory speed."""
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return
+    _ALLOC_TUNED = True
+    try:
+        pa.jemalloc_set_decay_ms(-1)
+    except (AttributeError, pa.lib.ArrowInvalid, OSError):  # non-jemalloc build
+        pass
+
 
 class ChangeNormalizer:
     """Stateless-ish batch normalizer (used as an actor pool so the
@@ -63,6 +87,7 @@ class ChangeNormalizer:
         self._valid_ops = pa.array(list(OPS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _tune_worker_allocator()
         # header canonicalization: lowercase + rename map
         # (reference lowercases headers, opendata/opendata.py:82-84)
         names = [self.rename_map.get(n.lower(), n.lower()) for n in batch.column_names]
@@ -99,8 +124,12 @@ class ChangeNormalizer:
                     i, batch.schema.field(i), pc.replace_substring(t, "\x00", "")
                 )
 
-        # local combiner: keep max-lsn row per key within the batch
-        batch = dedup_last_writer(batch)
+        # local combiner: keep max-lsn row per key within the batch —
+        # skew mitigation (hot keys collapse before any bytes move).
+        # Skipped when the batch-local duplication is under 20%: the
+        # narrow winner count is computed either way, but the wide
+        # gather only pays for itself at real reduction rates.
+        batch = dedup_last_writer(batch, min_reduction=0.2)
 
         return _with_part_col(batch, self.num_partitions)
 
@@ -178,6 +207,7 @@ class _MergeCommit:
         return self._lake
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        _tune_worker_allocator()
         t0 = time.perf_counter()
         pid = int(group.column(PART_COL)[0].as_py())
         changes = group.drop_columns([PART_COL])

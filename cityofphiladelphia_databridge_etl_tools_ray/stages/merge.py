@@ -17,11 +17,19 @@ upsert SQL):
 - ties on identical lsn: the later input row wins (Arrow sorts are
   stable), mirroring "later statement wins" in sequential SQL replay.
 
-Everything is vectorized: one Arrow sort + shifted-comparison mask,
-no Python row loops.  Base rows participate with a sentinel
-``lsn = -1`` — callers guarantee (via the partition watermark) that
-every change in ``changes`` has lsn greater than the lsn that produced
-the base rows, so any change beats any base row.
+Performance contract: the wide payload columns (transcript ``text``
+can be KiB-sized cells) are gathered exactly ONCE.  All ordering work
+happens on a narrow projection of the key columns —
+``pc.sort_indices`` over (conv_id, turn_idx, lsn) — and the winning
+row indices are applied to the full table in a single ``take``.
+Sorting the whole table (``Table.sort_by``) would gather the text
+payload once per sort; at lake scale that triples the memory traffic
+of every merge.
+
+Base rows participate with a sentinel ``lsn = -1`` — callers
+guarantee (via the partition watermark) that every change in
+``changes`` has lsn greater than the lsn that produced the base rows,
+so any change beats any base row.
 """
 
 from __future__ import annotations
@@ -53,22 +61,48 @@ def _keep_last_mask(table: pa.Table, keys: list[str]) -> pa.Array:
     return pa.concat_arrays([keep, pa.array([True])])
 
 
+def _winner_indices(
+    table: pa.Table, keys: list[str], order_col: str
+) -> pa.Array:
+    """Row indices of the max-``order_col`` row per key, in key-sorted
+    order.  Touches only the narrow key columns; stable sort makes the
+    later input row win on order ties."""
+    narrow = table.select(list(keys) + [order_col])
+    sort_idx = pc.sort_indices(
+        narrow,
+        sort_keys=[(k, "ascending") for k in keys] + [(order_col, "ascending")],
+    )
+    sorted_keys = narrow.take(sort_idx)
+    keep = _keep_last_mask(sorted_keys, keys)
+    return sort_idx.filter(keep)
+
+
 def dedup_last_writer(
     changes: pa.Table,
     keys: list[str] = PRIMARY_KEY,
     order_col: str = "lsn",
+    min_reduction: float = 0.0,
 ) -> pa.Table:
-    """Keep only the highest-``order_col`` row per key.
+    """Keep only the highest-``order_col`` row per key (output in
+    key-sorted order).
 
     Associative: applying this per input batch (the pre-shuffle
     combiner) and again after the shuffle yields the same result as
     one global pass — which is what makes hot-key pre-reduction safe.
+
+    ``min_reduction``: skip the (full-payload-width) gather unless it
+    would drop at least this fraction of rows.  The winner count is
+    known from the narrow key sort alone, so a low-duplication batch
+    costs only the narrow pass — paying a whole-batch copy to shed 5%
+    of rows loses on memory traffic; the post-shuffle merge dedups
+    exactly anyway.
     """
     if len(changes) == 0:
         return changes
-    sort_keys = [(k, "ascending") for k in keys] + [(order_col, "ascending")]
-    s = changes.sort_by(sort_keys)
-    return s.filter(_keep_last_mask(s, keys))
+    win = _winner_indices(changes, keys, order_col)
+    if min_reduction > 0.0 and len(win) >= len(changes) * (1.0 - min_reduction):
+        return changes
+    return changes.take(win)
 
 
 def merge_partition(
@@ -95,8 +129,6 @@ def merge_partition(
             out = out.append_column("lsn", pa.array(np.full(len(out), -1, np.int64)))
         return out
 
-    changes = dedup_last_writer(changes, keys=keys)
-
     payload_fields = [f for f in changes.schema if f.name not in _META_COLS]
     payload_schema = pa.schema(payload_fields)
     if base is not None and len(base) > 0:
@@ -110,15 +142,21 @@ def merge_partition(
         base_full = base_full.add_column(
             0, pa.field("op", pa.string()), pa.nulls(len(base), pa.string()).fill_null("insert")
         )
+        # zero-copy two-chunk concat; the single wide gather below
+        # resolves it.
         combined = pa.concat_tables(
             [conform(base_full, full_schema), conform(changes, full_schema)]
         )
-        combined = dedup_last_writer(combined, keys=keys)
     else:
-        target = payload_schema
         combined = changes
 
-    live = combined.filter(pc.not_equal(combined.column("op"), pa.scalar("delete")))
-    live = live.sort_by([(k, "ascending") for k in keys])
+    win = _winner_indices(combined, keys, "lsn")
+    # drop tombstone winners before the wide gather so deleted rows'
+    # payload bytes never move.
+    alive = pc.not_equal(combined.column("op").take(win), pa.scalar("delete"))
+    if isinstance(alive, pa.ChunkedArray):
+        alive = alive.combine_chunks()
+    win = win.filter(alive)
+    out = combined.take(win)  # the ONE payload gather, key-sorted
     drop = ["op"] if keep_lsn else ["op", "lsn"]
-    return live.drop_columns(drop)
+    return out.drop_columns(drop)
