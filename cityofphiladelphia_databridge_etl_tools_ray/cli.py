@@ -1,0 +1,156 @@
+"""Operator CLI — the engine's analog of the reference's click
+command tree (reference databridge_etl_tools/cli.py:13-25, one group
+per endpoint with shared context params).
+
+Here the endpoints collapse to one: the partitioned Parquet lake.
+Commands own the Ray session (guarded init — the library never calls
+``ray.init``):
+
+    python -m cityofphiladelphia_databridge_etl_tools_ray create-lake /lake --partitions 64
+    python -m cityofphiladelphia_databridge_etl_tools_ray replay /lake 'wal/*.parquet' \
+        --rename-map old_col=new_col --invalid-ops dead_letter
+    python -m cityofphiladelphia_databridge_etl_tools_ray metrics /lake
+    python -m cityofphiladelphia_databridge_etl_tools_ray watermarks /lake
+    python -m cityofphiladelphia_databridge_etl_tools_ray vacuum /lake
+    python -m cityofphiladelphia_databridge_etl_tools_ray query q1_pricing_summary --sf-dir ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": num_cpus} if num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+    return ray
+
+
+def _parse_rename(pairs: list[str]) -> dict[str, str]:
+    """``old=new`` pairs — the reference's column-mapping file
+    (postgres/example_column_mapping.txt) as CLI flags."""
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--rename-map wants old=new, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def cmd_create_lake(args) -> int:
+    from .state.lake import TranscriptLake
+
+    TranscriptLake.create(args.root, num_partitions=args.partitions)
+    print(json.dumps({"root": args.root, "num_partitions": args.partitions}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.replay import replay_into_lake
+    from .sources.changelog import read_change_log
+
+    metrics = replay_into_lake(
+        args.root,
+        read_change_log(args.wal),
+        rename_map=_parse_rename(args.rename_map),
+        invalid_ops=args.invalid_ops,
+        dead_letter_dir=args.dead_letter_dir,
+    )
+    print(metrics.to_json(orient="records"))
+    ray.shutdown()
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from .state.lake import TranscriptLake
+
+    print(json.dumps(TranscriptLake(args.root).metrics(), indent=2, default=str))
+    return 0
+
+
+def cmd_watermarks(args) -> int:
+    from .state.lake import TranscriptLake
+
+    print(json.dumps(TranscriptLake(args.root).watermarks()))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .state.lake import TranscriptLake
+
+    removed = TranscriptLake(args.root).vacuum()
+    print(json.dumps({"removed": removed}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        raise SystemExit(f"unknown query {args.name!r}; one of {sorted(QUERIES)}")
+    res = QUERIES[args.name](args.sf_dir)
+    df = res if hasattr(res, "columns") and not hasattr(res, "to_pandas") else res.to_pandas()
+    print(df.head(args.limit).to_string())
+    print(f"... {len(df)} rows")
+    ray.shutdown()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cityofphiladelphia_databridge_etl_tools_ray")
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-lake", help="initialise an empty partitioned lake")
+    c.add_argument("root")
+    c.add_argument("--partitions", type=int, default=32)
+    c.set_defaults(fn=cmd_create_lake)
+
+    c = sub.add_parser("replay", help="replay a change log into the lake (exactly-once)")
+    c.add_argument("root")
+    c.add_argument("wal", help="change-log parquet path/glob/dir")
+    c.add_argument("--rename-map", nargs="*", default=[], metavar="OLD=NEW")
+    c.add_argument(
+        "--invalid-ops",
+        choices=["error", "drop", "dead_letter"],
+        default="error",
+        help="route for rows with unknown op values",
+    )
+    c.add_argument("--dead-letter-dir", default=None)
+    c.set_defaults(fn=cmd_replay)
+
+    c = sub.add_parser("metrics", help="per-partition lineage + lag metrics")
+    c.add_argument("root")
+    c.set_defaults(fn=cmd_metrics)
+
+    c = sub.add_parser("watermarks", help="committed high-LSN per partition")
+    c.add_argument("root")
+    c.set_defaults(fn=cmd_watermarks)
+
+    c = sub.add_parser("vacuum", help="delete orphaned data files")
+    c.add_argument("root")
+    c.set_defaults(fn=cmd_vacuum)
+
+    c = sub.add_parser("query", help="run a registered analytic pipeline")
+    c.add_argument("name")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    c.add_argument("--limit", type=int, default=20)
+    c.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

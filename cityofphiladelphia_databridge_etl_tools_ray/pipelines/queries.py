@@ -32,6 +32,11 @@ from .corpus import (
     text_quality_scores,
     text_token_counts,
 )
+from .multimodal import (
+    multimodal_frame_sample,
+    multimodal_image_features,
+    multimodal_image_meta,
+)
 from .replay import replay_to_table
 from .similarity import ann_bruteforce_topk, ann_ivf_topk, dedup_embedding_cosine
 
@@ -547,6 +552,57 @@ def join_orders_customer_nation(sf_dir: str):
     )
 
 
+def _ewkt_shapes(b: pa.Table) -> pa.Table:
+    """Deterministic EWKT column derived from customer keys (the
+    testdata has no geometry table): kind cycles POINT / SRID-POINT /
+    LINESTRING / MULTIPOINT; integer coords keep the string round-trip
+    bit-exact against the SQL oracle."""
+    ck = b.column("c_custkey").cast(pa.int64())
+    k = pc.cast(pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(4)), pa.scalar(4))), pa.int64())
+    x = pc.cast(pc.subtract(pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(360)), pa.scalar(360))), pa.scalar(180)), pa.int64())
+    y = b.column("c_nationkey").cast(pa.int64())
+    xs, ys = pc.cast(x, pa.string()), pc.cast(y, pa.string())
+    x1s = pc.cast(pc.add(x, pa.scalar(1)), pa.string())
+    y1s = pc.cast(pc.add(y, pa.scalar(1)), pa.string())
+    j = pc.binary_join_element_wise
+    point = j(pa.scalar("POINT("), xs, pa.scalar(" "), ys, pa.scalar(")"), "")
+    spoint = j(pa.scalar("SRID=4326;POINT("), xs, pa.scalar(" "), ys, pa.scalar(")"), "")
+    line = j(pa.scalar("LINESTRING("), xs, pa.scalar(" "), ys, pa.scalar(", "), x1s, pa.scalar(" "), y1s, pa.scalar(")"), "")
+    mpoint = j(pa.scalar("MULTIPOINT(("), xs, pa.scalar(" "), ys, pa.scalar("))"), "")
+    shape = pc.case_when(
+        pc.make_struct(pc.equal(k, 0), pc.equal(k, 1), pc.equal(k, 2)),
+        point, spoint, line, mpoint,
+    )
+    return pa.table({"c_custkey": ck, "shape": shape})
+
+
+def geom_promote_multi(sf_dir: str):
+    """Multi-geometry promotion over an EWKT column — the reference's
+    prepare_file (postgres/postgres.py:146-201) vectorized."""
+    from ..stages.geometry import promote_multi_geom
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return ds.map_batches(_ewkt_shapes, batch_format="pyarrow").map_batches(
+        promote_multi_geom, batch_format="pyarrow"
+    )
+
+
+def geom_point_lonlat(sf_dir: str):
+    """EWKT POINT → lon/lat columns — the reference's OpenData point
+    pipeline (opendata/opendata.py:214-238)."""
+    from ..stages.geometry import extract_point_lonlat
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def points_only(b: pa.Table) -> pa.Table:
+        t = _ewkt_shapes(b)
+        return t.filter(pc.match_substring_regex(t.column("shape"), r"^(SRID=4326;)?POINT"))
+
+    return ds.map_batches(points_only, batch_format="pyarrow").map_batches(
+        extract_point_lonlat, batch_format="pyarrow"
+    )
+
+
 def distinct_segment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
 
@@ -583,6 +639,8 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "geom_promote_multi": geom_promote_multi,
+    "geom_point_lonlat": geom_point_lonlat,
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
     "text_quality_scores": text_quality_scores,
@@ -596,6 +654,10 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    # multimodal (binary payload columns, actor-pool decode stages)
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_features": multimodal_image_features,
 }
 
 _CHANGES_CTE = """
@@ -711,6 +773,30 @@ GROUP BY n_name
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
 """,
+    "geom_promote_multi": """
+WITH g AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         c_custkey % 4 AS k,
+         CAST(c_custkey % 360 - 180 AS VARCHAR) AS xs,
+         CAST(c_nationkey AS VARCHAR) AS ys,
+         CAST(c_custkey % 360 - 180 + 1 AS VARCHAR) AS x1s,
+         CAST(c_nationkey + 1 AS VARCHAR) AS y1s
+  FROM customer)
+SELECT c_custkey,
+       CASE k
+         WHEN 0 THEN 'MULTIPOINT((' || xs || ' ' || ys || '))'
+         WHEN 1 THEN 'SRID=4326;MULTIPOINT((' || xs || ' ' || ys || '))'
+         WHEN 2 THEN 'MULTILINESTRING((' || xs || ' ' || ys || ', ' || x1s || ' ' || y1s || '))'
+         ELSE 'MULTIPOINT((' || xs || ' ' || ys || '))'
+       END AS shape
+FROM g
+""",
+    "geom_point_lonlat": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon,
+       CAST(c_nationkey AS DOUBLE) AS lat
+FROM customer WHERE c_custkey % 4 IN (0, 1)
+""",
     # ---- corpus / training-data ops.  No oracle entries for
     # text_language_id / text_fingerprints (engine-internal hash),
     # dedup_minhash_lsh / dedup_simhash (probabilistic candidates) and
@@ -752,6 +838,34 @@ FROM pairs WHERE j >= 0.5
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+""",
+    # ---- multimodal.  The fake codec is sha256-based and DuckDB's
+    # sha256 over the same UTF-8 bytes reproduces it bit-exactly, so
+    # the actor-pool decode stages are fully oracle-checked; only
+    # image_features (seeded RNG vectors) gets the rows-only check and
+    # is pinned by pytest instead.
+    "multimodal_image_meta": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(sha256(text), 1, 16)) AS UBIGINT) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT media_id,
+       CAST(64 + (h % 1920) AS INTEGER) AS width,
+       CAST(64 + ((h // 65536) % 1080) AS INTEGER) AS height,
+       CAST(CASE WHEN (h // 4294967296) % 10 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       n_bytes
+FROM d
+""",
+    "multimodal_frame_sample": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         greatest(CAST(octet_length(encode(text)) AS BIGINT) // 1024, 1) AS n_frames
+  FROM documents)
+SELECT media_id,
+       CAST(o // 10 AS INTEGER) AS frame_idx,
+       CAST(o * 1024 AS BIGINT) AS byte_offset
+FROM d, unnest(range(0, n_frames, 10)) AS t(o)
 """,
     "ann_bruteforce_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

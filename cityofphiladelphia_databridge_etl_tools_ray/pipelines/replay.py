@@ -75,13 +75,17 @@ class ChangeNormalizer:
         num_partitions: int,
         *,
         rename_map: dict[str, str] | None = None,
-        invalid_ops: str = "error",  # "error" | "drop"
+        invalid_ops: str = "error",  # "error" | "drop" | "dead_letter"
+        dead_letter_dir: str | None = None,
         scrub_text: bool = True,
         min_lsn_exclusive: int = -1,
     ):
         self.num_partitions = num_partitions
         self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
         self.invalid_ops = invalid_ops
+        self.dead_letter_dir = dead_letter_dir
+        if invalid_ops == "dead_letter" and not dead_letter_dir:
+            raise ValueError("invalid_ops='dead_letter' requires dead_letter_dir")
         self.scrub_text = scrub_text
         self.min_lsn_exclusive = min_lsn_exclusive
         self._valid_ops = pa.array(list(OPS))
@@ -104,6 +108,9 @@ class ChangeNormalizer:
         if not pc.all(ok).as_py():
             if self.invalid_ops == "drop":
                 batch = batch.filter(ok)
+            elif self.invalid_ops == "dead_letter":
+                self._write_dead_letter(batch.filter(pc.invert(ok)))
+                batch = batch.filter(ok)
             else:
                 bad = pc.unique(batch.filter(pc.invert(ok)).column("op")).to_pylist()
                 raise ValueError(f"invalid op values: {bad}")
@@ -125,6 +132,8 @@ class ChangeNormalizer:
                 )
 
         # local combiner: keep max-lsn row per key within the batch —
+        # (dead-letter write above happens first so rejected rows are
+        # preserved pre-dedup)
         # skew mitigation (hot keys collapse before any bytes move).
         # Skipped when the batch-local duplication is under 20%: the
         # narrow winner count is computed either way, but the wide
@@ -132,6 +141,30 @@ class ChangeNormalizer:
         batch = dedup_last_writer(batch, min_reduction=0.2)
 
         return _with_part_col(batch, self.num_partitions)
+
+    def _write_dead_letter(self, rejected: pa.Table) -> None:
+        """Dead-letter Parquet file per rejected batch, content-hash
+        named so a retried task rewrites the same file (idempotent) —
+        the reference's timestamped error file on S3
+        (ago/ago.py:319-344) made replay-safe."""
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.dead_letter_dir, exist_ok=True)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(rejected, buf)
+        data = buf.getvalue()
+        sha = hashlib.sha256(data).hexdigest()[:16]
+        path = os.path.join(self.dead_letter_dir, f"rejected-{sha}.parquet")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
 
 
 def _with_part_col(batch: pa.Table, num_partitions: int = 1) -> pa.Table:
@@ -177,6 +210,7 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
             "num_partitions": normalizer.num_partitions,
             "rename_map": normalizer.rename_map,
             "invalid_ops": normalizer.invalid_ops,
+            "dead_letter_dir": normalizer.dead_letter_dir,
             "scrub_text": normalizer.scrub_text,
             "min_lsn_exclusive": normalizer.min_lsn_exclusive,
         },
@@ -257,6 +291,8 @@ def replay_into_lake(
     changes_ds,
     *,
     rename_map: dict[str, str] | None = None,
+    invalid_ops: str = "error",
+    dead_letter_dir: str | None = None,
     concurrency: int | None = None,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
@@ -274,6 +310,8 @@ def replay_into_lake(
         ChangeNormalizer(
             lake.num_partitions,
             rename_map=rename_map,
+            invalid_ops=invalid_ops,
+            dead_letter_dir=dead_letter_dir,
             min_lsn_exclusive=lake.min_watermark(),
         ),
         concurrency,

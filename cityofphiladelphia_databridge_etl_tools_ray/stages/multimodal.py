@@ -1,0 +1,207 @@
+"""Multimodal (image / audio / video) column stages.
+
+Payloads are opaque ``binary`` cells travelling next to typed
+metadata columns — the engine treats them exactly like the transcript
+``text`` payload: bytes that must be partitioned, batched and moved,
+never interpreted row-by-row in Python.  The real codec work (JPEG
+decode, resample, frame extraction) is NOT available in this
+environment, so each stage separates:
+
+- the **Ray plumbing** (real, tested): schema contracts, actor-pool
+  ``map_batches`` stages with codec state built once per actor,
+  byte-budgeted ``batch_size`` so payload × concurrency fits worker
+  heaps, zero-copy Arrow in/out, deterministic outputs; and
+- the **codec kernel** (stubbed): ``FakeCodec`` derives metadata and
+  "decoded" features deterministically from the payload bytes, while
+  ``strict=True`` raises ``NotImplementedError`` exactly where a real
+  libjpeg/ffmpeg call belongs.
+
+Reference lineage: the reference ships opaque-blob columns through
+typed sidecars the same way it ships geometry — EWKT strings with a
+type map promoted at load (databridge_etl_tools/postgres/postgres.py:146-201);
+its stateful per-worker transformer cache (ago/ago.py:347-354) is the
+actor-pool ``__init__`` pattern used here.
+
+Batch sizing: multimodal cells are KiB–MiB, so stages default to a
+small ``batch_size`` (256 rows) and bounded actor pools; at 100 TB
+the same stage runs with ``concurrency=(N, 4N)`` across nodes and the
+object store streams/spills blocks between them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: rows per multimodal batch — keep payload_bytes × batch × actors
+#: bounded; override per call for very large cells.
+DEFAULT_MM_BATCH = 256
+
+IMAGE_META_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("channels", pa.int32()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+
+class FakeCodec:
+    """Deterministic stand-in for an image/audio/video codec.
+
+    All outputs are pure functions of the payload bytes (sha256-based),
+    so pipelines are testable and replay-stable.  Pass ``strict=True``
+    to get ``NotImplementedError`` at the exact call sites where a real
+    decoder (PIL / libsndfile / ffmpeg) plugs in.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _digests(self, payloads: np.ndarray) -> np.ndarray:
+        # one sha256 per cell — the deterministic seed for every fake
+        # property below (cheap relative to a real decode).
+        return np.fromiter(
+            (int.from_bytes(hashlib.sha256(p).digest()[:8], "big") if p is not None else 0
+             for p in payloads),
+            dtype=np.uint64,
+            count=len(payloads),
+        )
+
+    def image_meta(self, payloads: np.ndarray):
+        """(width, height, channels) per payload."""
+        if self.strict:
+            raise NotImplementedError("real image decode requires PIL/libjpeg")
+        d = self._digests(payloads)
+        width = (64 + (d % 1920)).astype(np.int32)
+        height = (64 + ((d >> 16) % 1080)).astype(np.int32)
+        channels = np.where((d >> 32) % 10 == 0, 1, 3).astype(np.int32)
+        return width, height, channels
+
+    def image_features(self, payloads: np.ndarray, dim: int) -> np.ndarray:
+        """(n, dim) float32 embedding per payload (fake but stable)."""
+        if self.strict:
+            raise NotImplementedError("real feature extraction requires a vision model")
+        d = self._digests(payloads)
+        # per-row generator seeded by digest → rows independent of
+        # batch boundaries (replay/batch-size invariant).
+        out = np.empty((len(d), dim), np.float32)
+        for i, seed in enumerate(d):
+            out[i] = np.random.default_rng(seed).standard_normal(dim, dtype=np.float32)
+        return out
+
+    def frame_offsets(self, payloads: np.ndarray, every_n: int):
+        """Per-payload list of fake frame byte offsets (video sampling)."""
+        if self.strict:
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        sizes = np.fromiter((len(p) if p is not None else 0 for p in payloads), np.int64)
+        n_frames = np.maximum(sizes // 1024, 1)
+        return [np.arange(0, n, every_n, dtype=np.int64) * 1024 for n in n_frames]
+
+
+def _payload_np(batch: pa.Table, col: str) -> np.ndarray:
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
+
+
+class DecodeImageMeta:
+    """Actor-pool stage: binary payload → typed image metadata.
+
+    Usage::
+
+        ds.map_batches(DecodeImageMeta, batch_size=DEFAULT_MM_BATCH,
+                       concurrency=(2, 8), batch_format="pyarrow",
+                       fn_constructor_kwargs={"payload_col": "payload"})
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.codec = FakeCodec(strict=strict)  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_np(batch, self.payload_col)
+        w, h, c = self.codec.image_meta(payloads)
+        sizes = pc.binary_length(batch.column(self.payload_col)).cast(pa.int64())
+        return pa.table(
+            {
+                "media_id": batch.column(self.id_col).cast(pa.int64()),
+                "width": pa.array(w, pa.int32()),
+                "height": pa.array(h, pa.int32()),
+                "channels": pa.array(c, pa.int32()),
+                "n_bytes": sizes,
+            }
+        )
+
+
+class ExtractImageFeatures:
+    """Actor-pool stage: binary payload → fixed-dim float32 embedding
+    (list<float32> column).  The model handle loads once per actor."""
+
+    def __init__(self, dim: int = 64, payload_col: str = "payload",
+                 id_col: str = "media_id", strict: bool = False):
+        self.dim = dim
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.codec = FakeCodec(strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = self.codec.image_features(_payload_np(batch, self.payload_col), self.dim)
+        flat = pa.array(feats.reshape(-1))
+        offsets = pa.array(np.arange(0, (len(batch) + 1) * self.dim, self.dim, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": batch.column(self.id_col).cast(pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+
+
+class SampleVideoFrames:
+    """Actor-pool stage: one row per sampled frame —
+    (media_id, frame_idx, byte_offset).  flat_map-style expansion done
+    vectorized inside map_batches."""
+
+    def __init__(self, every_n: int = 10, payload_col: str = "payload",
+                 id_col: str = "media_id", strict: bool = False):
+        self.every_n = every_n
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.codec = FakeCodec(strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs = self.codec.frame_offsets(_payload_np(batch, self.payload_col), self.every_n)
+        counts = np.fromiter((len(o) for o in offs), np.int64, count=len(offs))
+        ids = np.repeat(batch.column(self.id_col).cast(pa.int64()).to_numpy(), counts)
+        frame_idx = np.concatenate([np.arange(len(o), dtype=np.int32) for o in offs]) if len(offs) else np.array([], np.int32)
+        byte_off = np.concatenate(offs) if len(offs) else np.array([], np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "byte_offset": pa.array(byte_off, pa.int64()),
+            }
+        )
+
+
+def attach_fake_payload(batch: pa.Table, *, from_col: str, id_col: str,
+                        payload_col: str = "payload") -> pa.Table:
+    """Derive a deterministic opaque binary payload from an existing
+    column (test/bench substitute for reading real media files; at
+    scale this is ``ray.data.read_binary_files`` or byte ranges out of
+    tar/parquet blobs)."""
+    src = batch.column(from_col).cast(pa.binary())
+    return pa.table(
+        {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            payload_col: src,
+        }
+    )

@@ -1,0 +1,87 @@
+"""CLI + dead-letter routing tests (reference analogs: click command
+tree cli.py:13-25; error file write ago/ago.py:319-344)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.cli import main
+from cityofphiladelphia_databridge_etl_tools_ray.datagen import generate_changes, write_change_log
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
+from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+
+@pytest.fixture
+def wal(tmp_path):
+    changes = generate_changes(3000, n_convs=40, seed=5)
+    wal_dir = tmp_path / "wal"
+    write_change_log(changes, str(wal_dir), n_files=4)
+    return wal_dir
+
+
+def test_cli_create_replay_metrics_vacuum(ray_session, wal, tmp_path, capsys):
+    lake_root = str(tmp_path / "lake")
+    assert main(["create-lake", lake_root, "--partitions", "8"]) == 0
+    assert main(["replay", lake_root, str(wal)]) == 0
+    out = capsys.readouterr().out
+    recs = json.loads(out.strip().splitlines()[-1])
+    # events_applied counts post-combiner rows, so ≤ raw events
+    applied = sum(r["events_applied"] for r in recs)
+    assert 0 < applied <= 3000
+
+    assert main(["watermarks", lake_root]) == 0
+    wm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert max(wm.values()) == 2999
+
+    assert main(["metrics", lake_root]) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["row_count"] == TranscriptLake(lake_root).total_rows()
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import apply_changes_reference
+
+    expected = apply_changes_reference(None, generate_changes(3000, n_convs=40, seed=5))
+    assert m["row_count"] == len(expected)
+
+    assert main(["vacuum", lake_root]) == 0
+
+
+def test_dead_letter_routes_invalid_ops(ray_session, tmp_path):
+    changes = generate_changes(500, n_convs=10, seed=9)
+    # corrupt 50 ops
+    op = changes.column("op").to_pylist()
+    for i in range(0, 500, 10):
+        op[i] = "mutate"
+    changes = changes.set_column(0, "op", pa.array(op))
+    wal_dir = tmp_path / "wal"
+    write_change_log(changes, str(wal_dir), n_files=2)
+
+    lake_root = str(tmp_path / "lake")
+    dl_dir = str(tmp_path / "dead")
+    TranscriptLake.create(lake_root, num_partitions=4)
+    replay_into_lake(
+        lake_root,
+        read_change_log(str(wal_dir)),
+        invalid_ops="dead_letter",
+        dead_letter_dir=dl_dir,
+    )
+    files = [f for f in os.listdir(dl_dir) if f.endswith(".parquet")]
+    assert files
+    rejected = pa.concat_tables([pq.read_table(os.path.join(dl_dir, f)) for f in files])
+    assert len(rejected) == 50
+    assert set(rejected.column("op").to_pylist()) == {"mutate"}
+
+
+def test_invalid_op_error_mode_raises(ray_session, tmp_path):
+    changes = generate_changes(100, n_convs=5, seed=9)
+    op = changes.column("op").to_pylist()
+    op[3] = "bogus"
+    changes = changes.set_column(0, "op", pa.array(op))
+    wal_dir = tmp_path / "wal"
+    write_change_log(changes, str(wal_dir), n_files=1)
+    lake_root = str(tmp_path / "lake")
+    TranscriptLake.create(lake_root, num_partitions=2)
+    with pytest.raises(Exception, match="invalid op|bogus|RayTaskError"):
+        replay_into_lake(lake_root, read_change_log(str(wal_dir)))

@@ -1,0 +1,58 @@
+"""EWKT geometry stage tests (reference: prepare_file multi-geom
+promotion postgres/postgres.py:146-201; OpenData lat/lng
+opendata/opendata.py:214-238; fixture edge rows incl. MULTIPOINT EMPTY
+tests/fixtures_data/staging/point_table_2272.csv)."""
+
+import pyarrow as pa
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import (
+    extract_point_lonlat,
+    promote_multi_geom,
+)
+
+
+def shapes(vals):
+    return pa.table({"id": pa.array(range(len(vals)), pa.int64()), "shape": pa.array(vals)})
+
+
+def test_promote_wraps_singles_preserves_multis_and_srid():
+    t = promote_multi_geom(shapes([
+        "POINT(1 2)",
+        "SRID=2272;POLYGON((0 0, 1 0, 1 1, 0 0))",
+        "MULTIPOINT((3 4))",
+        "LINESTRING(0 0, 5 5)",
+    ]))
+    assert t.column("shape").to_pylist() == [
+        "MULTIPOINT((1 2))",
+        "SRID=2272;MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))",
+        "MULTIPOINT((3 4))",
+        "MULTILINESTRING((0 0, 5 5))",
+    ]
+
+
+def test_promote_passes_through_unparseable_and_null():
+    vals = ["not a geom", None, "", "MULTIPOINT EMPTY"]
+    t = promote_multi_geom(shapes(vals))
+    assert t.column("shape").to_pylist() == vals
+
+
+def test_lonlat_extraction_and_negative_coords():
+    t = extract_point_lonlat(shapes(["POINT(-75.16 39.95)", "SRID=4326;POINT(0 -9.5)"]))
+    assert "shape" not in t.column_names
+    assert t.column("lon").to_pylist() == [-75.16, 0.0]
+    assert t.column("lat").to_pylist() == [39.95, -9.5]
+
+
+def test_lonlat_non4326_raises_without_escape_hatch():
+    with pytest.raises(NotImplementedError, match="2272"):
+        extract_point_lonlat(shapes(["SRID=2272;POINT(2693709 235353)"]))
+    t = extract_point_lonlat(
+        shapes(["SRID=2272;POINT(2693709 235353)"]), assume_lonlat=True
+    )
+    assert t.column("lon")[0].as_py() == 2693709.0
+
+
+def test_lonlat_non_point_rows_become_null():
+    t = extract_point_lonlat(shapes(["LINESTRING(0 0, 1 1)", "POINT(7 8)"]))
+    assert t.column("lon").to_pylist() == [None, 7.0]
