@@ -62,6 +62,8 @@ def cmd_replay(args) -> int:
         rename_map=_parse_rename(args.rename_map),
         invalid_ops=args.invalid_ops,
         dead_letter_dir=args.dead_letter_dir,
+        mode=args.mode,
+        compact_after=args.compact_after,
     )
     print(metrics.to_json(orient="records"))
     ray.shutdown()
@@ -79,6 +81,15 @@ def cmd_watermarks(args) -> int:
     from .state.lake import TranscriptLake
 
     print(json.dumps(TranscriptLake(args.root).watermarks()))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .state.lake import TranscriptLake
+
+    lake = TranscriptLake(args.root)
+    done = [p for p in range(lake.num_partitions) if lake.run_count(p) > 1 and lake.compact_partition(p)]
+    print(json.dumps({"compacted_partitions": done}))
     return 0
 
 
@@ -125,7 +136,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="route for rows with unknown op values",
     )
     c.add_argument("--dead-letter-dir", default=None)
+    c.add_argument(
+        "--mode",
+        choices=["merge", "delta"],
+        default="merge",
+        help="merge = copy-on-write partition rewrite; delta = O(batch) run append with merge-on-read",
+    )
+    c.add_argument("--compact-after", type=int, default=8, help="fold delta runs after this many")
     c.set_defaults(fn=cmd_replay)
+
+    c = sub.add_parser("compact", help="fold delta runs into base runs")
+    c.add_argument("root")
+    c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("metrics", help="per-partition lineage + lag metrics")
     c.add_argument("root")

@@ -221,16 +221,34 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
 
 class _MergeCommit:
     """Per-partition merge + exactly-once commit (runs inside
-    map_groups tasks; constructs a lake handle lazily per process)."""
+    map_groups tasks; constructs a lake handle lazily per process).
+
+    ``mode="merge"``: copy-on-write — read the base run, apply the
+    LWW merge, commit the fully-merged payload (reads pay nothing).
+    ``mode="delta"``: merge-on-read — commit the deduped change run
+    (tombstones included) without touching the base, O(batch) per
+    incremental replay; runs fold together at read and via
+    ``compact_after`` (the min-heap-over-sorted-runs layout from
+    SURVEY.md §4 step 4, materialized as files instead of heap state).
+    """
 
     __name__ = "merge_commit"  # map_groups wraps fn and reads __name__
 
-    def __init__(self, lake_root: str):
+    def __init__(self, lake_root: str, mode: str = "merge", compact_after: int = 8):
+        if mode not in ("merge", "delta"):
+            raise ValueError(f"mode must be 'merge' or 'delta', got {mode!r}")
         self.lake_root = lake_root
+        self.mode = mode
+        self.compact_after = compact_after
         self._lake = None
 
     def __getstate__(self):
-        return {"lake_root": self.lake_root, "_lake": None}
+        return {
+            "lake_root": self.lake_root,
+            "mode": self.mode,
+            "compact_after": self.compact_after,
+            "_lake": None,
+        }
 
     @property
     def lake(self):
@@ -252,24 +270,34 @@ class _MergeCommit:
         if n_events == 0:  # fully below watermark → idempotent no-op
             return _metrics_row(pid, wm, wm, 0, self.lake.manifest(pid), 0.0)
 
-        base = self.lake.read_partition(pid)
         high_lsn = int(pc.max(changes.column("lsn")).as_py())
-        merged = merge_partition(base, changes)
-        dt = time.perf_counter() - t0
-        m = self.lake.commit_partition(
-            pid,
-            merged,
-            high_lsn,
-            lineage_record={
-                "lsn_lo": int(pc.min(changes.column("lsn")).as_py()),
-                "lsn_hi": high_lsn,
-                "events_applied": n_events,
-                "rows_before": len(base),
-                "rows_after": len(merged),
-                "merge_sec": round(dt, 4),
-                "events_per_sec": round(n_events / dt, 1) if dt > 0 else None,
-            },
-        )
+        lineage = {
+            "lsn_lo": int(pc.min(changes.column("lsn")).as_py()),
+            "lsn_hi": high_lsn,
+            "events_applied": n_events,
+        }
+        if self.mode == "delta":
+            run = dedup_last_writer(changes)  # key-sorted, tombstones kept
+            dt = time.perf_counter() - t0
+            lineage.update({"rows_after": -1, "merge_sec": round(dt, 4)})
+            m = self.lake.commit_partition(
+                pid, run, high_lsn, lineage_record=lineage, mode="delta"
+            )
+            if self.compact_after and self.lake.run_count(pid) >= self.compact_after:
+                m = self.lake.compact_partition(pid)
+        else:
+            base = self.lake.read_partition(pid)
+            merged = merge_partition(base, changes)
+            dt = time.perf_counter() - t0
+            lineage.update(
+                {
+                    "rows_before": len(base),
+                    "rows_after": len(merged),
+                    "merge_sec": round(dt, 4),
+                    "events_per_sec": round(n_events / dt, 1) if dt > 0 else None,
+                }
+            )
+            m = self.lake.commit_partition(pid, merged, high_lsn, lineage_record=lineage)
         return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
 
 
@@ -294,11 +322,20 @@ def replay_into_lake(
     invalid_ops: str = "error",
     dead_letter_dir: str | None = None,
     concurrency: int | None = None,
+    mode: str = "merge",
+    compact_after: int = 8,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
     events at or below each partition's committed watermark are
     skipped, so re-running after a crash (or replaying an overlapping
     LSN range) converges to the same state.
+
+    ``mode="merge"`` rewrites each touched partition (copy-on-write —
+    best for full replays); ``mode="delta"`` appends O(batch) change
+    runs resolved at read and folded by compaction every
+    ``compact_after`` runs — best for frequent small incremental
+    tails, where rewriting the partition per tail would be
+    O(lake size) per run.
 
     Returns a pandas DataFrame of per-partition metrics (small —
     one row per touched partition)."""
@@ -317,6 +354,7 @@ def replay_into_lake(
         concurrency,
     )
     metrics = ds.groupby(PART_COL).map_groups(
-        _MergeCommit(lake_root), batch_format="pyarrow"
+        _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
+        batch_format="pyarrow",
     )
     return metrics.to_pandas()

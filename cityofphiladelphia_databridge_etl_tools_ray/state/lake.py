@@ -90,13 +90,44 @@ class TranscriptLake:
     def min_watermark(self) -> int:
         return min(self.watermarks().values())
 
-    def read_partition(self, pid: int) -> pa.Table:
+    def read_partition(self, pid: int, *, resolve: bool = True) -> pa.Table:
+        """Partition state.  With delta runs present, ``resolve=True``
+        applies the LWW merge across runs (newest lsn wins, tombstones
+        drop) — the read half of merge-on-read; ``resolve=False``
+        returns the raw concatenation (op/lsn columns intact) for
+        compaction and debugging."""
         m = self.manifest(pid)
         if m is None or not m.files:
             return self.base_schema.empty_table()
-        schema = _schema_from_json(m.schema_json) if m.schema_json else None
-        tables = [pq.read_table(os.path.join(self.part_dir(pid), f["path"])) for f in m.files]
-        return pa.concat_tables(tables, promote_options="permissive") if len(tables) > 1 else tables[0]
+        base_tbls, delta_tbls = [], []
+        for f in m.files:
+            t = pq.read_table(os.path.join(self.part_dir(pid), f["path"]))
+            (delta_tbls if f.get("kind") == "delta" else base_tbls).append(t)
+        if not delta_tbls:
+            return base_tbls[0] if len(base_tbls) == 1 else pa.concat_tables(
+                base_tbls, promote_options="permissive"
+            )
+        deltas = (
+            delta_tbls[0]
+            if len(delta_tbls) == 1
+            else pa.concat_tables(delta_tbls, promote_options="permissive")
+        )
+        base = (
+            None
+            if not base_tbls
+            else (base_tbls[0] if len(base_tbls) == 1 else pa.concat_tables(base_tbls, promote_options="permissive"))
+        )
+        if not resolve:
+            return deltas if base is None else pa.concat_tables(
+                [base, deltas], promote_options="permissive"
+            )
+        from ..stages.merge import merge_partition
+
+        return merge_partition(base, deltas)
+
+    def run_count(self, pid: int) -> int:
+        m = self.manifest(pid)
+        return len(m.files) if m else 0
 
     # -- commit (exactly-once unit) ----------------------------------
     def commit_partition(
@@ -105,8 +136,16 @@ class TranscriptLake:
         table: pa.Table,
         high_lsn: int,
         lineage_record: dict | None = None,
+        mode: str = "replace",
     ) -> PartitionManifest:
         """Write ``table`` as the partition's new state.
+
+        ``mode="replace"``: ``table`` is the fully-merged payload and
+        becomes the single base run (copy-on-write, O(partition)).
+        ``mode="delta"``: ``table`` is a key-sorted run of change rows
+        (op + lsn + payload, tombstones INCLUDED) appended to the run
+        list — O(batch) commit; reads resolve via merge-on-read and
+        :meth:`compact_partition` folds runs back into one base.
 
         Idempotent under retry: the data file name is derived from
         (high_lsn, content sha) so a retried task overwrites the same
@@ -130,16 +169,40 @@ class TranscriptLake:
 
         prev = self.manifest(pid)
         lineage = (prev.lineage if prev else []) + ([lineage_record] if lineage_record else [])
+        entry = {"path": fname, "rows": len(table), "sha256": sha}
+        if mode == "delta":
+            entry["kind"] = "delta"
+            files = (prev.files if prev else []) + [entry]
+            row_count = -1  # unknown until resolved/compacted
+        else:
+            files = [entry]
+            row_count = len(table)
         m = PartitionManifest(
             partition_id=pid,
             high_lsn=high_lsn,
-            files=[{"path": fname, "rows": len(table), "sha256": sha}],
-            row_count=len(table),
+            files=files,
+            row_count=row_count,
             schema_json=_schema_to_json(table.schema),
             lineage=lineage[-64:],  # bounded history
         )
         m.save(self._manifest_path(pid))
         return m
+
+    def compact_partition(self, pid: int) -> PartitionManifest | None:
+        """Fold all runs into one base run (same watermark).  The
+        write-aside + manifest-swap makes it safe to run any time; the
+        replaced run files become orphans for :meth:`vacuum`."""
+        m = self.manifest(pid)
+        if m is None or len(m.files) <= 1:
+            return m
+        resolved = self.read_partition(pid)
+        return self.commit_partition(
+            pid,
+            resolved,
+            m.high_lsn,
+            lineage_record={"compacted_runs": len(m.files), "rows_after": len(resolved)},
+            mode="replace",
+        )
 
     # -- whole-lake views --------------------------------------------
     def data_files(self) -> list[str]:
@@ -150,15 +213,43 @@ class TranscriptLake:
                 out.extend(os.path.join(self.part_dir(pid), f["path"]) for f in m.files)
         return out
 
+    def _has_deltas(self) -> bool:
+        return any(
+            f.get("kind") == "delta"
+            for p in range(self.num_partitions)
+            if (m := self.manifest(p))
+            for f in m.files
+        )
+
     def dataset(self):
         """Committed lake state as a streaming ``ray.data.Dataset``
-        (reads only manifest-referenced files — orphans invisible)."""
+        (reads only manifest-referenced files — orphans invisible).
+
+        Fast path: all partitions compacted → plain ``read_parquet``.
+        With delta runs, one Ray task per partition performs the
+        merge-on-read resolution (partition-parallel, no shuffle)."""
         import ray.data
 
         files = self.data_files()
         if not files:
             return ray.data.from_arrow(self.base_schema.empty_table())
-        return ray.data.read_parquet(files)
+        if not self._has_deltas():
+            return ray.data.read_parquet(files)
+
+        root = self.root
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            lake = TranscriptLake(root)
+            out = [lake.read_partition(int(p)) for p in batch.column("pid").to_pylist()]
+            out = [t for t in out if len(t)]
+            if not out:
+                return lake.base_schema.empty_table()
+            return pa.concat_tables(out, promote_options="permissive")
+
+        pids = pa.table({"pid": pa.array(range(self.num_partitions), pa.int32())})
+        return ray.data.from_arrow(pids).map_batches(
+            resolve, batch_format="pyarrow", batch_size=1
+        )
 
     def read_all(self) -> pa.Table:
         """Full lake as one Arrow table — small lakes / tests only."""
@@ -169,7 +260,15 @@ class TranscriptLake:
         return pa.concat_tables(tables, promote_options="permissive")
 
     def total_rows(self) -> int:
-        return sum((m.row_count if (m := self.manifest(p)) else 0) for p in range(self.num_partitions))
+        """Live row count; partitions with unresolved delta runs
+        (row_count == -1) are resolved on demand."""
+        total = 0
+        for p in range(self.num_partitions):
+            m = self.manifest(p)
+            if not m:
+                continue
+            total += m.row_count if m.row_count >= 0 else len(self.read_partition(p))
+        return total
 
     def metrics(self) -> dict:
         """Aggregated lineage/lag metrics across partitions

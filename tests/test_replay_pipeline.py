@@ -190,3 +190,90 @@ def test_invalid_op_raises(ray_session, tmp_path):
     # drop mode routes them out instead
     out = ChangeNormalizer(4, invalid_ops="drop")(bad)
     assert len(out) == 0
+
+
+# -- delta commits / merge-on-read / compaction ----------------------
+
+
+def test_delta_incremental_matches_oracle(ray_session, lake_with_base, tmp_path):
+    """Three incremental delta tails == sequential replay of all
+    events (merge-on-read resolution)."""
+    lake, base = lake_with_base
+    all_changes = []
+    for i in range(3):
+        changes = generate_changes(
+            2000, n_convs=80, delete_frac=0.15, dup_frac=0.05,
+            start_lsn=i * 2000, seed=100 + i,
+        )
+        all_changes.append(changes)
+        wal = tmp_path / f"wal{i}"
+        write_change_log(changes, str(wal), n_files=2)
+        replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta", compact_after=0)
+    assert any(lake.run_count(p) > 1 for p in range(lake.num_partitions))
+    expected = apply_changes_reference(base, pa.concat_tables(all_changes))
+    assert_text_equal(lake_state(lake), expected)
+
+
+def test_delta_compaction_preserves_state_and_vacuum(ray_session, lake_with_base, tmp_path):
+    lake, base = lake_with_base
+    changes = generate_changes(3000, n_convs=80, delete_frac=0.2, seed=31)
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=2)
+    replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta", compact_after=0)
+    before = lake_state(lake)
+    for p in range(lake.num_partitions):
+        lake.compact_partition(p)
+    assert all(lake.run_count(p) <= 1 for p in range(lake.num_partitions))
+    removed = lake.vacuum()
+    assert removed  # old run files became orphans
+    pd.testing.assert_frame_equal(before, lake_state(lake))
+    expected = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), expected)
+
+
+def test_delta_mode_exactly_once_resume(ray_session, lake_with_base, tmp_path):
+    """Replaying the same WAL twice in delta mode is a no-op the
+    second time (watermark skip) — no duplicate runs."""
+    lake, base = lake_with_base
+    changes = generate_changes(2000, n_convs=80, seed=41)
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=2)
+    replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta")
+    runs = [lake.run_count(p) for p in range(lake.num_partitions)]
+    state1 = lake_state(lake)
+    m = replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta")
+    assert m["events_applied"].sum() == 0
+    assert [lake.run_count(p) for p in range(lake.num_partitions)] == runs
+    pd.testing.assert_frame_equal(state1, lake_state(lake))
+
+
+def test_delta_auto_compaction_triggers(ray_session, tmp_path):
+    lake = TranscriptLake.create(str(tmp_path / "lake"), num_partitions=2)
+    for i in range(4):
+        changes = generate_changes(400, n_convs=10, start_lsn=i * 400, seed=50 + i)
+        wal = tmp_path / f"w{i}"
+        write_change_log(changes, str(wal), n_files=1)
+        replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta", compact_after=3)
+    # compaction folded runs back under the threshold
+    assert all(lake.run_count(p) <= 3 for p in range(lake.num_partitions))
+    all_changes = pa.concat_tables(
+        [generate_changes(400, n_convs=10, start_lsn=i * 400, seed=50 + i) for i in range(4)]
+    )
+    expected = apply_changes_reference(None, all_changes)
+    assert_text_equal(lake_state(lake), expected)
+
+
+def test_delta_dataset_resolves_merge_on_read(ray_session, lake_with_base, tmp_path):
+    lake, base = lake_with_base
+    changes = generate_changes(1500, n_convs=80, delete_frac=0.2, seed=61)
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=2)
+    replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta", compact_after=0)
+    got = (
+        lake.dataset()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = apply_changes_reference(base, changes)
+    assert_text_equal(got, expected)
