@@ -212,6 +212,47 @@ def events_value_histogram(sf_dir: str):
     )
 
 
+_SESSION_GAP_MIN = 30
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    per-event session ids via groupby(user) + vectorized cumsum of
+    gap flags — the canonical streaming-window operator expressed as
+    a keyed batch transform (SURVEY.md §2.10; ray_guide 'windowed
+    aggregates over keyed streams')."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
+        g["session_idx"] = gap.cumsum().astype("int64")
+        return g[["event_id", "user_id", "session_idx"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def session_stats(sf_dir: str):
+    """Per-session aggregate view (n events, span seconds) built on
+    the same gap rule — window aggregate after sessionization."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
+        g["session_idx"] = gap.cumsum().astype("int64")
+        out = g.groupby("session_idx").agg(
+            n_events=("event_id", "size"),
+            span_sec=("ts", lambda s: int((s.max() - s.min()).total_seconds())),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["span_sec"] = out["span_sec"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def asof_prior_click_per_purchase(sf_dir: str):
     """As-of join on the event stream: for each purchase, the most
     recent strictly-prior click of the same user (event_id order).
@@ -630,6 +671,8 @@ QUERIES = {
     "events_type_counts": events_type_counts,
     "events_value_histogram": events_value_histogram,
     "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
+    "sessionize_events": sessionize_events,
+    "session_stats": session_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -705,6 +748,32 @@ FROM events GROUP BY event_type
 """,
     "events_value_histogram": """
 SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n FROM events GROUP BY 1
+""",
+    "sessionize_events": """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM flagged
+""",
+    "session_stats": """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS span_sec
+FROM sess GROUP BY user_id, session_idx
 """,
     "asof_prior_click_per_purchase": """
 SELECT p.event_id, p.user_id,
