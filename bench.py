@@ -80,6 +80,7 @@ def run_replay(num_cpus: int) -> dict:
 
     reps = 1 + int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     results = []
+    last_lake = None
     for rep in range(reps):
         lake_root = os.path.join(BENCH_DIR, f"lake-{num_cpus}-{os.getpid()}-{rep}")
         shutil.rmtree(lake_root, ignore_errors=True)
@@ -88,19 +89,63 @@ def run_replay(num_cpus: int) -> dict:
         replay_into_lake(lake_root, read_change_log(wal_dir))
         dt = time.perf_counter() - t0
         rows = TranscriptLake(lake_root).total_rows()
-        shutil.rmtree(lake_root, ignore_errors=True)
+        if last_lake:
+            shutil.rmtree(last_lake, ignore_errors=True)
+        last_lake = lake_root
         results.append((dt, rows))
     cold = results[0]
     timed = sorted(dt for dt, _ in results[1:])
     dt = timed[len(timed) // 2]  # median of warm reps
+
+    # incremental tail: 1/16th of the events arriving after the full
+    # load, appended as O(batch) delta runs — the steady-state shape
+    # of a real WAL tail against an existing lake.
+    tail_wal = build_tail_wal()
+    read_change_log(tail_wal).count()
+    t0 = time.perf_counter()
+    replay_into_lake(last_lake, read_change_log(tail_wal), mode="delta")
+    tail_dt = time.perf_counter() - t0
+    shutil.rmtree(last_lake, ignore_errors=True)
+
     return {
         "events": N_EVENTS,
         "replay_sec": round(dt, 2),
         "events_per_sec": round(N_EVENTS / dt),
         "cold_replay_sec": round(cold[0], 2),
         "warm_reps_sec": [round(x, 2) for x in timed],
+        "tail_events": N_EVENTS // 16,
+        "tail_sec": round(tail_dt, 2),
+        "tail_events_per_sec": round((N_EVENTS // 16) / tail_dt),
         "lake_rows": results[-1][1],
     }
+
+
+def build_tail_wal() -> str:
+    tail_n = N_EVENTS // 16
+    wal_dir = os.path.join(BENCH_DIR, f"tailwal-{tail_n}-{N_CONVS}")
+    done = os.path.join(wal_dir, ".done")
+    if os.path.exists(done):
+        return wal_dir
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        generate_changes,
+        write_change_log,
+    )
+
+    shutil.rmtree(wal_dir, ignore_errors=True)
+    changes = generate_changes(
+        tail_n,
+        n_convs=N_CONVS,
+        max_turns=50,
+        start_lsn=N_EVENTS,
+        update_frac=0.7,
+        delete_frac=0.1,
+        hot_frac=0.1,
+        seed=43,
+    )
+    write_change_log(changes, wal_dir, n_files=max(WAL_FILES // 16, 4))
+    with open(done, "w") as f:
+        f.write("ok")
+    return wal_dir
 
 
 def run_queries(sf_dir: str) -> dict:
