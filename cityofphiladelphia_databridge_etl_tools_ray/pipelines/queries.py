@@ -644,6 +644,22 @@ def geom_point_lonlat(sf_dir: str):
     )
 
 
+def geocode_customers(sf_dir: str):
+    """Lookup enrichment (the AIS geocoder analog,
+    ais_geocoder/ais_geocoder.py:40-114): actor-pool batch lookup with
+    per-batch key dedup and a geocode_ok flag instead of per-row REST
+    calls."""
+    from ..stages.enrich import GeocodeEnrich
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return ds.map_batches(
+        GeocodeEnrich,
+        fn_constructor_kwargs={"key_col": "c_name"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def distinct_segment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
 
@@ -682,6 +698,7 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "geocode_customers": geocode_customers,
     "geom_promote_multi": geom_promote_multi,
     "geom_point_lonlat": geom_point_lonlat,
     # corpus / training-data ops (documents table)
@@ -841,6 +858,14 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    "geocode_customers": """
+SELECT c_custkey, c_name,
+       -75.0 - (CAST(('0x' || substr(sha256(c_name), 1, 8)) AS UBIGINT) % 1000) / 1000.0 AS lon,
+       39.0 + (CAST(('0x' || substr(sha256(c_name), 9, 8)) AS UBIGINT) % 1000) / 1000.0 AS lat,
+       upper(c_name) AS std_address,
+       TRUE AS geocode_ok
+FROM customer
 """,
     "geom_promote_multi": """
 WITH g AS (

@@ -56,3 +56,32 @@ def test_lonlat_non4326_raises_without_escape_hatch():
 def test_lonlat_non_point_rows_become_null():
     t = extract_point_lonlat(shapes(["LINESTRING(0 0, 1 1)", "POINT(7 8)"]))
     assert t.column("lon").to_pylist() == [None, 7.0]
+
+
+# -- lookup enrichment (stages/enrich.py) ----------------------------
+
+
+def test_geocode_enrich_hits_and_failures():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.enrich import FakeGeocoder, GeocodeEnrich
+
+    t = pa.table({"k": pa.array(["main st", "bad addr", None, "main st"])})
+    out = GeocodeEnrich("k")(t)
+    ok = out.column("geocode_ok").to_pylist()
+    assert ok == [True, False, False, True]
+    assert out.column("std_address").to_pylist()[0] == "MAIN ST"
+    assert out.column("lon")[1].as_py() is None
+    # duplicate keys resolve identically (per-batch dedup correctness)
+    assert out.column("lon")[0].as_py() == out.column("lon")[3].as_py()
+
+
+def test_geocode_failure_count_aggregate(ray_session):
+    import ray.data
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.enrich import (
+        GeocodeEnrich,
+        geocode_failure_count,
+    )
+
+    ds = ray.data.from_items([{"k": "x"}, {"k": "bad one"}, {"k": "y"}])
+    enriched = ds.map_batches(GeocodeEnrich, fn_constructor_kwargs={"key_col": "k"},
+                              batch_format="pyarrow", concurrency=1)
+    assert geocode_failure_count(enriched) == 1
