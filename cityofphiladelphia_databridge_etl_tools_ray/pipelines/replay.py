@@ -172,9 +172,43 @@ def _with_part_col(batch: pa.Table, num_partitions: int = 1) -> pa.Table:
     return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
 
+SALT_COL = "_salt"
+
+
 def _merge_group_to_state(group: pa.Table, keep_lsn: bool) -> pa.Table:
     changes = group.drop_columns([PART_COL])
     return merge_partition(None, changes, keep_lsn=keep_lsn)
+
+
+def _salted_prereduce(ds, salt: int):
+    """Phase-1 of the two-phase hot-key merge: shuffle on
+    (partition, lsn % salt) and pre-reduce each sub-group with the
+    keep-max-lsn combiner, tombstones retained.  A conv_id receiving a
+    disproportionate share of updates is thereby split across ``salt``
+    parallel reducers before the final per-partition merge — the
+    explicit "salted repartition of hot conv_id keys" from the north
+    rule.  Correct because dedup_last_writer is associative: phase 2
+    re-merges the ≤salt survivors per key in lsn order."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.subtract(
+                b.column("lsn"),
+                pc.multiply(pc.divide(b.column("lsn"), pa.scalar(salt)), pa.scalar(salt)),
+            ),
+            pa.int32(),
+        )
+        return b.append_column(SALT_COL, s)
+
+    def prereduce(g: pa.Table) -> pa.Table:
+        return dedup_last_writer(g.drop_columns([SALT_COL]))
+
+    prereduce.__name__ = "salted_prereduce"
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([PART_COL, SALT_COL])
+        .map_groups(prereduce, batch_format="pyarrow")
+    )
 
 
 def replay_to_table(
@@ -184,15 +218,23 @@ def replay_to_table(
     rename_map: dict[str, str] | None = None,
     keep_lsn: bool = False,
     concurrency: int | None = None,
+    salt: int | None = None,
 ):
     """Replay a change stream into final table state with NO base lake
     (first full load — the reference's truncate-and-load,
-    oracle/oracle.py:286-406). Returns a Dataset of the final rows."""
+    oracle/oracle.py:286-406). Returns a Dataset of the final rows.
+
+    ``salt=S`` enables the two-phase hot-key merge: sub-shuffle on
+    (partition, lsn%S) with a parallel pre-reduce, then the final
+    per-partition merge — for update-heavy streams where single
+    conversations would otherwise serialize one reducer."""
     ds = _normalized(
         changes_ds,
         ChangeNormalizer(num_partitions, rename_map=rename_map),
         concurrency,
     )
+    if salt and salt > 1:
+        ds = _salted_prereduce(ds, salt)
     return ds.groupby(PART_COL).map_groups(
         lambda g: _merge_group_to_state(g, keep_lsn), batch_format="pyarrow"
     )
@@ -324,6 +366,7 @@ def replay_into_lake(
     concurrency: int | None = None,
     mode: str = "merge",
     compact_after: int = 8,
+    salt: int | None = None,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
     events at or below each partition's committed watermark are
@@ -353,6 +396,8 @@ def replay_into_lake(
         ),
         concurrency,
     )
+    if salt and salt > 1:
+        ds = _salted_prereduce(ds, salt)
     metrics = ds.groupby(PART_COL).map_groups(
         _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
         batch_format="pyarrow",

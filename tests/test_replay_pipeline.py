@@ -277,3 +277,34 @@ def test_delta_dataset_resolves_merge_on_read(ray_session, lake_with_base, tmp_p
     )
     expected = apply_changes_reference(base, changes)
     assert_text_equal(got, expected)
+
+
+# -- salted two-phase hot-key merge ----------------------------------
+
+
+def test_salted_replay_equals_unsalted_and_oracle(ray_session, tmp_path):
+    """80% of events on one conv_id: the salted two-phase merge must
+    produce byte-identical state to the direct merge and the oracle."""
+    changes = generate_changes(6000, n_convs=40, hot_frac=0.8, dup_frac=0.05,
+                               delete_frac=0.15, seed=71)
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=3)
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_to_table
+
+    def state(salt):
+        df = replay_to_table(read_change_log(str(wal)), num_partitions=8, salt=salt).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+    unsalted, salted = state(None), state(4)
+    pd.testing.assert_frame_equal(unsalted, salted)
+    assert_text_equal(salted, apply_changes_reference(None, changes))
+
+
+def test_salted_replay_into_lake(ray_session, lake_with_base, tmp_path):
+    lake, base = lake_with_base
+    changes = generate_changes(4000, n_convs=80, hot_frac=0.6, delete_frac=0.1, seed=72)
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=2)
+    replay_into_lake(lake.root, read_change_log(str(wal)), salt=4)
+    expected = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), expected)
