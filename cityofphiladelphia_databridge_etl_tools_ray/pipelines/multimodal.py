@@ -64,8 +64,13 @@ def multimodal_frame_sample(sf_dir: str):
 
 def multimodal_image_features(sf_dir: str):
     """binary payload → fixed-dim float32 embedding column (batched
-    model-inference shape; deterministic fake model)."""
-    return _payload_ds(sf_dir).map_batches(
+    model-inference shape; deterministic fake model), summarized to
+    scalar columns (dim, l2 norm) so the rows-only correctness harness
+    can hash the result — the raw vector column is exercised by
+    tests/test_multimodal.py."""
+    import numpy as np
+
+    ds = _payload_ds(sf_dir).map_batches(
         ExtractImageFeatures,
         fn_constructor_kwargs={
             "dim": FEATURE_DIM,
@@ -76,3 +81,20 @@ def multimodal_image_features(sf_dir: str):
         batch_size=DEFAULT_MM_BATCH,
         concurrency=(1, 4),
     )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values, dtype=np.float32).reshape(len(b), -1)
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "dim": pa.array(np.full(len(b), mat.shape[1], np.int32)),
+                "l2_norm_e3": pa.array(
+                    np.round(np.linalg.norm(mat, axis=1) * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")

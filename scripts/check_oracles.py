@@ -63,15 +63,17 @@ def main():
             continue
         t0 = time.perf_counter()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: ray error: {type(ex).__name__}: {ex}")
             failures.append(name)
             continue
         dt = time.perf_counter() - t0
         if name not in sqls:
-            print(f"ROWS-ONLY {name}: {len(got)} rows ({dt:.1f}s)")
+            # rows-only: result may carry list columns canon() can't sort
+            print(f"ROWS-ONLY {name}: {len(raw)} rows ({dt:.1f}s)")
             continue
+        got = canon(raw)
         exp = canon(con.execute(sqls[name]).fetchdf())
         if len(got) == 0 and len(exp) == 0:
             print(f"OK   {name}: 0 rows both sides ({dt:.1f}s)")
