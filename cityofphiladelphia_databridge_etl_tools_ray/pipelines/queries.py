@@ -113,6 +113,16 @@ def cdc_replay_full(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
 
 
+def cdc_replay_salted(sf_dir: str):
+    """Same replay through the two-phase salted hot-key merge
+    (salt=8): must produce byte-identical state — the skew-mitigation
+    path under the same oracle."""
+    out = replay_to_table(
+        _derive_changelog(sf_dir), num_partitions=32, keep_lsn=True, salt=8
+    )
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
 def cdc_latest_event_per_user(sf_dir: str):
     """LWW collapse keyed on user_id (upsert dedup as a query)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -681,6 +691,7 @@ def distinct_segment_stats(sf_dir: str):
 
 QUERIES = {
     "cdc_replay_full": cdc_replay_full,
+    "cdc_replay_salted": cdc_replay_salted,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -737,6 +748,14 @@ WITH changes AS (
 
 ORACLE_SQL = {
     "cdc_replay_full": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "cdc_replay_salted": _CHANGES_CTE
     + """
 , ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
