@@ -308,3 +308,53 @@ def test_salted_replay_into_lake(ray_session, lake_with_base, tmp_path):
     replay_into_lake(lake.root, read_change_log(str(wal)), salt=4)
     expected = apply_changes_reference(base, changes)
     assert_text_equal(lake_state(lake), expected)
+
+
+def test_merge_task_retry_is_idempotent(ray_session, lake_with_base, tmp_path):
+    """A retried merge task (same group delivered twice — Ray task
+    retry after a successful commit) must leave the partition
+    unchanged: the watermark filter turns the second call into a
+    no-op and the content-named data file is identical."""
+    import pyarrow.compute as pc
+
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import PART_COL, _MergeCommit
+
+    lake, base = lake_with_base
+    changes = generate_changes(2000, n_convs=80, seed=91)
+    pids = partition_ids(changes.column("conv_id"), 8)
+    group = changes.filter(pa.array(pids == 3)).append_column(
+        PART_COL, pa.array(np.full(int((pids == 3).sum()), 3, np.int32))
+    )
+    mc = _MergeCommit(lake.root)
+    first = mc(group)
+    state1 = lake_state(lake)
+    files1 = sorted(os.listdir(lake.part_dir(3)))
+    again = _MergeCommit(lake.root)(group)  # fresh instance = retried task
+    assert again.column("events_applied")[0].as_py() == 0
+    assert sorted(os.listdir(lake.part_dir(3))) == files1
+    pd.testing.assert_frame_equal(state1, lake_state(lake))
+
+
+def test_delta_schema_evolution_column_add(ray_session, lake_with_base, tmp_path):
+    """A delta run carrying a new nullable column resolves against the
+    old base (old rows null) and survives compaction."""
+    lake, base = lake_with_base
+    changes = generate_changes(1000, n_convs=80, seed=92)
+    changes = changes.append_column(
+        "meta", pa.array([f"m{i}" for i in range(len(changes))], pa.string())
+    )
+    wal = tmp_path / "wal"
+    write_change_log(changes, str(wal), n_files=2)
+    replay_into_lake(lake.root, read_change_log(str(wal)), mode="delta", compact_after=0)
+    resolved = lake.read_all()
+    assert "meta" in resolved.column_names
+    df = resolved.to_pandas()
+    assert df["meta"].notna().sum() > 0 and df["meta"].isna().sum() > 0
+    for p in range(lake.num_partitions):
+        lake.compact_partition(p)
+    after = lake.read_all().to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
