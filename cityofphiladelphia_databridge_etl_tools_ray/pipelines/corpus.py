@@ -25,7 +25,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions import textsig
 from ..stages.text import LangId, fingerprints, quality_stats, token_counts

@@ -42,7 +42,6 @@ def read_change_log(
 ):
     """Dataset of change events with lsn > ``min_lsn_exclusive``."""
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
     import ray.data
 
     if isinstance(path, str) and os.path.isdir(path):
@@ -56,8 +55,6 @@ def read_change_log(
     if min_lsn_exclusive >= 0:
         paths = prune_files_by_lsn(paths, min_lsn_exclusive)
     if not paths:
-        import pyarrow as pa
-
         from ..schema import CHANGE_SCHEMA
 
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
