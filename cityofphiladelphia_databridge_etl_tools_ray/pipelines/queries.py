@@ -273,8 +273,11 @@ def asof_prior_click_per_purchase(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("event_id")
         click_id = g["event_id"].where(g["event_type"] == "click")
-        # last click at-or-before previous row == last click strictly before this row
-        g["prior_click_event_id"] = click_id.ffill().shift(1).astype("Int64")
+        # last click at-or-before previous row == last click strictly before
+        # this row.  float64 (not nullable Int64): the oracle's scalar
+        # subquery materializes as DOUBLE when NULLs are present, and the
+        # driver's value hash must see the same dtype on both sides.
+        g["prior_click_event_id"] = click_id.ffill().shift(1).astype("float64")
         out = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "prior_click_event_id"]]
         return out
 
@@ -773,13 +776,18 @@ WHERE rn = 1
     + """
 SELECT conv_id, max(lsn) AS high_lsn, count(*) AS n_events FROM changes GROUP BY conv_id
 """,
+    # NOTE: every aggregate sum() below is wrapped in CAST(... AS BIGINT):
+    # DuckDB sum(BIGINT) returns HUGEINT, which fetchdf() converts to
+    # float64 — the engine emits int64, and the driver's value hash
+    # distinguishes 99846213.0 from 99846213.
     "events_hourly_user_windows": """
 SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """,
     "events_type_counts": """
-SELECT event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """,
     "events_value_histogram": """
@@ -811,26 +819,30 @@ SELECT user_id, session_idx,
        CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS span_sec
 FROM sess GROUP BY user_id, session_idx
 """,
+    # prior_click_event_id is nullable: both sides coordinate on float64
+    # (engine .astype('float64') / oracle CAST AS DOUBLE) so the driver's
+    # value hash sees identical NaN-carrying columns.
     "asof_prior_click_per_purchase": """
 SELECT p.event_id, p.user_id,
-       (SELECT max(c.event_id) FROM events c
-        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.event_id < p.event_id)
+       CAST((SELECT max(c.event_id) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.event_id < p.event_id)
+            AS DOUBLE)
        AS prior_click_event_id
 FROM events p WHERE p.event_type = 'purchase'
 """,
     "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """,
     "q3_top_revenue_orders": f"""
 SELECT l_orderkey, o_orderdate,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
   AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
@@ -839,7 +851,7 @@ ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
 """,
     "q5_region_revenue": f"""
 SELECT n_name,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -870,7 +882,7 @@ WHERE p_size >= 40 AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partke
 """,
     "join_orders_customer_nation": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,

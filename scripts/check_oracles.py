@@ -29,13 +29,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("Int64", "Int32"):
-            df[c] = df[c].astype("float64")  # null-safe compare
         if df[c].dtype == "int32":
             df[c] = df[c].astype("int64")
         if df[c].dtype == "float64":
             df[c] = df[c].round(6)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def dtype_kinds(df: pd.DataFrame) -> list:
+    """Dtype *kind* per column — the driver's value hash distinguishes
+    int64 from float64 (and Int64 from int64), so the local gate must
+    too.  Kinds: i/u int, f float, M datetime, O/b object/bool; pandas
+    nullable Int64 reports kind 'i' but a distinct dtype name, so use
+    the full dtype string for extension dtypes."""
+    out = []
+    for c in df.columns:
+        dt = df[c].dtype
+        name = str(dt)
+        if name in ("Int64", "Int32", "Float64", "boolean"):
+            out.append(name)  # extension dtype ≠ numpy dtype for the hash
+        else:
+            out.append(dt.kind)
+    return out
 
 
 def main():
@@ -84,6 +99,11 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            failures.append(name)
+            continue
+        gk, ek = dtype_kinds(got), dtype_kinds(exp)
+        if gk != ek:
+            print(f"FAIL {name}: dtype kinds {dict(zip(got.columns, gk))} != {dict(zip(exp.columns, ek))}")
             failures.append(name)
             continue
         try:
