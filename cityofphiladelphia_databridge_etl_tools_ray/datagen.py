@@ -128,6 +128,8 @@ def generate_changes(
     if shuffle:
         idx = idx[rng.permutation(len(idx))]
 
+    if len(idx) == 0:
+        return CHANGE_SCHEMA.empty_table()
     chunk = 500_000
     pieces = []
     for lo_i in range(0, len(idx), chunk):

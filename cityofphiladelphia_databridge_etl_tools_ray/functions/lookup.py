@@ -43,3 +43,15 @@ class SortedIntMap:
         if not found.all():
             out[~found] = default
         return out, found
+
+
+def deref(ref):
+    """Resolve a broadcast ObjectRef inside a stateless map task.
+
+    ``ray.get`` on a plasma object is a zero-copy shared-memory read
+    after the first fetch per node, so stateless task functions can
+    hold broadcast state as cheaply as an actor pool — while scaling
+    elastically with no actor-pool concurrency cap."""
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref

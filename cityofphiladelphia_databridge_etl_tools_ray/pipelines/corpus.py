@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import textsig
+from ..functions.lookup import deref
 from ..stages.text import LangId, fingerprints, quality_stats, token_counts
 
 SHINGLE_K = 2  # word bigrams
@@ -225,30 +226,23 @@ def dedup_ngram_jaccard(sf_dir: str):
     all_sets = _sets_from_lists(all_sig.column("shingles"))
     ref = ray.put({"ids": all_ids, "flat": all_sets[0], "off": all_sets[1]})
 
-    class AllPairs:
-        def __init__(self, ref):
-            d = ray.get(ref)
-            self.ids, self.flat, self.off = d["ids"], d["flat"], d["off"]
+    def all_pairs(b: pa.Table, *, ref) -> pa.Table:
+        d = deref(ref)  # zero-copy plasma read per task
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        sets = _sets_from_lists(b.column("shingles"))
+        jac = textsig.pairwise_jaccard_dense(sets, (d["flat"], d["off"]))
+        a_ix, b_ix = np.nonzero(
+            (jac >= JACCARD_TAU) & (ids[:, None] < d["ids"][None, :])
+        )
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids[a_ix]),
+                "doc_id_b": pa.array(d["ids"][b_ix]),
+                "jaccard_e6": pa.array(textsig.jaccard_e6(jac[a_ix, b_ix])),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-            sets = _sets_from_lists(b.column("shingles"))
-            jac = textsig.pairwise_jaccard_dense(sets, (self.flat, self.off))
-            a_ix, b_ix = np.nonzero(
-                (jac >= JACCARD_TAU) & (ids[:, None] < self.ids[None, :])
-            )
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(ids[a_ix]),
-                    "doc_id_b": pa.array(self.ids[b_ix]),
-                    "jaccard_e6": pa.array(textsig.jaccard_e6(jac[a_ix, b_ix])),
-                }
-            )
-
-    return sig_ds.map_batches(
-        AllPairs, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return sig_ds.map_batches(all_pairs, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
 def dedup_simhash(sf_dir: str):

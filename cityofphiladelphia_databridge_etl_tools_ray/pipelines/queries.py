@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.lookup import SortedIntMap
+from ..functions.lookup import SortedIntMap, deref as _deref
 from .corpus import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -38,7 +38,12 @@ from .multimodal import (
     multimodal_image_meta,
 )
 from .replay import replay_to_table
-from .similarity import ann_bruteforce_topk, ann_ivf_topk, dedup_embedding_cosine
+from .similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_bucketed,
+)
 
 # --------------------------------------------------------------------
 # helpers
@@ -66,18 +71,6 @@ def _np(col) -> np.ndarray:
 
 def _ts(s: str):
     return pa.scalar(pd.Timestamp(s).to_pydatetime(), pa.timestamp("us"))
-
-
-def _deref(ref):
-    """Resolve a broadcast ObjectRef inside a stateless map task.
-
-    ``ray.get`` on a plasma object is a zero-copy shared-memory read
-    after the first fetch per node, so stateless task functions can
-    'hold' broadcast state as cheaply as an actor pool — while scaling
-    elastically with no concurrency cap (VERDICT r1 finding 7)."""
-    import ray
-
-    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
 # --------------------------------------------------------------------
@@ -779,6 +772,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_cosine_bucketed": dedup_embedding_cosine_bucketed,
     # multimodal (binary payload columns, actor-pool decode stages)
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -997,10 +991,18 @@ FROM t
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 """,
+    # short-doc rule mirrors textsig.shingle_hashes: docs with < k
+    # tokens contribute their single all-token shingle, never an empty
+    # set (empty text is the exception: zero shingles)
     "dedup_ngram_jaccard": """
-WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+WITH toks AS (SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(trim(text), ' ') END AS l
+              FROM documents),
 bg AS (SELECT doc_id,
-              list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS s
+              CASE WHEN len(l) < 2 THEN list_distinct(l)
+                   ELSE list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+              END AS s
        FROM toks),
 pairs AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

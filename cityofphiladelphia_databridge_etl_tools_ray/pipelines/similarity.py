@@ -9,10 +9,19 @@
 - ``ann_ivf_topk`` — the scale path: a deterministic k-means coarse
   quantizer (trained on a driver-side sample) buckets vectors; each
   query probes only its ``NPROBE`` nearest centroids' buckets.
-- ``dedup_embedding_cosine`` — near-dup pairs with cosine ≥ τ.  The
-  normalized matrix is broadcast (small side at bench scale); the
-  100 TB path buckets by coarse centroid first (same quantizer) so
-  only same-bucket pairs are scored.
+- ``dedup_embedding_cosine`` — EXACT near-dup pairs with cosine ≥ τ,
+  computed as a tiled block-pair self-join: the dataset's blocks stay
+  in the object store; one Ray task per block pair (i ≤ j) scores a
+  bounded tile×tile matmul.  Exact all-pairs is inherently O(n²)
+  compute, but no worker ever holds more than two tiles and the
+  driver holds none — raw Ray tasks here because the Dataset API
+  cannot express a block-level self-join (SURVEY.md custom-operator
+  rule (c)).
+- ``dedup_embedding_cosine_bucketed`` — the 100 TB path: multi-probe
+  coarse-centroid bucketing (same quantizer as IVF) + in-bucket exact
+  scoring via one groupby.  Approximate (a pair is found iff the two
+  vectors share a probed bucket) → rows-only oracle; recall is pinned
+  against the exact twin in tests.
 
 Float discipline: all similarity math in float64, matching DuckDB's
 ``list_cosine_similarity`` for the oracle comparison; thresholds are
@@ -25,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.lookup import deref as _deref
+
 TOPK = 5
 N_QUERIES = 10  # queries = vectors with vec_id < N_QUERIES
 COSINE_TAU = 0.5
@@ -32,6 +43,9 @@ NLIST = 16  # coarse centroids
 NPROBE = 4
 _KMEANS_SAMPLE = 512
 _KMEANS_ITERS = 10
+DEDUP_NPROBE = 4  # multi-probe buckets per vector in the bucketed dedup
+
+_PAIR_SCHEMA = pa.schema([pa.field("vec_id_a", pa.int64()), pa.field("vec_id_b", pa.int64())])
 
 
 def _read_emb(sf_dir: str, max_vec_id: int | None = None):
@@ -68,32 +82,51 @@ def _queries_ref(sf_dir: str):
     return ray.put({"qids": q["vec_id"].to_numpy(np.int64), "Q": qm})
 
 
-class _LocalTopK:
-    """Per-batch exact scorer: emits each query's local top-k."""
+def _rows_topk(S: np.ndarray, ids: np.ndarray, k: int):
+    """Tie-safe local top-k per row of the (Q, B) score matrix.
 
-    def __init__(self, ref, k: int):
-        import ray
+    ``argpartition`` alone may drop one of two candidates tied exactly
+    at the k boundary, and WHICH one it drops is batch-order dependent
+    — the dropped one never reaches the global merge, so the final
+    (sim DESC, nid ASC) order could lose its deterministic winner.
+    Include all boundary ties, then lexsort on (-sim, nid) and
+    truncate: the survivors are exactly the global tie-break's picks.
+    Returns (row_ix, col_ix) flat index arrays.
+    """
+    nq, nb = S.shape
+    k = min(k, nb)
+    rows_out, cols_out = [], []
+    for r in range(nq):  # Q is small (N_QUERIES); per-row cost is O(B)
+        srow = S[r]
+        part = np.argpartition(-srow, k - 1)[:k]
+        kth = srow[part].min()
+        cand = np.nonzero(srow >= kth)[0]  # boundary ties included
+        order = np.lexsort((ids[cand], -srow[cand]))
+        pick = cand[order[:k]]
+        rows_out.append(np.full(len(pick), r, dtype=np.int64))
+        cols_out.append(pick)
+    return np.concatenate(rows_out), np.concatenate(cols_out)
 
-        d = ray.get(ref)
-        self.qids, self.Q = d["qids"], d["Q"]
-        self.k = k
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-        M = _normalize(_matrix(b.column("embedding")))
-        S = self.Q @ M.T  # (Q, B)
-        S[ids[None, :] == self.qids[:, None]] = -np.inf  # exclude self
-        k = min(self.k, S.shape[1])
-        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(len(self.qids)), k)
-        cols = top.ravel()
-        return pa.table(
-            {
-                "qid": pa.array(self.qids[rows]),
-                "nid": pa.array(ids[cols]),
-                "sim": pa.array(S[rows, cols]),
-            }
-        )
+def _local_topk(b: pa.Table, *, ref, k: int) -> pa.Table:
+    """Per-batch exact scorer: emits each query's local top-k
+    (stateless task; broadcast queries read zero-copy from plasma)."""
+    d = _deref(ref)
+    qids, Q = d["qids"], d["Q"]
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+    S = Q @ M.T  # (Q, B)
+    S[ids[None, :] == qids[:, None]] = -np.inf  # exclude self
+    rows, cols = _rows_topk(S, ids, k)
+    keep = np.isfinite(S[rows, cols])
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "qid": pa.array(qids[rows]),
+            "nid": pa.array(ids[cols]),
+            "sim": pa.array(S[rows, cols]),
+        }
+    )
 
 
 def _merge_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -116,10 +149,7 @@ def ann_bruteforce_topk(sf_dir: str):
     return (
         _read_emb(sf_dir)
         .map_batches(
-            _LocalTopK,
-            fn_constructor_kwargs={"ref": ref, "k": TOPK},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            _local_topk, fn_kwargs={"ref": ref, "k": TOPK}, batch_format="pyarrow"
         )
         .groupby("qid")
         .map_groups(_merge_topk, batch_format="pandas")
@@ -143,92 +173,168 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
     return C
 
 
+def _ivf_topk(b: pa.Table, *, ref, k: int) -> pa.Table:
+    """IVF probe (stateless task): score only vectors whose coarse
+    bucket is among the query's NPROBE nearest centroids."""
+    d = _deref(ref)
+    qids, Q, C, probes = d["qids"], d["Q"], d["C"], d["probes"]
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+    bucket = (M @ C.T).argmax(axis=1)  # (B,)
+    S = Q @ M.T  # (Q, B)
+    probed = np.zeros_like(S, dtype=bool)
+    for p in range(probes.shape[1]):
+        probed |= bucket[None, :] == probes[:, p][:, None]
+    S = np.where(probed, S, -np.inf)
+    S[ids[None, :] == qids[:, None]] = -np.inf
+    rows, cols = _rows_topk(S, ids, k)
+    keep = np.isfinite(S[rows, cols])
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "qid": pa.array(qids[rows]),
+            "nid": pa.array(ids[cols]),
+            "sim": pa.array(S[rows, cols]),
+        }
+    )
+
+
 def ann_ivf_topk(sf_dir: str):
-    """IVF top-k: score only vectors whose coarse bucket is among the
-    query's NPROBE nearest centroids.  Approximate → rows-only oracle
-    (recall vs the brute-force twin is pinned in tests)."""
+    """IVF top-k: approximate → rows-only oracle (recall vs the
+    brute-force twin is pinned in tests)."""
     import ray
 
     C = _train_centroids(sf_dir)
     q_ref = _queries_ref(sf_dir)
     q = ray.get(q_ref)
     probes = np.argsort(-(q["Q"] @ C.T), axis=1, kind="stable")[:, :NPROBE]
-    ref = ray.put(
-        {"qids": q["qids"], "Q": q["Q"], "C": C, "probes": probes}
-    )
-
-    class IVFTopK:
-        def __init__(self, ref, k):
-            d = ray.get(ref)
-            self.qids, self.Q, self.C, self.probes = d["qids"], d["Q"], d["C"], d["probes"]
-            self.k = k
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-            M = _normalize(_matrix(b.column("embedding")))
-            bucket = (M @ self.C.T).argmax(axis=1)  # (B,)
-            S = self.Q @ M.T  # (Q, B)
-            probed = np.zeros_like(S, dtype=bool)
-            for p in range(self.probes.shape[1]):
-                probed |= bucket[None, :] == self.probes[:, p][:, None]
-            S = np.where(probed, S, -np.inf)
-            S[ids[None, :] == self.qids[:, None]] = -np.inf
-            k = min(self.k, S.shape[1])
-            top = np.argpartition(-S, k - 1, axis=1)[:, :k]
-            rows = np.repeat(np.arange(len(self.qids)), k)
-            cols = top.ravel()
-            return pa.table(
-                {
-                    "qid": pa.array(self.qids[rows]),
-                    "nid": pa.array(ids[cols]),
-                    "sim": pa.array(S[rows, cols]),
-                }
-            )
+    ref = ray.put({"qids": q["qids"], "Q": q["Q"], "C": C, "probes": probes})
 
     return (
         _read_emb(sf_dir)
         .map_batches(
-            IVFTopK,
-            fn_constructor_kwargs={"ref": ref, "k": TOPK},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            _ivf_topk, fn_kwargs={"ref": ref, "k": TOPK}, batch_format="pyarrow"
         )
         .groupby("qid")
         .map_groups(_merge_topk, batch_format="pandas")
     )
 
 
+# --------------------------------------------------------------------
+# near-dup pairs
+# --------------------------------------------------------------------
+
+
+def _score_tile_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+    """Exact cosine pairs ≥ τ between two tiles, global vec_id_a <
+    vec_id_b (each unordered cross pair is emitted exactly once)."""
+    if len(ta) == 0 or len(tb) == 0:  # readers may emit empty blocks
+        return _PAIR_SCHEMA.empty_table()
+    aids = np.asarray(ta.column("vec_id"), dtype=np.int64)
+    bids = np.asarray(tb.column("vec_id"), dtype=np.int64)
+    A = _normalize(_matrix(ta.column("embedding")))
+    B = A if same else _normalize(_matrix(tb.column("embedding")))
+    S = A @ B.T
+    mask = (S >= COSINE_TAU) & (aids[:, None] < bids[None, :])
+    a_ix, b_ix = np.nonzero(mask)
+    lo = np.minimum(aids[a_ix], bids[b_ix])  # already a<b by mask; kept explicit
+    hi = np.maximum(aids[a_ix], bids[b_ix])
+    return pa.table({"vec_id_a": pa.array(lo), "vec_id_b": pa.array(hi)}).cast(_PAIR_SCHEMA)
+
+
 def dedup_embedding_cosine(sf_dir: str):
-    """Near-dup pairs with cosine ≥ τ (vec_id_a < vec_id_b).  The
-    normalized matrix is broadcast once; each batch scores against it
-    with one matmul."""
+    """EXACT near-dup pairs with cosine ≥ τ (vec_id_a < vec_id_b) as a
+    tiled block-pair self-join.
+
+    Scale shape: ``to_arrow_refs`` leaves every tile in the object
+    store (nothing is pulled to the driver); T·(T+1)/2 Ray tasks each
+    score one tile×tile matmul, so per-task memory is two tiles and
+    the n² compute — unavoidable for an exact result — spreads across
+    the cluster.  Replaces the round-1 full-matrix broadcast (VERDICT
+    finding 5).  At 100 TB use ``dedup_embedding_cosine_bucketed``.
+    """
     import ray
+    import ray.data
 
-    full = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
-    ids = full["vec_id"].to_numpy(np.int64)
-    M = _normalize(np.stack([np.asarray(v, np.float64) for v in full["embedding"]]))
-    ref = ray.put({"ids": ids, "M": M})
+    refs = _read_emb(sf_dir).to_arrow_refs()
 
-    class CosPairs:
-        def __init__(self, ref):
-            d = ray.get(ref)
-            self.ids, self.M = d["ids"], d["M"]
+    @ray.remote
+    def score(ra, rb, same: bool) -> pa.Table:
+        return _score_tile_pair(ra, rb, same)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            bids = np.asarray(b.column("vec_id"), dtype=np.int64)
-            Bm = _normalize(_matrix(b.column("embedding")))
-            S = Bm @ self.M.T
-            a_ix, b_ix = np.nonzero(
-                (S >= COSINE_TAU) & (bids[:, None] < self.ids[None, :])
-            )
-            return pa.table(
-                {
-                    "vec_id_a": pa.array(bids[a_ix]),
-                    "vec_id_b": pa.array(self.ids[b_ix]),
-                }
-            )
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            # mask at global id order handles cross pairs once; i==j
+            # tiles self-score with the same a<b mask
+            out_refs.append(score.remote(refs[i], refs[j], i == j))
+    if not out_refs:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(out_refs)
 
-    return _read_emb(sf_dir).map_batches(
-        CosPairs, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+
+def _bucket_explode(b: pa.Table, *, cref, nprobe: int) -> pa.Table:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids
+    (multi-probe: a pair is co-bucketed iff the probe sets overlap)."""
+    C = _deref(cref)
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+    order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :nprobe]  # (B, P)
+    n, p = order.shape
+    rep = np.repeat(np.arange(n, dtype=np.int64), p)
+    out = b.take(pa.array(rep))
+    return out.append_column("bucket", pa.array(order.ravel().astype(np.int32)))
+
+
+def _bucket_pairs(g: pa.Table) -> pa.Table:
+    """Exact all-pairs scoring inside one bucket group (duplicate
+    (a, b) across shared buckets are deduped by the outer groupby)."""
+    if len(g) < 2:
+        return _PAIR_SCHEMA.empty_table()
+    g = g.sort_by("vec_id")
+    ids = np.asarray(g.column("vec_id"), dtype=np.int64)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    if not keep.all():
+        g = g.filter(pa.array(keep))
+        ids = ids[keep]
+    if len(g) < 2:
+        return _PAIR_SCHEMA.empty_table()
+    M = _normalize(_matrix(g.column("embedding")))
+    S = M @ M.T
+    ia, ib = np.triu_indices(len(ids), 1)
+    m = S[ia, ib] >= COSINE_TAU
+    return pa.table(
+        {"vec_id_a": pa.array(ids[ia[m]]), "vec_id_b": pa.array(ids[ib[m]])}
+    ).cast(_PAIR_SCHEMA)
+
+
+def dedup_embedding_cosine_bucketed(sf_dir: str):
+    """Approximate near-dup pairs: multi-probe coarse-centroid buckets
+    (the IVF quantizer) + in-bucket exact scoring.  ONE groupby on the
+    bucket id — the same shape as MinHash-LSH banding — so no worker
+    ever sees the whole matrix and no all-pairs matmul happens.  A
+    pair is found iff the two vectors share one of their DEDUP_NPROBE
+    probed buckets → rows-only oracle; tests pin recall against the
+    exact ``dedup_embedding_cosine`` twin."""
+    import ray
+    from ray.data.aggregate import Count
+
+    C = _train_centroids(sf_dir)
+    cref = ray.put(C)
+    pairs = (
+        _read_emb(sf_dir)
+        .map_batches(
+            _bucket_explode,
+            fn_kwargs={"cref": cref, "nprobe": DEDUP_NPROBE},
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    # dedup pairs found in more than one shared bucket
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )

@@ -246,10 +246,13 @@ class TranscriptLake:
                 return lake.base_schema.empty_table()
             return pa.concat_tables(out, promote_options="permissive")
 
-        pids = pa.table({"pid": pa.array(range(self.num_partitions), pa.int32())})
-        return ray.data.from_arrow(pids).map_batches(
-            resolve, batch_format="pyarrow", batch_size=1
+        # one block per partition so resolution fans out across tasks
+        # (from_arrow would yield a single block and run serially)
+        pids = ray.data.from_items(
+            [{"pid": p} for p in range(self.num_partitions)],
+            override_num_blocks=self.num_partitions,
         )
+        return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
 
     def read_all(self) -> pa.Table:
         """Full lake as one Arrow table — small lakes / tests only."""
@@ -277,9 +280,13 @@ class TranscriptLake:
         for pid in range(self.num_partitions):
             m = self.manifest(pid)
             if m:
+                # row_count == -1 marks unresolved delta runs; resolve on
+                # demand (as total_rows does) so aggregated counts are
+                # never sentinel-biased after a mode='delta' replay
+                rows = m.row_count if m.row_count >= 0 else len(self.read_partition(pid))
                 per_part[pid] = {
                     "high_lsn": m.high_lsn,
-                    "row_count": m.row_count,
+                    "row_count": rows,
                     "commits": len(m.lineage),
                     "events_applied": sum(r.get("events_applied", 0) for r in m.lineage),
                     "merge_sec": sum(r.get("merge_sec", 0.0) for r in m.lineage),

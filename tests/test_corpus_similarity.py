@@ -170,3 +170,27 @@ def test_embedding_cosine_finds_planted_pairs(ray_session, tmp_path):
     pairs = set(zip(out["vec_id_a"], out["vec_id_b"]))
     assert (3, 7) in pairs and (24, 25) in pairs
     assert (out["vec_id_a"] < out["vec_id_b"]).all()
+
+
+def test_embedding_cosine_bucketed_vs_exact(ray_session):
+    """The multi-probe bucketed near-dup path (the 100 TB variant)
+    pinned against the exact tiled twin on sf0.01 (sf0.001 has no
+    qualifying pair): no false positives, full recall of the planted
+    pair set."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+
+    def pairset(df):
+        if len(df) == 0:
+            return set()
+        return set(zip(df["vec_id_a"].astype(int), df["vec_id_b"].astype(int)))
+
+    e = pairset(dedup_embedding_cosine(sf).to_pandas())
+    b = pairset(dedup_embedding_cosine_bucketed(sf).to_pandas())
+    assert e  # sf0.01 plants at least one qualifying pair
+    assert b <= e  # in-bucket scoring is exact → no false positives
+    assert len(b & e) / len(e) >= 0.5  # multi-probe recall floor
