@@ -70,27 +70,43 @@ def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Stopword-profile language ID (actor-pool stage: profiles
-    compiled once per actor in ``__init__``)."""
+    """Stopword-profile language ID (actor-pool stage: the vocab
+    lookup table is built once per actor in ``__init__``).
+
+    Fully vectorized (VERDICT r1 finding 6): one regex split per
+    batch, a flat-token ``pc.index_in`` hash-join against the vocab
+    (C++ kernel), then one ``np.bincount`` per language to scatter the
+    matched weights back to their docs — no per-row/per-token loop."""
 
     def __init__(self):
         self.langs = sorted(LANG_PROFILES)
-        self.vocab: dict[str, np.ndarray] = {}
-        for i, lang in enumerate(self.langs):
+        words = sorted({w for p in LANG_PROFILES.values() for w in p})
+        self.vocab_arr = pa.array(words, pa.string())
+        self.word_scores = np.zeros((len(words), len(self.langs)), np.int64)
+        wix = {w: i for i, w in enumerate(words)}
+        for li, lang in enumerate(self.langs):
             for w in LANG_PROFILES[lang]:
-                v = self.vocab.setdefault(w, np.zeros(len(self.langs), np.int32))
-                v[i] += 1
+                self.word_scores[wix[w], li] += 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().str.lower()
-        toks = texts.str.split()
-        scores = np.zeros((len(batch), len(self.langs)), np.int32)
-        vocab = self.vocab
-        for i, words in enumerate(toks):
-            for w in words or ():
-                v = vocab.get(w)
-                if v is not None:
-                    scores[i] += v
+        n = len(batch)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), TOKEN_SPLIT
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.values.slice(off[0], off[-1] - off[0])
+        doc_ix = np.repeat(np.arange(n, dtype=np.int64), off[1:] - off[:-1])
+
+        ix = pc.index_in(flat, value_set=self.vocab_arr)
+        valid = pc.is_valid(ix).to_numpy(zero_copy_only=False)
+        ixv = ix.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = self.word_scores[ixv[valid]]  # (matches, L)
+        d = doc_ix[valid]
+        scores = np.zeros((n, len(self.langs)), np.int64)
+        for li in range(len(self.langs)):
+            scores[:, li] = np.bincount(d, weights=w[:, li], minlength=n).astype(np.int64)
         best = scores.argmax(axis=1)
         no_signal = scores.max(axis=1) == 0
         pred = np.array(self.langs, dtype=object)[best]

@@ -82,6 +82,33 @@ def test_band_hashes_shape_and_sensitivity():
     assert (bh[0] != bh[1]).all()
 
 
+def test_langid_vectorized_predictions():
+    """LangId (vectorized flat-token join) reproduces the stopword
+    profile scoring: one profile hit per matching token, argmax over
+    languages, 'und' when no profile word appears."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import LangId
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog went to the market",  # en
+                    "der Hund ist nicht ein Fisch und",  # de ("und" hits de only)
+                    "le chat est sur la table et il ne bouge pas",  # fr
+                    "xyzzy plugh qwerty",  # no profile word → und
+                    "",  # empty → und
+                ]
+            ),
+        }
+    )
+    out = LangId()(batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr", "und", "und"]
+    scores = out.column("lang_score").to_pylist()
+    # 'the'×3 + 'and' + 'to' = 5 en hits; empty/no-match docs score 0
+    assert scores[0] == 5 and scores[3] == 0 and scores[4] == 0
+
+
 # ------------------------- pipelines (Ray) -------------------------
 
 
