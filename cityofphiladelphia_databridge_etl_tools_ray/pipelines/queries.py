@@ -701,6 +701,23 @@ def geom_point_lonlat(sf_dir: str):
     )
 
 
+def tz_localize_events(sf_dir: str):
+    """Timezone localization — the reference's force-localize of naive
+    datetime columns to US/Eastern (oracle/oracle.py:197-221,
+    postgres/postgres.py:327-341), vectorized as one
+    ``pc.assume_timezone`` kernel per batch; output normalized to
+    naive-UTC instants so the lake schema stays tz-free."""
+    from .replay import localize_naive_timestamps
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def loc(b: pa.Table) -> pa.Table:
+        out = localize_naive_timestamps(b, "US/Eastern")
+        return pa.table({"event_id": out.column("event_id"), "ts_utc": out.column("ts")})
+
+    return ds.map_batches(loc, batch_format="pyarrow")
+
+
 def geocode_customers(sf_dir: str):
     """Lookup enrichment (the AIS geocoder analog,
     ais_geocoder/ais_geocoder.py:40-114): actor-pool batch lookup with
@@ -756,6 +773,7 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "tz_localize_events": tz_localize_events,
     "geocode_customers": geocode_customers,
     "geom_promote_multi": geom_promote_multi,
     "geom_point_lonlat": geom_point_lonlat,
@@ -934,6 +952,11 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    "tz_localize_events": """
+SELECT event_id,
+       CAST(timezone('UTC', timezone('US/Eastern', ts)) AS TIMESTAMP) AS ts_utc
+FROM events
 """,
     "geocode_customers": """
 SELECT c_custkey, c_name,

@@ -64,6 +64,32 @@ def _tune_worker_allocator() -> None:
         pass
 
 
+def localize_naive_timestamps(batch: pa.Table, tz: str) -> pa.Table:
+    """Timezone localization, vectorized (the reference walks the
+    catalog for datetime columns and ``pytz.localize``s each value —
+    oracle/oracle.py:197-221, postgres/postgres.py:327-341; here one
+    ``pc.assume_timezone`` kernel per timestamp column per batch).
+
+    Naive timestamp columns are interpreted as wall time in ``tz`` and
+    normalized to naive-UTC instants; already-aware columns are
+    converted to the same naive-UTC representation.  Emitting UTC
+    instants (rather than the reference's tz-aware values) keeps the
+    lake schema tz-free and stable — the information content is
+    identical.  DST edges resolve as ``earliest`` (matches DuckDB's
+    ``timezone()`` on the synthesized inputs; verified bit-exact)."""
+    for i, f in enumerate(batch.schema):
+        if not pa.types.is_timestamp(f.type):
+            continue
+        col = batch.column(i)
+        if f.type.tz is None:
+            col = pc.assume_timezone(
+                col, tz, ambiguous="earliest", nonexistent="earliest"
+            )
+        col = col.cast(pa.timestamp(f.type.unit))
+        batch = batch.set_column(i, pa.field(f.name, col.type), col)
+    return batch
+
+
 class ChangeNormalizer:
     """Stateless-ish batch normalizer (used as an actor pool so the
     compiled rename map / validators are built once per worker —
@@ -79,6 +105,7 @@ class ChangeNormalizer:
         dead_letter_dir: str | None = None,
         scrub_text: bool = True,
         min_lsn_exclusive: int = -1,
+        assume_tz: str | None = None,
     ):
         self.num_partitions = num_partitions
         self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
@@ -88,6 +115,7 @@ class ChangeNormalizer:
             raise ValueError("invalid_ops='dead_letter' requires dead_letter_dir")
         self.scrub_text = scrub_text
         self.min_lsn_exclusive = min_lsn_exclusive
+        self.assume_tz = assume_tz
         self._valid_ops = pa.array(list(OPS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -120,6 +148,11 @@ class ChangeNormalizer:
         if batch.column("lsn").type != pa.int64():
             i = batch.column_names.index("lsn")
             batch = batch.set_column(i, "lsn", batch.column("lsn").cast(pa.int64()))
+
+        # timezone localization (reference: force-localize naive
+        # datetimes to US/Eastern; engine normalizes to UTC instants)
+        if self.assume_tz:
+            batch = localize_naive_timestamps(batch, self.assume_tz)
 
         # null-byte scrub, vectorized (reference scans 500 lines then
         # rewrites the file; here one pc.replace_substring per batch)
@@ -219,6 +252,7 @@ def replay_to_table(
     keep_lsn: bool = False,
     concurrency: int | None = None,
     salt: int | None = None,
+    assume_tz: str | None = None,
 ):
     """Replay a change stream into final table state with NO base lake
     (first full load — the reference's truncate-and-load,
@@ -230,7 +264,7 @@ def replay_to_table(
     conversations would otherwise serialize one reducer."""
     ds = _normalized(
         changes_ds,
-        ChangeNormalizer(num_partitions, rename_map=rename_map),
+        ChangeNormalizer(num_partitions, rename_map=rename_map, assume_tz=assume_tz),
         concurrency,
     )
     if salt and salt > 1:
@@ -255,6 +289,7 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
             "dead_letter_dir": normalizer.dead_letter_dir,
             "scrub_text": normalizer.scrub_text,
             "min_lsn_exclusive": normalizer.min_lsn_exclusive,
+            "assume_tz": normalizer.assume_tz,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -367,6 +402,7 @@ def replay_into_lake(
     mode: str = "merge",
     compact_after: int = 8,
     salt: int | None = None,
+    assume_tz: str | None = None,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
     events at or below each partition's committed watermark are
@@ -393,6 +429,7 @@ def replay_into_lake(
             invalid_ops=invalid_ops,
             dead_letter_dir=dead_letter_dir,
             min_lsn_exclusive=lake.min_watermark(),
+            assume_tz=assume_tz,
         ),
         concurrency,
     )

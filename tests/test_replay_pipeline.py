@@ -358,3 +358,63 @@ def test_delta_schema_evolution_column_add(ray_session, lake_with_base, tmp_path
         df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
     )
+
+
+def test_localize_naive_timestamps_mixed_inputs():
+    """Naive cols are interpreted as US/Eastern wall time; aware cols
+    convert to the same naive-UTC representation; DST-ambiguous times
+    resolve 'earliest' (EDT); non-timestamp columns untouched.
+    Reference behavior: oracle/oracle.py:197-221."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        localize_naive_timestamps,
+    )
+
+    naive = pa.array(
+        [
+            pd.Timestamp("2024-01-15 12:00:00"),  # EST: UTC+5
+            pd.Timestamp("2024-07-15 12:00:00"),  # EDT: UTC+4
+            pd.Timestamp("2024-11-03 01:30:00"),  # ambiguous (fall back) → earliest=EDT
+        ],
+        pa.timestamp("us"),
+    )
+    aware = pa.Array.from_pandas(
+        pd.Series([pd.Timestamp("2024-01-15 12:00:00", tz="US/Eastern")] * 3)
+    ).cast(pa.timestamp("us", tz="US/Eastern"))
+    t = pa.table({"ts": naive, "ts2": aware, "x": pa.array([1, 2, 3], pa.int64())})
+    out = localize_naive_timestamps(t, "US/Eastern")
+    assert out.schema.field("ts").type == pa.timestamp("us")
+    assert out.schema.field("ts2").type == pa.timestamp("us")
+    got = out.column("ts").to_pylist()
+    assert got[0] == pd.Timestamp("2024-01-15 17:00:00")
+    assert got[1] == pd.Timestamp("2024-07-15 16:00:00")
+    assert got[2] == pd.Timestamp("2024-11-03 05:30:00")  # EDT (earliest)
+    assert out.column("ts2").to_pylist() == [pd.Timestamp("2024-01-15 17:00:00")] * 3
+    assert out.column("x").to_pylist() == [1, 2, 3]
+
+
+def test_replay_with_assume_tz(ray_session):
+    """End-to-end: replay_to_table(assume_tz=...) shifts the naive ts
+    payload to UTC instants while leaving the merge result otherwise
+    identical."""
+    import ray.data
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_to_table
+
+    changes = generate_changes(2000, n_convs=50, seed=17)
+    plain = (
+        replay_to_table(ray.data.from_arrow(changes), num_partitions=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    tz = (
+        replay_to_table(ray.data.from_arrow(changes), num_partitions=4, assume_tz="US/Eastern")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain.drop(columns=["ts"]), tz.drop(columns=["ts"]))
+    # every shifted ts is the localized equivalent of the plain one
+    shifted = plain["ts"].dt.tz_localize(
+        "US/Eastern", ambiguous=True, nonexistent="shift_backward"
+    ).dt.tz_convert("UTC").dt.tz_localize(None)
+    pd.testing.assert_series_equal(tz["ts"], shifted, check_names=False)
