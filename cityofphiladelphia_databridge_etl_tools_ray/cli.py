@@ -138,7 +138,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dead-letter-dir", default=None)
     c.add_argument(
         "--mode",
-        choices=["merge", "delta"],
+        choices=["merge", "delta", "snapshot"],
         default="merge",
         help="merge = copy-on-write partition rewrite; delta = O(batch) run append with merge-on-read",
     )

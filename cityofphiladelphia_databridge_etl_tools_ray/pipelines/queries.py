@@ -128,6 +128,76 @@ def cdc_replay_salted(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
 
 
+def cdc_snapshot_delete_stale(sf_dir: str):
+    """Snapshot-mode replay with delete-stale — the reference's
+    optional anti-join delete (postgres/postgres.py:450-495) through
+    the real lake path:
+
+    1. replay the first half of the WAL (lsn ≤ mid) into a fresh lake;
+    2. build a full snapshot = the LWW state of the WHOLE WAL minus
+       keys with ``turn_idx % 7 == 0`` (rows 'deleted upstream'),
+       stamped ``op='update', lsn = max+1``;
+    3. ``mode='snapshot'`` replay: upsert + delete-stale per partition.
+
+    Final state must equal the snapshot exactly (stale base rows from
+    step 1 are anti-joined away), which the oracle expresses directly.
+    """
+    import os
+    import shutil
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    changes = _derive_changelog(sf_dir)
+    max_lsn = int(
+        _read(sf_dir, "events", columns=["event_id"]).max("event_id")
+    )
+    mid = max_lsn // 2
+
+    root = os.path.join("/tmp", f"dbr_snapshot_lake_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    TranscriptLake.create(root, num_partitions=16)
+
+    def below_mid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("lsn"), mid))
+
+    replay_into_lake(root, changes.map_batches(below_mid, batch_format="pyarrow"))
+
+    # snapshot = full-WAL LWW state, minus upstream-deleted keys
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=16)
+
+    def to_snapshot(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.subtract(
+                pc.cast(b.column("turn_idx"), pa.int64()),
+                pc.multiply(
+                    pc.divide(pc.cast(b.column("turn_idx"), pa.int64()), pa.scalar(7)),
+                    pa.scalar(7),
+                ),
+            ),
+            pa.scalar(0),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "op": pa.array(["update"] * len(b), pa.string()),
+                "lsn": pa.array(np.full(len(b), max_lsn + 1, np.int64)),
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "role": b.column("role"),
+                "text": b.column("text"),
+                "tool": b.column("tool"),
+                "ts": b.column("ts"),
+            }
+        )
+
+    replay_into_lake(root, state.map_batches(to_snapshot, batch_format="pyarrow"), mode="snapshot")
+
+    lake = TranscriptLake(root)
+    out = lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    return out
+
+
 def cdc_latest_event_per_user(sf_dir: str):
     """LWW collapse keyed on user_id (upsert dedup as a query)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -756,6 +826,7 @@ def distinct_segment_stats(sf_dir: str):
 QUERIES = {
     "cdc_replay_full": cdc_replay_full,
     "cdc_replay_salted": cdc_replay_salted,
+    "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -828,6 +899,15 @@ SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <>
   FROM changes
 )
 SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "cdc_snapshot_delete_stale": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
 """,
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,

@@ -312,8 +312,8 @@ class _MergeCommit:
     __name__ = "merge_commit"  # map_groups wraps fn and reads __name__
 
     def __init__(self, lake_root: str, mode: str = "merge", compact_after: int = 8):
-        if mode not in ("merge", "delta"):
-            raise ValueError(f"mode must be 'merge' or 'delta', got {mode!r}")
+        if mode not in ("merge", "delta", "snapshot"):
+            raise ValueError(f"mode must be 'merge', 'delta' or 'snapshot', got {mode!r}")
         self.lake_root = lake_root
         self.mode = mode
         self.compact_after = compact_after
@@ -365,6 +365,19 @@ class _MergeCommit:
         else:
             base = self.lake.read_partition(pid)
             merged = merge_partition(base, changes)
+            if self.mode == "snapshot":
+                # delete-stale: the incoming batch is a FULL snapshot of
+                # this partition's keys, so any merged row whose PK is
+                # absent from it was deleted upstream — the reference's
+                # anti-semi-join DELETE .. USING (SELECT pk FROM prod
+                # EXCEPT SELECT pk FROM staging)
+                # (postgres/postgres.py:450-495), applied per partition.
+                keep = pc.is_in(
+                    _pk_strings(merged), value_set=pc.unique(_pk_strings(changes))
+                )
+                n_stale = len(merged) - pc.sum(pc.cast(keep, pa.int64())).as_py()
+                merged = merged.filter(keep)
+                lineage["deleted_stale"] = int(n_stale)
             dt = time.perf_counter() - t0
             lineage.update(
                 {
@@ -376,6 +389,16 @@ class _MergeCommit:
             )
             m = self.lake.commit_partition(pid, merged, high_lsn, lineage_record=lineage)
         return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
+
+
+def _pk_strings(t: pa.Table):
+    """Composite-PK membership key: conv_id ␟ turn_idx (unit separator
+    cannot appear in either side) — vectorized string join."""
+    return pc.binary_join_element_wise(
+        t.column("conv_id"),
+        pc.cast(t.column("turn_idx"), pa.string()),
+        "\x1f",
+    )
 
 
 def _metrics_row(pid, wm_before, wm_after, n_events, manifest, secs) -> pa.Table:
@@ -414,7 +437,11 @@ def replay_into_lake(
     runs resolved at read and folded by compaction every
     ``compact_after`` runs — best for frequent small incremental
     tails, where rewriting the partition per tail would be
-    O(lake size) per run.
+    O(lake size) per run.  ``mode="snapshot"`` treats the stream as a
+    FULL table snapshot: after the LWW upsert, base rows whose PK is
+    absent from the snapshot are deleted (the reference's optional
+    delete-stale anti-join, postgres/postgres.py:450-495); snapshot
+    rows must carry lsn above every partition watermark.
 
     Returns a pandas DataFrame of per-partition metrics (small —
     one row per touched partition)."""

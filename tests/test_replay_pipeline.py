@@ -418,3 +418,50 @@ def test_replay_with_assume_tz(ray_session):
         "US/Eastern", ambiguous=True, nonexistent="shift_backward"
     ).dt.tz_convert("UTC").dt.tz_localize(None)
     pd.testing.assert_series_equal(tz["ts"], shifted, check_names=False)
+
+
+def test_snapshot_mode_delete_stale(ray_session, lake_with_base):
+    """mode='snapshot' mirrors the reference upsert's optional
+    delete-stale (postgres/postgres.py:450-495): after the LWW upsert,
+    base rows whose PK is absent from the snapshot are deleted.
+    Replaying the same snapshot again is a watermark no-op
+    (reference round-trip idempotence, tests/test_postgres.py:69-92)."""
+    import ray.data
+
+    lake, base = lake_with_base
+    df = base.to_pandas()
+    # snapshot: drop every turn_idx % 3 == 0 row, rewrite text on the rest
+    snap = df[df["turn_idx"] % 3 != 0].copy()
+    snap["text"] = "snap:" + snap["conv_id"] + ":" + snap["turn_idx"].astype(str)
+    changes = pa.table(
+        {
+            "op": pa.array(["update"] * len(snap), pa.string()),
+            "lsn": pa.array(np.arange(1000, 1000 + len(snap)), pa.int64()),
+            "conv_id": pa.array(snap["conv_id"]),
+            "turn_idx": pa.array(snap["turn_idx"].to_numpy(), pa.int32()),
+            "role": pa.array(snap["role"]),
+            "text": pa.array(snap["text"]),
+            "tool": pa.array(snap["tool"]),
+            "ts": pa.array(snap["ts"], pa.timestamp("us")),
+        }
+    )
+
+    m = replay_into_lake(lake.root, ray.data.from_arrow(changes), mode="snapshot")
+    assert m["events_applied"].sum() == len(snap)
+    got = lake_state(lake)
+    exp = snap.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)  # stale rows (turn_idx % 3 == 0) deleted
+    pd.testing.assert_series_equal(got["text"], exp["text"].reset_index(drop=True), check_names=False)
+    # lineage records the anti-join deletions
+    deleted = sum(
+        r.get("deleted_stale", 0)
+        for p in range(lake.num_partitions)
+        if (mp := lake.manifest(p))
+        for r in mp.lineage
+    )
+    assert deleted == (df["turn_idx"] % 3 == 0).sum()
+
+    # idempotence: replaying the identical snapshot is a no-op
+    m2 = replay_into_lake(lake.root, ray.data.from_arrow(changes), mode="snapshot")
+    assert m2["events_applied"].sum() == 0
+    pd.testing.assert_frame_equal(got, lake_state(lake))
