@@ -788,6 +788,45 @@ def tz_localize_events(sf_dir: str):
     return ds.map_batches(loc, batch_format="pyarrow")
 
 
+def geom_reproject_points(sf_dir: str):
+    """Reprojection — the reference's project_shape + bad-SRID
+    correction (opendata/opendata.py:202-238) as an actor-pool stage
+    with a per-worker transformer cache.  pyproj is absent here so the
+    deterministic affine fake runs (SQL-reproducible bit-exactly);
+    SRID 300001 exercises the bad-SRID→2272 correction path."""
+    from ..stages.geometry import PointReprojector
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def make_shapes(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").cast(pa.int64())
+        k = pc.cast(pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(3)), pa.scalar(3))), pa.int64())
+        x_ft = pc.cast(pc.add(ck, pa.scalar(2600000)), pa.int64())
+        y_ft = pc.cast(pc.add(pc.multiply(b.column("c_nationkey").cast(pa.int64()), pa.scalar(100)), pa.scalar(200000)), pa.int64())
+        x_ll = pc.cast(pc.subtract(pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(360)), pa.scalar(360))), pa.scalar(180)), pa.int64())
+        y_ll = b.column("c_nationkey").cast(pa.int64())
+        j = pc.binary_join_element_wise
+        ft = lambda srid: j(  # noqa: E731
+            pa.scalar(f"SRID={srid};POINT("), pc.cast(x_ft, pa.string()),
+            pa.scalar(" "), pc.cast(y_ft, pa.string()), pa.scalar(")"), ""
+        )
+        ll = j(
+            pa.scalar("SRID=4326;POINT("), pc.cast(x_ll, pa.string()),
+            pa.scalar(" "), pc.cast(y_ll, pa.string()), pa.scalar(")"), ""
+        )
+        shape = pc.case_when(
+            pc.make_struct(pc.equal(k, 0), pc.equal(k, 1)), ft(2272), ft(300001), ll
+        )
+        return pa.table({"c_custkey": ck, "shape": shape})
+
+    return ds.map_batches(make_shapes, batch_format="pyarrow").map_batches(
+        PointReprojector,
+        fn_constructor_kwargs={"geom_col": "shape"},
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
 def geocode_customers(sf_dir: str):
     """Lookup enrichment (the AIS geocoder analog,
     ais_geocoder/ais_geocoder.py:40-114): actor-pool batch lookup with
@@ -848,6 +887,7 @@ QUERIES = {
     "geocode_customers": geocode_customers,
     "geom_promote_multi": geom_promote_multi,
     "geom_point_lonlat": geom_point_lonlat,
+    "geom_reproject_points": geom_reproject_points,
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
     "text_quality_scores": text_quality_scores,
@@ -1069,6 +1109,20 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon,
        CAST(c_nationkey AS DOUBLE) AS lat
 FROM customer WHERE c_custkey % 4 IN (0, 1)
+""",
+    # the affine fake transformer in SQL: srid 2272 (and bad srid
+    # 300001, corrected to 2272) → lon = x/100000 - 75, lat =
+    # y/100000 + 39; srid 4326 identity — identical IEEE op order on
+    # both sides
+    "geom_reproject_points": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE WHEN c_custkey % 3 IN (0, 1)
+            THEN CAST(c_custkey + 2600000 AS DOUBLE) / 100000.0 + (-75.0)
+            ELSE CAST(c_custkey % 360 - 180 AS DOUBLE) END AS lon,
+       CASE WHEN c_custkey % 3 IN (0, 1)
+            THEN CAST(c_nationkey * 100 + 200000 AS DOUBLE) / 100000.0 + 39.0
+            ELSE CAST(c_nationkey AS DOUBLE) END AS lat
+FROM customer
 """,
     # ---- corpus / training-data ops.  No oracle entries for
     # text_language_id / text_fingerprints (engine-internal hash),

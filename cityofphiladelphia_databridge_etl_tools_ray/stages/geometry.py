@@ -99,3 +99,116 @@ def extract_point_lonlat(
     if drop_geom:
         batch = batch.drop_columns([geom_col])
     return batch
+
+
+# -- reprojection ----------------------------------------------------
+
+#: The reference's bad-SRID correction map, verbatim
+#: (opendata/opendata.py:202-205): data registered under
+#: nonexistent local SRIDs is corrected to its true CRS first.
+BAD_SRID_MAP = {
+    300001: 2272, 300003: 2272, 300046: 2272, 300006: 2272, 300010: 2272,
+    300008: 2272, 300004: 2272, 300007: 2272, 300067: 2272, 300100: 2272,
+    300101: 2272, 300084: 3857, 300073: 4326, 300042: 4326, 300090: 4269,
+    300091: 4326, 300092: 4326, 300086: 6565, 300087: 6565, 300093: 2272,
+}
+
+#: Deterministic affine FAKE transforms (the FakeCodec pattern,
+#: stages/multimodal.py): lon = x/div_x + off_x, lat = y/div_y + off_y.
+#: pyproj is absent in this environment; when importable, the real
+#: ``pyproj.Transformer`` replaces these per-SRID fakes (see
+#: ``PointReprojector.__init__`` — the marked real-library site).
+#: Expressions are SQL-reproducible bit-exactly (same IEEE op order).
+_FAKE_AFFINE = {
+    2272: (100000.0, -75.0, 100000.0, 39.0),
+    3857: (111320.0, 0.0, 110540.0, 0.0),
+    4269: (1.0, 0.0, 1.0, 0.0),
+    6565: (100000.0, -75.0, 100000.0, 39.0),
+}
+
+
+class PointReprojector:
+    """Actor-pool reprojection stage: EWKT POINT column → ``lon`` /
+    ``lat`` in ``to_srid`` (the reference's project_shape pipeline,
+    opendata/opendata.py:206-238 + the per-worker-cached Transformer,
+    ago/ago.py:347-354).
+
+    The transformer cache is built once per actor in ``__init__``;
+    ``__call__`` groups the batch by source SRID and transforms each
+    group's coordinate arrays in one vectorized call.  With
+    ``strict=True`` a missing real transformer library raises instead
+    of falling back to the deterministic affine fake.
+    """
+
+    def __init__(
+        self,
+        geom_col: str = "shape",
+        *,
+        to_srid: int = 4326,
+        default_srid: int | None = None,
+        strict: bool = False,
+        drop_geom: bool = True,
+    ):
+        self.geom_col = geom_col
+        self.to_srid = to_srid
+        self.default_srid = default_srid
+        self.strict = strict
+        self.drop_geom = drop_geom
+        self._transformers: dict[int, object] = {}
+        try:  # REAL-LIBRARY SITE: pyproj.Transformer.from_crs per SRID
+            import pyproj  # noqa: F401
+
+            self._pyproj = pyproj
+        except ImportError:
+            self._pyproj = None
+            if strict:
+                raise NotImplementedError(
+                    "strict reprojection requires pyproj (absent in this environment)"
+                )
+
+    def _transform(self, srid: int, x, y):
+        import numpy as np
+
+        if srid == self.to_srid:
+            return x, y
+        if self._pyproj is not None:
+            tr = self._transformers.get(srid)
+            if tr is None:
+                tr = self._pyproj.Transformer.from_crs(
+                    f"epsg:{srid}", f"epsg:{self.to_srid}", always_xy=True
+                )
+                self._transformers[srid] = tr
+            return tr.transform(x, y)
+        if srid not in _FAKE_AFFINE:
+            raise ValueError(f"no transform for SRID {srid} → {self.to_srid}")
+        dx, ox, dy, oy = _FAKE_AFFINE[srid]
+        return x / dx + ox, y / dy + oy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = _combine(batch.column(self.geom_col))
+        parts = pc.extract_regex(col, pattern=_POINT_RE)
+        if pc.any(pc.is_null(parts)).as_py():
+            bad = col.filter(pc.is_null(parts))[:3].to_pylist()
+            raise ValueError(f"non-POINT or unparseable EWKT values: {bad}")
+        srid_s = pc.struct_field(parts, "srid")
+        x = pc.cast(pc.struct_field(parts, "lon"), pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.struct_field(parts, "lat"), pa.float64()).to_numpy(zero_copy_only=False)
+        srid_s = pc.if_else(pc.equal(srid_s, pa.scalar("")), pa.scalar("0"), srid_s)
+        srid = pc.cast(srid_s, pa.int64()).to_numpy(zero_copy_only=False).copy()
+        if self.default_srid is not None:
+            srid[srid == 0] = self.default_srid
+        elif (srid == 0).any():
+            raise ValueError("EWKT values without SRID= and no default_srid given")
+
+        lon = np.empty_like(x)
+        lat = np.empty_like(y)
+        for s in np.unique(srid):
+            s_true = BAD_SRID_MAP.get(int(s), int(s))
+            m = srid == s
+            lon[m], lat[m] = self._transform(s_true, x[m], y[m])
+        batch = batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+        if self.drop_geom:
+            batch = batch.drop_columns([self.geom_col])
+        return batch

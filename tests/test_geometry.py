@@ -85,3 +85,44 @@ def test_geocode_failure_count_aggregate(ray_session):
     enriched = ds.map_batches(GeocodeEnrich, fn_constructor_kwargs={"key_col": "k"},
                               batch_format="pyarrow", concurrency=1)
     assert geocode_failure_count(enriched) == 1
+
+
+def test_point_reprojector_affine_fake_and_bad_srid():
+    """Fake affine path: SRID 2272 transforms, bad SRID 300001 is
+    corrected to 2272 first (reference opendata/opendata.py:202-205),
+    4326 passes through."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import PointReprojector
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "shape": pa.array(
+                [
+                    "SRID=2272;POINT(2700000 210000)",
+                    "SRID=300001;POINT(2700000 210000)",  # → treated as 2272
+                    "SRID=4326;POINT(-75 40)",
+                ]
+            ),
+        }
+    )
+    out = PointReprojector("shape")(t)
+    assert out.column_names == ["id", "lon", "lat"]
+    lon, lat = out.column("lon").to_pylist(), out.column("lat").to_pylist()
+    assert lon[0] == lon[1] == 2700000 / 100000.0 + (-75.0)
+    assert lat[0] == lat[1] == 210000 / 100000.0 + 39.0
+    assert (lon[2], lat[2]) == (-75.0, 40.0)
+
+
+def test_point_reprojector_default_srid_and_errors():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import PointReprojector
+
+    t = pa.table({"shape": pa.array(["POINT(2700000 210000)"])})
+    out = PointReprojector("shape", default_srid=2272)(t)
+    assert out.column("lon")[0].as_py() == 2700000 / 100000.0 + (-75.0)
+    with pytest.raises(ValueError, match="no default_srid"):
+        PointReprojector("shape")(t)
+    with pytest.raises(ValueError, match="unparseable"):
+        PointReprojector("shape")(pa.table({"shape": pa.array(["LINESTRING(0 0, 1 1)"])}))
+    # strict mode marks the real-pyproj site: absent library must raise
+    with pytest.raises(NotImplementedError, match="pyproj"):
+        PointReprojector("shape", strict=True)
