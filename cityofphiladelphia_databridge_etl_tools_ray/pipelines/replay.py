@@ -391,6 +391,52 @@ class _MergeCommit:
         return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
 
 
+def validate_replay_sample(
+    changes_ds,
+    *,
+    sample: int = 500,
+    check_ops: bool = True,
+    geom_col: str | None = None,
+    expected_geom_kind: str | None = None,
+) -> None:
+    """Fail-fast sanity gate over the first ``sample`` rows, run on the
+    driver BEFORE the shuffle — the reference's pre-append geometry
+    scan (``ago/ago.py:516-551``: assert the first 500 rows' WKT kind
+    matches the declared type, hard-fail on unknown) generalized to
+    the CDC stream: required columns, PK/lsn nullability, op enum, and
+    optionally the EWKT kind of a geometry column.
+
+    A poisoned WAL therefore dies in milliseconds instead of after a
+    full normalize+shuffle; the per-batch validation in the normalizer
+    still guards the remaining rows.
+    """
+    head = changes_ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    missing = [c for c in ("op", "lsn", "conv_id", "turn_idx") if c not in head.column_names]
+    if missing:
+        raise ValueError(f"replay sample missing required columns: {missing}")
+    for c in ("conv_id", "turn_idx", "lsn"):
+        n_null = pc.sum(pc.cast(pc.is_null(head.column(c)), pa.int64())).as_py() or 0
+        if n_null:
+            raise ValueError(f"replay sample: {n_null} null {c!r} values in first {len(head)} rows")
+    if check_ops:
+        ok = pc.is_in(head.column("op"), value_set=pa.array(list(OPS)))
+        if not pc.all(ok).as_py():
+            bad = pc.unique(head.filter(pc.invert(ok)).column("op")).to_pylist()
+            raise ValueError(f"replay sample: invalid op values {bad}")
+    if geom_col and expected_geom_kind:
+        shapes = head.column(geom_col)
+        kind = pc.struct_field(
+            pc.extract_regex(shapes, r"^(?:SRID=[0-9]+;)?(?P<kind>[A-Z]+)"), "kind"
+        )
+        want = pa.array([expected_geom_kind.upper(), "MULTI" + expected_geom_kind.upper()])
+        ok = pc.is_in(kind, value_set=want)
+        n_bad = len(head) - (pc.sum(pc.cast(pc.fill_null(ok, False), pa.int64())).as_py() or 0)
+        if n_bad:
+            raise ValueError(
+                f"replay sample: {n_bad} rows whose geometry kind != {expected_geom_kind!r}"
+            )
+
+
 def _pk_strings(t: pa.Table):
     """Composite-PK membership key: conv_id ␟ turn_idx (unit separator
     cannot appear in either side) — vectorized string join."""
@@ -426,6 +472,7 @@ def replay_into_lake(
     compact_after: int = 8,
     salt: int | None = None,
     assume_tz: str | None = None,
+    validate_sample: int | None = 500,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
     events at or below each partition's committed watermark are
@@ -448,6 +495,13 @@ def replay_into_lake(
     from ..state.lake import TranscriptLake
 
     lake = TranscriptLake(lake_root)
+    if validate_sample:
+        # fail-fast head-N gate before any shuffle work; op-enum check
+        # only when invalid ops would hard-error anyway (drop /
+        # dead_letter streams legitimately carry bad ops)
+        validate_replay_sample(
+            changes_ds, sample=validate_sample, check_ops=(invalid_ops == "error")
+        )
     ds = _normalized(
         changes_ds,
         ChangeNormalizer(

@@ -465,3 +465,49 @@ def test_snapshot_mode_delete_stale(ray_session, lake_with_base):
     m2 = replay_into_lake(lake.root, ray.data.from_arrow(changes), mode="snapshot")
     assert m2["events_applied"].sum() == 0
     pd.testing.assert_frame_equal(got, lake_state(lake))
+
+
+def test_sanity_gate_poisoned_wal_fails_fast(ray_session, lake_with_base):
+    """The head-N pre-merge gate (reference ago/ago.py:516-551) kills a
+    poisoned WAL before the shuffle: null PKs and bad op enums raise;
+    a geometry-kind mismatch raises in the standalone validator."""
+    import ray.data
+    import pytest as _pytest
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        validate_replay_sample,
+    )
+
+    lake, _ = lake_with_base
+    good = generate_changes(200, n_convs=10, seed=5)
+
+    # null conv_id in the head sample
+    poisoned = good.set_column(
+        good.column_names.index("conv_id"),
+        "conv_id",
+        pa.array([None] + good.column("conv_id").to_pylist()[1:], pa.string()),
+    )
+    with _pytest.raises(ValueError, match="null 'conv_id'"):
+        replay_into_lake(lake.root, ray.data.from_arrow(poisoned))
+
+    # bad op enum caught by the gate when invalid_ops='error'
+    bad_op = good.set_column(
+        good.column_names.index("op"),
+        "op",
+        pa.array(["upsert"] + good.column("op").to_pylist()[1:], pa.string()),
+    )
+    with _pytest.raises(ValueError, match="invalid op"):
+        replay_into_lake(lake.root, ray.data.from_arrow(bad_op))
+
+    # geometry-kind check (standalone): POINT declared, LINESTRING found
+    geo = good.append_column(
+        "shape", pa.array(["SRID=4326;LINESTRING(0 0, 1 1)"] * len(good))
+    )
+    with _pytest.raises(ValueError, match="geometry kind"):
+        validate_replay_sample(
+            ray.data.from_arrow(geo), geom_col="shape", expected_geom_kind="point"
+        )
+    # matching kind (incl. MULTI promotion) passes
+    geo_ok = good.append_column("shape", pa.array(["MULTIPOINT((0 0))"] * len(good)))
+    validate_replay_sample(
+        ray.data.from_arrow(geo_ok), geom_col="shape", expected_geom_kind="point"
+    )
