@@ -843,6 +843,19 @@ def geocode_customers(sf_dir: str):
     )
 
 
+def paged_api_extract(sf_dir: str):
+    """Paginated-REST extract (the reference's Airtable/Knack cursor
+    walk, airtable/airtable.py:70-140, parallelized: page-range work
+    items → actor-pool fetch+normalize).  The fake server's values are
+    sha256-derived from the record id, so the full extract — synthetic
+    objectid, lowercased keys, JSON-encoded nested cells — is
+    SQL-reproducible; record count scales with the documents table."""
+    from ..sources.paged_api import FakePagedServer, read_paged_api
+
+    n = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    return read_paged_api(FakePagedServer(n_records=n), page_size=100)
+
+
 def distinct_segment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
 
@@ -883,6 +896,7 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "paged_api_extract": paged_api_extract,
     "tz_localize_events": tz_localize_events,
     "geocode_customers": geocode_customers,
     "geom_promote_multi": geom_promote_multi,
@@ -1072,6 +1086,18 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    # json cell formats mirror python json.dumps defaults (', ' / ': '
+    # separators); score mirrors the server's sha256(name)[:8] % 100
+    "paged_api_extract": """
+WITH ids AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS i),
+recs AS (SELECT i, printf('rec-%06d', i) AS name FROM ids)
+SELECT CAST(i AS BIGINT) AS objectid,
+       name,
+       CAST(CAST(('0x' || substr(sha256(name), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS score,
+       '["t' || (i % 5) || '", "t' || (i % 3) || '"]' AS tags,
+       '{"k": ' || (i % 7) || '}' AS meta
+FROM recs
 """,
     "tz_localize_events": """
 SELECT event_id,

@@ -34,20 +34,27 @@ DEFAULT_PAGE_SIZE = 1000  # reference page size (airtable/airtable.py:21)
 class FakePagedServer:
     """Deterministic in-memory 'REST API': ``n_records`` records with
     mixed scalar/list/object fields and MixedCase keys (what the
-    normalizer has to fix)."""
+    normalizer has to fix).  Values are sha256-derived from the record
+    id so a SQL oracle can reproduce the whole extract bit-exactly
+    (the FakeCodec convention, stages/multimodal.py); per-row hashing
+    is fine here — this object plays the REMOTE side, not an engine
+    stage."""
 
     def __init__(self, n_records: int, seed: int = 7):
         self.n_records = n_records
-        self.seed = seed
+        self.seed = seed  # kept for interface compat; values are id-derived
 
     def fetch(self, offset: int, limit: int) -> list[dict]:
-        rng = np.random.default_rng(self.seed + offset)
+        import hashlib
+
         out = []
         for i in range(offset, min(offset + limit, self.n_records)):
+            name = f"rec-{i:06d}"
+            score = int(hashlib.sha256(name.encode()).hexdigest()[:8], 16) % 100
             out.append(
                 {
-                    "Name": f"rec-{i:06d}",
-                    "Score": int(rng.integers(0, 100)),
+                    "Name": name,
+                    "Score": score,
                     "Tags": [f"t{i % 5}", f"t{i % 3}"],
                     "Meta": {"k": i % 7},
                 }

@@ -126,3 +126,33 @@ def test_point_reprojector_default_srid_and_errors():
     # strict mode marks the real-pyproj site: absent library must raise
     with pytest.raises(NotImplementedError, match="pyproj"):
         PointReprojector("shape", strict=True)
+
+
+def test_write_csv_gzip_roundtrip_and_idempotence(ray_session, tmp_path):
+    """The OpenData gzip-CSV sink (opendata/opendata.py:68-75):
+    per-block gzip level-7 parts, content-hash named (a rerun rewrites
+    the identical file set), readable back as CSV."""
+    import os
+
+    import pandas as pd
+    import ray.data
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.publish import write_csv_gzip
+
+    t = pa.table(
+        {
+            "id": pa.array(range(1000), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(1000)]),
+        }
+    )
+    out = str(tmp_path / "csv_out")
+    m = write_csv_gzip(ray.data.from_arrow(t).repartition(4), out)
+    assert m["rows"].sum() == 1000
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".csv.gz") for f in files)
+    back = pd.concat(
+        [pd.read_csv(os.path.join(out, f), compression="gzip") for f in files]
+    ).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+    # idempotence: a rerun (retried tasks) produces the same file set
+    write_csv_gzip(ray.data.from_arrow(t).repartition(4), out)
+    assert sorted(os.listdir(out)) == files
