@@ -71,7 +71,7 @@ def text_language_id(sf_dir: str):
     """Stopword-profile language ID (actor pool: profiles built once
     per actor). Non-SQL-expressible → rows-only oracle."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=(2, 8)
     )
 
 

@@ -251,18 +251,43 @@ def events_hourly_user_windows(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def win(b: pa.Table) -> pa.Table:
-        return pa.table(
+        # batch-local partial aggregation (combiner): the shuffle then
+        # moves ≤ one row per (user, hour) per input block instead of
+        # every event — the map-side pre-aggregation rule from SURVEY §4
+        t = pa.table(
             {
                 "user_id": b.column("user_id"),
                 "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
                 "value_cents": _cents(b.column("value")),
             }
         )
+        g = t.group_by(["user_id", "hour"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "hour": g.column("hour"),
+                "part_n": g.column("value_cents_count"),
+                "part_sum": g.column("value_cents_sum"),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hour": b.column("hour"),
+                "n": b.column("part_n_sum"),
+                "sum_value_cents": b.column("part_sum_sum"),
+            }
+        )
 
     return (
         ds.map_batches(win, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .aggregate(Sum("part_n", alias_name="part_n_sum"), Sum("part_sum", alias_name="part_sum_sum"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -843,6 +868,37 @@ def geocode_customers(sf_dir: str):
     )
 
 
+def ago_format_rows(sf_dir: str):
+    """AGO.format_row cleaner (ago/ago.py:436-474) vectorized: strip
+    non-ASCII + quotes/angle brackets from clean columns, falsy→null,
+    flexible date parse.  Noise is injected deterministically so the
+    oracle reproduces the cleaned output bit-exactly."""
+    from ..stages.text import clean_string_columns
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def noisy(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").cast(pa.int64())
+        k = pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(3)), pa.scalar(3)))
+        name = pc.binary_join_element_wise(
+            pa.scalar("é<"), b.column("c_name"), pa.scalar('>"'), ""
+        )
+        datestr = pc.case_when(
+            pc.make_struct(pc.equal(k, 0), pc.equal(k, 1)),
+            pa.scalar("2024-03-01 12:30:00"),
+            pa.scalar("03/05/2024"),
+            pa.scalar("not a date"),
+        )
+        return pa.table({"c_custkey": ck, "name": name, "datestr": datestr})
+
+    def clean(b: pa.Table) -> pa.Table:
+        return clean_string_columns(b, ["name"], date_columns=["datestr"])
+
+    return ds.map_batches(noisy, batch_format="pyarrow").map_batches(
+        clean, batch_format="pyarrow"
+    )
+
+
 def paged_api_extract(sf_dir: str):
     """Paginated-REST extract (the reference's Airtable/Knack cursor
     walk, airtable/airtable.py:70-140, parallelized: page-range work
@@ -853,7 +909,10 @@ def paged_api_extract(sf_dir: str):
     from ..sources.paged_api import FakePagedServer, read_paged_api
 
     n = _read(sf_dir, "documents", columns=["doc_id"]).count()
-    return read_paged_api(FakePagedServer(n_records=n), page_size=100)
+    # 250/page: ≥2 pages at the smallest correctness sf (500 docs) so
+    # the parallel-page path is always exercised, without drowning the
+    # extract in per-page task overhead at larger sf
+    return read_paged_api(FakePagedServer(n_records=n), page_size=250, concurrency=(2, 8))
 
 
 def distinct_segment_stats(sf_dir: str):
@@ -897,6 +956,7 @@ QUERIES = {
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
     "paged_api_extract": paged_api_extract,
+    "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
     "geocode_customers": geocode_customers,
     "geom_promote_multi": geom_promote_multi,
@@ -1086,6 +1146,22 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    "ago_format_rows": r"""
+WITH g AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         'é<' || c_name || '>"' AS name,
+         CASE c_custkey % 3 WHEN 0 THEN '2024-03-01 12:30:00'
+                            WHEN 1 THEN '03/05/2024'
+                            ELSE 'not a date' END AS datestr
+  FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(name, '[^\x00-\x7F]', '', 'g'),
+                      '["''<>]', '', 'g') AS name,
+       coalesce(try_strptime(datestr, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(datestr, '%Y-%m-%d'),
+                try_strptime(datestr, '%m/%d/%Y')) AS datestr
+FROM g
 """,
     # json cell formats mirror python json.dumps defaults (', ' / ': '
     # separators); score mirrors the server's sha256(name)[:8] % 100
