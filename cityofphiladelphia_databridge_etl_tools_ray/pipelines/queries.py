@@ -228,12 +228,27 @@ def cdc_latest_event_per_user(sf_dir: str):
 
 def cdc_partition_watermarks(sf_dir: str):
     """Per-conversation high-watermark + applied-event counts (the
-    manifest lineage view, as a query)."""
-    from ray.data.aggregate import Count, Max
+    manifest lineage view, as a query).  Batch-local (max, count)
+    partials collapse each block to ≤ one row per conv before the
+    shuffle — map-side combining, SURVEY §4."""
+    from ray.data.aggregate import Max, Sum
 
     ds = _derive_changelog(sf_dir)
-    return ds.groupby("conv_id").aggregate(
-        Max("lsn", alias_name="high_lsn"), Count(alias_name="n_events")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("conv_id").aggregate([("lsn", "max"), ("lsn", "count")])
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "part_max": g.column("lsn_max"),
+                "part_n": g.column("lsn_count"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Max("part_max", alias_name="high_lsn"), Sum("part_n", alias_name="n_events"))
     )
 
 
