@@ -28,7 +28,13 @@ import pyarrow as pa
 
 from ..functions import textsig
 from ..functions.lookup import deref
-from ..stages.text import LangId, fingerprints, quality_stats, token_counts
+from ..stages.text import (
+    LangId,
+    bpe_token_counts,
+    fingerprints,
+    quality_stats,
+    token_counts,
+)
 
 SHINGLE_K = 2  # word bigrams
 JACCARD_TAU = 0.5
@@ -58,6 +64,14 @@ def _read_docs(sf_dir: str, columns):
 def text_token_counts(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         token_counts, batch_format="pyarrow"
+    )
+
+
+def text_bpe_token_counts(sf_dir: str):
+    """Token counting under a BPE-ish pretokenizer regex (the
+    whitespace counter's sibling for LLM-training cost estimates)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_counts, batch_format="pyarrow"
     )
 
 

@@ -27,6 +27,7 @@ from .corpus import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    text_bpe_token_counts,
     text_fingerprints,
     text_language_id,
     text_quality_scores,
@@ -979,6 +980,7 @@ QUERIES = {
     "geom_reproject_points": geom_reproject_points,
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
+    "text_bpe_token_counts": text_bpe_token_counts,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
@@ -1249,6 +1251,14 @@ FROM customer
     # and pytest pins the approximate ops against the exact ones.
     "text_token_counts": r"""
 SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    # same RE2 pattern on both sides → identical match counts
+    "text_bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
     "text_quality_scores": r"""

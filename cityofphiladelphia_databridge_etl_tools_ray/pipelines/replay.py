@@ -35,7 +35,11 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import partition_ids
 from ..schema import CHANGE_SCHEMA, OPS
-from ..stages.merge import dedup_last_writer, merge_partition
+from ..stages.merge import (
+    dedup_last_writer,
+    dedup_last_writer_skew_aware,
+    merge_partition,
+)
 
 PART_COL = "_part"
 
@@ -166,14 +170,15 @@ class ChangeNormalizer:
 
         # local combiner: keep max-lsn row per key within the batch —
         # (dead-letter write above happens first so rejected rows are
-        # preserved pre-dedup)
-        # skew mitigation (hot keys collapse before any bytes move).
-        # Skipped when the batch-local duplication is under 20%: the
-        # narrow winner count is computed either way, but the wide
-        # gather only pays for itself at real reduction rates.
-        batch = dedup_last_writer(batch, min_reduction=0.2)
-
-        return _with_part_col(batch, self.num_partitions)
+        # preserved pre-dedup).  Skew-aware gate: gathers when the
+        # batch-global reduction clears 20%, OR when any single hash
+        # partition would shed ≥50% of its rows — concentrated hot-key
+        # duplication that a global gate misses (and which otherwise
+        # serializes that partition's reducer; see
+        # stages/merge.dedup_last_writer_skew_aware).
+        pids = partition_ids(batch.column("conv_id"), self.num_partitions)
+        batch, pids = dedup_last_writer_skew_aware(batch, pids, self.num_partitions)
+        return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
     def _write_dead_letter(self, rejected: pa.Table) -> None:
         """Dead-letter Parquet file per rejected batch, content-hash

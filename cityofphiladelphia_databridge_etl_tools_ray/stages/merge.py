@@ -105,6 +105,51 @@ def dedup_last_writer(
     return changes.take(win)
 
 
+def dedup_last_writer_skew_aware(
+    changes: pa.Table,
+    partition_of_row,
+    num_partitions: int,
+    keys: list[str] = PRIMARY_KEY,
+    order_col: str = "lsn",
+    global_gate: float = 0.2,
+    partition_gate: float = 0.5,
+):
+    """Pre-shuffle combiner with a SKEW-AWARE gather gate.
+
+    The plain ``min_reduction`` gate compares winner count to the whole
+    batch — but hot-key duplication is concentrated: a stream sending
+    10% of its events to one conversation shows only ~10% batch-global
+    reduction (below any sane global gate) while that conversation's
+    merge partition receives 10% of ALL rows and serializes one reducer
+    (measured: a 1.75M-row reduce block vs 63k mean; an 18s merge task
+    vs 1.7s mean).  So: gather if the batch-global reduction clears
+    ``global_gate``, OR if any single hash partition would shed at
+    least ``partition_gate`` of ITS rows — the skew signature.  Both
+    tests need only the narrow key sort + two bincounts.
+
+    Returns ``(table, pids)`` where ``pids`` is the partition id per
+    OUTPUT row (computed once, reused by the caller's routing column).
+    """
+    import numpy as np
+
+    pids = np.asarray(partition_of_row, dtype=np.int32)
+    if len(changes) == 0:
+        return changes, pids
+    win = _winner_indices(changes, keys, order_col)
+    if len(win) == len(changes):
+        return changes, pids
+    win_np = win.to_numpy(zero_copy_only=False)
+    if len(win) < len(changes) * (1.0 - global_gate):
+        return changes.take(win), pids[win_np]
+    tot = np.bincount(pids, minlength=num_partitions)
+    kept = np.bincount(pids[win_np], minlength=num_partitions)
+    dropped = tot - kept
+    hot = dropped >= partition_gate * np.maximum(tot, 1)
+    if hot.any():
+        return changes.take(win), pids[win_np]
+    return changes, pids
+
+
 def merge_partition(
     base: pa.Table | None,
     changes: pa.Table,

@@ -31,6 +31,22 @@ LANG_PROFILES = {
 }
 
 
+#: GPT-2-style pretokenizer regex (public knowledge, RE2-compatible:
+#: no lookahead — the trailing-space distinction the original encodes
+#: via ``(?!\S)`` is irrelevant for counting).  Matches contractions,
+#: letter runs, digit runs, punctuation runs, and whitespace runs.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id + n_bpe_tokens under the GPT-2-ish pretokenizer regex —
+    one ``pc.count_substring_regex`` per batch (RE2, the same engine
+    DuckDB uses, so the oracle reproduces the count exactly)."""
+    t = batch.column(text_col)
+    n = pc.cast(pc.count_substring_regex(t, BPE_TOKEN_RE), pa.int64())
+    return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": n})
+
+
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """doc_id + n_tokens, where n_tokens = number of pieces when
     splitting on runs of whitespace (DuckDB

@@ -188,3 +188,60 @@ def test_lsn_tie_later_row_wins():
     )
     out = merge_partition(None, ch)
     assert out.to_pylist()[0]["text"] == "second"
+
+
+def test_skew_aware_combiner_gate():
+    """The skew-aware pre-shuffle combiner gathers when duplication is
+    concentrated in one hash partition (the hot-conversation
+    signature) even though batch-global duplication is low; stays
+    zero-gather on evenly-spread low duplication."""
+    import numpy as np
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.merge import (
+        dedup_last_writer_skew_aware,
+    )
+
+    P = 16
+
+    def mk(convs, turns, lsns):
+        n = len(convs)
+        return pa.table(
+            {
+                "op": pa.array(["update"] * n),
+                "lsn": pa.array(lsns, pa.int64()),
+                "conv_id": pa.array(convs),
+                "turn_idx": pa.array(turns, pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array([f"t{i}" for i in range(n)]),
+                "tool": pa.array([None] * n, pa.string()),
+                "ts": pa.array([None] * n, pa.timestamp("us")),
+            }
+        )
+
+    # hot case: 900 unique cold keys + 100 events on ONE hot key
+    convs = [f"c{i}" for i in range(900)] + ["hot"] * 100
+    turns = list(range(900)) + [0] * 100
+    t = mk(convs, turns, list(range(1000)))
+    pids = partition_ids(t.column("conv_id"), P)
+    out, out_pids = dedup_last_writer_skew_aware(t, pids, P)
+    assert len(out) == 901  # hot key collapsed to its max-lsn row
+    assert len(out_pids) == 901
+    hot_rows = out.filter(pc.equal(out.column("conv_id"), "hot"))
+    assert hot_rows.column("lsn").to_pylist() == [999]  # LWW winner
+    # routing ids follow the gathered rows
+    assert (out_pids == partition_ids(out.column("conv_id"), P)).all()
+
+    # cold case: 2% duplication spread across many keys → no gather
+    convs2 = [f"c{i}" for i in range(1000)] + [f"c{i}" for i in range(20)]
+    turns2 = list(range(1000)) + list(range(20))
+    t2 = mk(convs2, turns2, list(range(1020)))
+    pids2 = partition_ids(t2.column("conv_id"), P)
+    out2, _ = dedup_last_writer_skew_aware(t2, pids2, P)
+    assert len(out2) == 1020  # untouched (gate not cleared)
+
+    # heavy global duplication → gather via the global gate
+    convs3 = ["a", "b"] * 500
+    turns3 = [0, 0] * 500
+    t3 = mk(convs3, turns3, list(range(1000)))
+    out3, _ = dedup_last_writer_skew_aware(t3, partition_ids(t3.column("conv_id"), P), P)
+    assert len(out3) == 2
