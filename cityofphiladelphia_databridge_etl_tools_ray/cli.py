@@ -64,6 +64,7 @@ def cmd_replay(args) -> int:
         dead_letter_dir=args.dead_letter_dir,
         mode=args.mode,
         compact_after=args.compact_after,
+        assume_tz=args.assume_tz,
     )
     print(metrics.to_json(orient="records"))
     ray.shutdown()
@@ -143,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="merge = copy-on-write partition rewrite; delta = O(batch) run append with merge-on-read",
     )
     c.add_argument("--compact-after", type=int, default=8, help="fold delta runs after this many")
+    c.add_argument(
+        "--assume-tz",
+        default=None,
+        help="localize naive timestamps as this zone (e.g. US/Eastern), normalized to UTC",
+    )
     c.set_defaults(fn=cmd_replay)
 
     c = sub.add_parser("compact", help="fold delta runs into base runs")
