@@ -213,6 +213,30 @@ def _with_part_col(batch: pa.Table, num_partitions: int = 1) -> pa.Table:
 SALT_COL = "_salt"
 
 
+def _enable_push_shuffle() -> None:
+    """Select Ray's push-based sort shuffle for the replay jobs.
+
+    The replay's one all-to-all exchange moves the full payload; the
+    default pull-based sort shuffle materializes every map task's
+    partitioned sub-blocks before any reduce starts — an extra full
+    pass of memory traffic.  Push-based shuffle pipelines the reduce
+    merge into the map wave.  Measured on the 16M-event replay at 32
+    CPUs: median 29s vs 46s pull-based vs 56s hash (identical output).
+    Session-global (DataContext), set when a replay pipeline is built;
+    override with GRAFT_SHUFFLE=SORT_SHUFFLE_PULL_BASED|HASH_SHUFFLE.
+    """
+    import os
+
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+    except ImportError:  # API drift guard
+        return
+    name = os.environ.get("GRAFT_SHUFFLE", "SORT_SHUFFLE_PUSH_BASED")
+    strategy = getattr(ShuffleStrategy, name, None)
+    if strategy is not None:
+        DataContext.get_current().shuffle_strategy = strategy
+
+
 def _merge_group_to_state(group: pa.Table, keep_lsn: bool) -> pa.Table:
     changes = group.drop_columns([PART_COL])
     return merge_partition(None, changes, keep_lsn=keep_lsn)
@@ -267,6 +291,7 @@ def replay_to_table(
     (partition, lsn%S) with a parallel pre-reduce, then the final
     per-partition merge — for update-heavy streams where single
     conversations would otherwise serialize one reducer."""
+    _enable_push_shuffle()
     ds = _normalized(
         changes_ds,
         ChangeNormalizer(num_partitions, rename_map=rename_map, assume_tz=assume_tz),
@@ -507,6 +532,7 @@ def replay_into_lake(
         validate_replay_sample(
             changes_ds, sample=validate_sample, check_ops=(invalid_ops == "error")
         )
+    _enable_push_shuffle()
     ds = _normalized(
         changes_ds,
         ChangeNormalizer(
