@@ -250,8 +250,57 @@ def scaling():
     )
 
 
+def stats():
+    """Print the replay pipeline's per-operator ``ds.stats()`` after one
+    warmup + one timed pass at RAY_GRAFT_CPUS — the reproducible
+    stage-level evidence for the scaling analysis in BASELINE.md
+    (host-phase-independent structural metrics: max block rows, max
+    task wall time, per-operator remote CPU)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        ChangeNormalizer,
+        _enable_push_shuffle,
+        _MergeCommit,
+        _normalized,
+        PART_COL,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    _enable_push_shuffle()
+    wal = build_wal()
+    read_change_log(wal).count()
+    metrics = None
+    for rep in range(2):  # warmup + timed
+        root = os.path.join(BENCH_DIR, f"stats-{num_cpus}-{rep}")
+        shutil.rmtree(root, ignore_errors=True)
+        TranscriptLake.create(root, num_partitions=N_PARTITIONS)
+        lake = TranscriptLake(root)
+        ds = _normalized(
+            read_change_log(wal),
+            ChangeNormalizer(lake.num_partitions, min_lsn_exclusive=lake.min_watermark()),
+            None,
+        )
+        metrics = ds.groupby(PART_COL).map_groups(_MergeCommit(root), batch_format="pyarrow")
+        t0 = time.perf_counter()
+        metrics.to_pandas()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
+    print(f"timed replay: {dt:.1f}s at {num_cpus} CPUs")
+    print(metrics.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stats" in sys.argv:
+        stats()
     else:
         main()

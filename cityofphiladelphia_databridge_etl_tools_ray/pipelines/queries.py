@@ -8,10 +8,12 @@ computed as integer cents (``round(x*100)`` with ties away from zero,
 identical IEEE fp on both sides) so value hashes compare exactly.
 
 Design rules (SURVEY.md §4): prune columns at the read; vectorized
-Arrow kernels in ``map_batches``; broadcast small join sides via
-``ray.put`` + ``SortedIntMap`` (no per-batch re-shipping, no shuffle
-joins for dimension tables); the only all-to-all exchanges are the
-final small ``groupby``/``sort`` steps.
+Arrow kernels in ``map_batches``; broadcast join sides are REDUCED on
+the cluster first (Ray-side filters / distinct / dimension joins) so
+only the small result is collected and ``ray.put`` once — never a raw
+fact table on the driver; probe stages are stateless task functions
+reading the broadcast zero-copy from plasma (elastic parallelism);
+map-side partial aggregation precedes every wide ``groupby``.
 """
 
 from __future__ import annotations
