@@ -85,3 +85,29 @@ def test_invalid_op_error_mode_raises(ray_session, tmp_path):
     TranscriptLake.create(lake_root, num_partitions=2)
     with pytest.raises(Exception, match="invalid op|bogus|RayTaskError"):
         replay_into_lake(lake_root, read_change_log(str(wal_dir)))
+
+
+def test_cli_replay_assume_tz(ray_session, tmp_path):
+    """CLI --assume-tz threads through to the normalizer: replayed ts
+    payloads arrive as UTC instants."""
+    import pandas as pd
+
+    changes = generate_changes(500, n_convs=20, seed=31)
+    wal = str(tmp_path / "wal")
+    write_change_log(changes, wal, n_files=2)
+    root = str(tmp_path / "lake")
+    assert main(["create-lake", root, "--partitions", "4"]) == 0
+    assert main(["replay", root, wal, "--assume-tz", "US/Eastern"]) == 0
+
+    got = TranscriptLake(root).read_all().to_pandas().set_index(["conv_id", "turn_idx"])
+    plain_root = str(tmp_path / "lake2")
+    assert main(["create-lake", plain_root, "--partitions", "4"]) == 0
+    assert main(["replay", plain_root, wal]) == 0
+    plain = TranscriptLake(plain_root).read_all().to_pandas().set_index(["conv_id", "turn_idx"])
+    shifted = (
+        plain["ts"]
+        .dt.tz_localize("US/Eastern", ambiguous=True, nonexistent="shift_backward")
+        .dt.tz_convert("UTC")
+        .dt.tz_localize(None)
+    )
+    pd.testing.assert_series_equal(got["ts"].sort_index(), shifted.sort_index(), check_names=False)

@@ -221,3 +221,35 @@ def test_embedding_cosine_bucketed_vs_exact(ray_session):
     assert e  # sf0.01 plants at least one qualifying pair
     assert b <= e  # in-bucket scoring is exact → no false positives
     assert len(b & e) / len(e) >= 0.5  # multi-probe recall floor
+
+
+def test_bpe_token_counts_kernel():
+    """BPE-ish pretokenizer counts: contractions, letter/digit runs,
+    punctuation runs, whitespace runs — one RE2 count per batch."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import bpe_token_counts
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["Hello, world! It's 42 degrees.", "", "don't we'll"]),
+        }
+    )
+    out = bpe_token_counts(t)
+    # Hello |,| world|!| It|'s| 42| degrees|. → 9; '' → 0;
+    # don|'t| we|'ll → 4
+    assert out.column("n_bpe_tokens").to_pylist() == [9, 0, 4]
+
+
+def test_clean_string_columns_edge_cases():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import clean_string_columns
+
+    t = pa.table(
+        {
+            "name": pa.array(['a<b>"c\'d', "ééé", "", None]),
+            "d": pa.array(["2024-03-01 12:30:00", "03/05/2024", "2024-12-25", "bogus"]),
+        }
+    )
+    out = clean_string_columns(t, ["name"], date_columns=["d"])
+    assert out.column("name").to_pylist() == ["abcd", None, None, None]
+    d = out.column("d").to_pylist()
+    assert [x is not None for x in d] == [True, True, True, False]
