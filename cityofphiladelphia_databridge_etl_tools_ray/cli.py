@@ -78,6 +78,13 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_export_schema(args) -> int:
+    from .state.lake import TranscriptLake
+
+    print(json.dumps(TranscriptLake(args.root).export_json_schema(), indent=2))
+    return 0
+
+
 def cmd_watermarks(args) -> int:
     from .state.lake import TranscriptLake
 
@@ -158,6 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("metrics", help="per-partition lineage + lag metrics")
     c.add_argument("root")
     c.set_defaults(fn=cmd_metrics)
+
+    c = sub.add_parser("export-schema", help="frictionless JSON Table Schema of the lake")
+    c.add_argument("root")
+    c.set_defaults(fn=cmd_export_schema)
 
     c = sub.add_parser("watermarks", help="committed high-LSN per partition")
     c.add_argument("root")

@@ -300,6 +300,48 @@ class TranscriptLake:
             "watermark_lag": max(wms) - min(wms),  # skew indicator
         }
 
+    def export_json_schema(self) -> dict:
+        """Frictionless-style JSON Table Schema for the lake — the
+        reference's catalog-driven schema exporter
+        (postgres/_properties.py:36-85: information_schema + PK
+        constraint → ``{fields: [{name, type}], primaryKey}`` sidecar),
+        derived here from the committed partition manifests' unified
+        Arrow schema (falling back to the creation schema)."""
+        from ..schema import PRIMARY_KEY, promote_schemas
+
+        schema = self.base_schema
+        part_schemas = [
+            _schema_from_json(m.schema_json)
+            for p in range(self.num_partitions)
+            if (m := self.manifest(p)) and m.schema_json
+        ]
+        for s in part_schemas:
+            schema = promote_schemas(schema, s)
+
+        def friction_type(t: pa.DataType) -> str:
+            if pa.types.is_integer(t):
+                return "integer"
+            if pa.types.is_floating(t) or pa.types.is_decimal(t):
+                return "number"
+            if pa.types.is_boolean(t):
+                return "boolean"
+            if pa.types.is_timestamp(t):
+                return "datetime"
+            if pa.types.is_date(t):
+                return "date"
+            if pa.types.is_time(t):
+                return "time"
+            if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t):
+                return "object"
+            return "string"
+
+        return {
+            "fields": [
+                {"name": f.name, "type": friction_type(f.type)} for f in schema
+            ],
+            "primaryKey": [k for k in PRIMARY_KEY if k in schema.names],
+        }
+
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by any manifest (orphans
         from crashes between data write and manifest replace)."""

@@ -111,3 +111,23 @@ def test_cli_replay_assume_tz(ray_session, tmp_path):
         .dt.tz_localize(None)
     )
     pd.testing.assert_series_equal(got["ts"].sort_index(), shifted.sort_index(), check_names=False)
+
+
+def test_export_json_schema(ray_session, tmp_path):
+    """Frictionless-style schema sidecar from the lake manifests —
+    the reference's export_json_schema (postgres/_properties.py:36-85)
+    including evolution: a replayed extra column appears."""
+    import ray.data
+
+    changes = generate_changes(300, n_convs=10, seed=7)
+    changes = changes.append_column("score", pa.array([1.5] * len(changes), pa.float64()))
+    root = str(tmp_path / "lake")
+    assert main(["create-lake", root, "--partitions", "4"]) == 0
+    replay_into_lake(root, ray.data.from_arrow(changes))
+    sidecar = TranscriptLake(root).export_json_schema()
+    by_name = {f["name"]: f["type"] for f in sidecar["fields"]}
+    assert by_name["conv_id"] == "string"
+    assert by_name["turn_idx"] == "integer"
+    assert by_name["ts"] == "datetime"
+    assert by_name["score"] == "number"  # evolved column present
+    assert sidecar["primaryKey"] == ["conv_id", "turn_idx"]
