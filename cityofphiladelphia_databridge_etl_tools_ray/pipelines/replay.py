@@ -540,7 +540,12 @@ def replay_into_lake(
             rename_map=rename_map,
             invalid_ops=invalid_ops,
             dead_letter_dir=dead_letter_dir,
-            min_lsn_exclusive=lake.min_watermark(),
+            # snapshot mode keeps below-watermark rows through the
+            # shuffle: their PRESENCE is what marks a partition as
+            # covered by the snapshot (the unseen-partition sweep
+            # truncates the rest), and the per-group watermark filter
+            # still no-ops re-applied events.
+            min_lsn_exclusive=(-1 if mode == "snapshot" else lake.min_watermark()),
             assume_tz=assume_tz,
         ),
         concurrency,
@@ -551,4 +556,73 @@ def replay_into_lake(
         _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
         batch_format="pyarrow",
     )
-    return metrics.to_pandas()
+    out = metrics.to_pandas()
+    if mode == "snapshot" and len(out):
+        stale = _truncate_unseen_partitions(
+            lake, touched=set(out["partition_id"]), snapshot_lsn=int(out["watermark_after"].max())
+        )
+        if len(stale):
+            import pandas as pd
+
+            out = pd.concat([out, stale], ignore_index=True)
+    return out
+
+
+def _truncate_unseen_partitions(lake, *, touched: set, snapshot_lsn: int):
+    """Snapshot-mode sweep for partitions the snapshot stream carried
+    NO rows for: every key of such a partition vanished upstream, so
+    its rows are all stale and the partition is truncated to empty
+    (the table-wide reach of the reference's DELETE .. USING EXCEPT,
+    postgres/postgres.py:450-495 — the per-group anti-join in
+    ``_MergeCommit`` can only see partitions the groupby visits).
+
+    One Ray task per non-empty unseen partition (parallel, and
+    idempotent: re-running commits the same empty state at the same
+    ``snapshot_lsn``).  Returns a metrics DataFrame shaped like the
+    merge metrics (one row per truncated partition).
+    """
+    import pandas as pd
+    import ray
+
+    candidates = []
+    for pid in range(lake.num_partitions):
+        if pid in touched or lake.watermark(pid) >= snapshot_lsn:
+            continue
+        m = lake.manifest(pid)
+        if m is None or m.row_count == 0:
+            continue  # already empty (row_count == -1 means unknown → sweep)
+        candidates.append(pid)
+    if not candidates:
+        return pd.DataFrame()
+
+    root = lake.root
+
+    @ray.remote(num_cpus=1)
+    def truncate(pid: int) -> pa.Table:
+        from ..state.lake import TranscriptLake
+
+        lk = TranscriptLake(root)
+        t0 = time.perf_counter()
+        base = lk.read_partition(pid)
+        wm = lk.watermark(pid)
+        if len(base) == 0:  # delta runs resolved to empty — just stamp
+            empty = base
+        else:
+            empty = base.schema.empty_table()
+        m = lk.commit_partition(
+            pid,
+            empty,
+            snapshot_lsn,
+            lineage_record={
+                "lsn_lo": snapshot_lsn,
+                "lsn_hi": snapshot_lsn,
+                "events_applied": 0,
+                "deleted_stale": len(base),
+                "rows_before": len(base),
+                "rows_after": 0,
+            },
+        )
+        return _metrics_row(pid, wm, snapshot_lsn, 0, m, time.perf_counter() - t0)
+
+    tables = ray.get([truncate.remote(p) for p in candidates])
+    return pa.concat_tables(tables).to_pandas()

@@ -467,6 +467,54 @@ def test_snapshot_mode_delete_stale(ray_session, lake_with_base):
     pd.testing.assert_frame_equal(got, lake_state(lake))
 
 
+def test_snapshot_mode_truncates_unseen_partitions(ray_session, lake_with_base):
+    """A full snapshot that carries ZERO rows for some hash partition
+    means every key of that partition vanished upstream — the sweep
+    after the per-group merge must truncate it (the table-wide reach
+    of the reference's DELETE .. USING EXCEPT,
+    postgres/postgres.py:450-495), and re-running must be a no-op."""
+    import ray.data
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
+
+    lake, base = lake_with_base
+    pids = partition_ids(base.column("conv_id"), lake.num_partitions)
+    dead = {0, 3}  # partitions whose every conversation was deleted upstream
+    keep_mask = ~np.isin(pids, list(dead))
+    snap = base.filter(pa.array(keep_mask))
+    changes = pa.table(
+        {
+            "op": pa.array(["update"] * len(snap), pa.string()),
+            "lsn": pa.array(np.arange(1000, 1000 + len(snap)), pa.int64()),
+            "conv_id": snap.column("conv_id"),
+            "turn_idx": snap.column("turn_idx"),
+            "role": snap.column("role"),
+            "text": snap.column("text"),
+            "tool": snap.column("tool"),
+            "ts": snap.column("ts").cast(pa.timestamp("us")),
+        }
+    )
+    n_dead_rows = int((~keep_mask).sum())
+    assert n_dead_rows > 0  # fixture must exercise the sweep
+
+    m = replay_into_lake(lake.root, ray.data.from_arrow(changes), mode="snapshot")
+    # sweep rows present in the metrics frame, one per truncated partition
+    swept = m[m["events_applied"] == 0]
+    assert set(swept["partition_id"]) == dead
+    assert swept["row_count"].sum() == 0
+    for pid in dead:
+        assert len(lake.read_partition(pid)) == 0
+        assert lake.watermark(pid) == m["watermark_after"].max()
+    got = lake_state(lake)
+    assert len(got) == len(snap)
+    assert_text_equal(got, snap.to_pandas())
+
+    # idempotence: same snapshot again → no events, no further sweeps
+    m2 = replay_into_lake(lake.root, ray.data.from_arrow(changes), mode="snapshot")
+    assert m2["events_applied"].sum() == 0
+    assert not (m2[m2["partition_id"].isin(dead)]["row_count"] != 0).any()
+    pd.testing.assert_frame_equal(got, lake_state(lake))
+
+
 def test_sanity_gate_poisoned_wal_fails_fast(ray_session, lake_with_base):
     """The head-N pre-merge gate (reference ago/ago.py:516-551) kills a
     poisoned WAL before the shuffle: null PKs and bad op enums raise;
