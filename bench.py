@@ -35,11 +35,15 @@ N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "16000000"))
 N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "200000"))
 N_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "128"))
 WAL_FILES = 128
+# WAL segment format: Arrow IPC + lz4 ("ipc") decodes 3-6x faster than
+# parquet — the replay's read stage is its largest CPU consumer (see
+# sources/changelog.py).  GRAFT_WAL_FORMAT=parquet to compare.
+WAL_FORMAT = os.environ.get("GRAFT_WAL_FORMAT", "ipc")
 
 
 def build_wal() -> str:
     """Deterministic change log, cached across runs/processes."""
-    wal_dir = os.path.join(BENCH_DIR, f"wal-{N_EVENTS}-{N_CONVS}")
+    wal_dir = os.path.join(BENCH_DIR, f"wal-{N_EVENTS}-{N_CONVS}-{WAL_FORMAT}")
     done = os.path.join(wal_dir, ".done")
     if os.path.exists(done):
         return wal_dir
@@ -59,7 +63,7 @@ def build_wal() -> str:
         dup_frac=0.02,
         seed=42,
     )
-    write_change_log(changes, wal_dir, n_files=WAL_FILES)
+    write_change_log(changes, wal_dir, n_files=WAL_FILES, format=WAL_FORMAT)
     with open(done, "w") as f:
         f.write("ok")
     return wal_dir
@@ -122,7 +126,7 @@ def run_replay(num_cpus: int) -> dict:
 
 def build_tail_wal() -> str:
     tail_n = N_EVENTS // 16
-    wal_dir = os.path.join(BENCH_DIR, f"tailwal-{tail_n}-{N_CONVS}")
+    wal_dir = os.path.join(BENCH_DIR, f"tailwal-{tail_n}-{N_CONVS}-{WAL_FORMAT}")
     done = os.path.join(wal_dir, ".done")
     if os.path.exists(done):
         return wal_dir
@@ -142,7 +146,7 @@ def build_tail_wal() -> str:
         hot_frac=0.1,
         seed=43,
     )
-    write_change_log(changes, wal_dir, n_files=max(WAL_FILES // 16, 4))
+    write_change_log(changes, wal_dir, n_files=max(WAL_FILES // 16, 4), format=WAL_FORMAT)
     with open(done, "w") as f:
         f.write("ok")
     return wal_dir

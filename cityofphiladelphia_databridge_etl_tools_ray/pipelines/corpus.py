@@ -33,6 +33,7 @@ from ..stages.text import (
     bpe_token_counts,
     fingerprints,
     quality_stats,
+    repetition_stats,
     token_counts,
 )
 
@@ -72,6 +73,14 @@ def text_bpe_token_counts(sf_dir: str):
     whitespace counter's sibling for LLM-training cost estimates)."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         bpe_token_counts, batch_format="pyarrow"
+    )
+
+
+def text_repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-token and
+    top-token concentration numerators) — per-batch, shuffle-free."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pyarrow"
     )
 
 

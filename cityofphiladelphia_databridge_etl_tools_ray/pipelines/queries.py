@@ -33,6 +33,7 @@ from .corpus import (
     text_fingerprints,
     text_language_id,
     text_quality_scores,
+    text_repetition_scores,
     text_token_counts,
 )
 from .multimodal import (
@@ -199,6 +200,57 @@ def cdc_snapshot_delete_stale(sf_dir: str):
     lake = TranscriptLake(root)
     out = lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
     return out
+
+
+def cdc_replay_delta(sf_dir: str):
+    """Delta-mode replay through the real lake path — the reference's
+    Oracle.append / incremental-tail shape (oracle/oracle.py:272-305)
+    with O(batch) run commits, merge-on-read, and compaction:
+
+    1. first half of the WAL (lsn ≤ mid) as a full merge load;
+    2. second half as TWO delta tails (run accumulation across
+       commits, ``compact_after=2`` so the compaction path runs);
+    3. state read via the partition-parallel merge-on-read dataset.
+
+    Final state must equal the one-shot LWW replay of the whole WAL,
+    which the oracle expresses directly.
+    """
+    import os
+    import shutil
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+    q3 = mid + (max_lsn - mid) // 2
+
+    root = os.path.join(
+        "/tmp", f"dbr_delta_lake_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    TranscriptLake.create(root, num_partitions=16)
+
+    def lsn_range(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
+            )
+            return b.filter(keep)
+
+        return f
+
+    def slice_wal(lo, hi):
+        return _derive_changelog(sf_dir).map_batches(
+            lsn_range(lo, hi), batch_format="pyarrow"
+        )
+
+    replay_into_lake(root, slice_wal(-1, mid))
+    replay_into_lake(root, slice_wal(mid, q3), mode="delta", compact_after=2)
+    replay_into_lake(root, slice_wal(q3, max_lsn), mode="delta", compact_after=2)
+
+    lake = TranscriptLake(root)
+    return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
 
 
 def cdc_latest_event_per_user(sf_dir: str):
@@ -956,6 +1008,7 @@ QUERIES = {
     "cdc_replay_full": cdc_replay_full,
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
+    "cdc_replay_delta": cdc_replay_delta,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -984,6 +1037,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_bpe_token_counts": text_bpe_token_counts,
     "text_quality_scores": text_quality_scores,
+    "text_repetition_scores": text_repetition_scores,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
@@ -1041,6 +1095,16 @@ SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <>
 )
 SELECT conv_id, turn_idx, role, text, ts
 FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
+""",
+    # delta-mode replay must converge to the same LWW state as the
+    # one-shot replay (tombstones excluded, lsn not kept in the lake)
+    "cdc_replay_delta": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -1262,6 +1326,17 @@ SELECT doc_id,
          '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
          AS BIGINT) AS n_bpe_tokens
 FROM documents
+""",
+    # integer-only repetition numerators: no float rounding on either side
+    "text_repetition_scores": r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents),
+u AS (SELECT doc_id, unnest(l) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count
+FROM c GROUP BY doc_id
 """,
     "text_quality_scores": r"""
 WITH t AS (

@@ -11,6 +11,17 @@ the read:
   on resume;
 - **row-group pruning + column projection** via
   ``ray.data.read_parquet(filter=..., columns=...)`` pushdown.
+
+Segments come in two formats (datagen.write_change_log):
+
+- ``.parquet`` — columnar-scan friendly; row-group pruning + column
+  projection pushdown.
+- ``.arrow`` — Arrow IPC with lz4 frames, the tail-optimized format:
+  a WAL segment is written once and tailed once, so decode CPU (not
+  scan compression) is what matters — IPC decode measures 3-6× faster
+  than parquet on the same segments, and the replay's read stage is
+  its single largest CPU consumer.  Decoded one segment per Ray task
+  (the natural log-segment granularity), filtered after decode.
 """
 
 from __future__ import annotations
@@ -18,7 +29,7 @@ from __future__ import annotations
 import os
 import re
 
-_LSN_RANGE = re.compile(r"lsn-(\d+)-(\d+)\.parquet$")
+_LSN_RANGE = re.compile(r"lsn-(\d+)-(\d+)\.(parquet|arrow)$")
 
 
 def prune_files_by_lsn(paths: list[str], min_lsn_exclusive: int) -> list[str]:
@@ -46,7 +57,9 @@ def read_change_log(
 
     if isinstance(path, str) and os.path.isdir(path):
         paths = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".parquet", ".arrow"))
         )
     elif isinstance(path, str):
         paths = [path]
@@ -59,4 +72,39 @@ def read_change_log(
 
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
     flt = (pc.field("lsn") > min_lsn_exclusive) if min_lsn_exclusive >= 0 else None
-    return ray.data.read_parquet(paths, columns=columns, filter=flt)
+    pq_paths = [p for p in paths if p.endswith(".parquet")]
+    ipc_paths = [p for p in paths if p.endswith(".arrow")]
+    parts = []
+    if pq_paths:
+        parts.append(ray.data.read_parquet(pq_paths, columns=columns, filter=flt))
+    if ipc_paths:
+        parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    return ds
+
+
+def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+    """Arrow-IPC WAL segments as a Dataset: one decode task per
+    segment file (streaming — segments enter the pipeline as their
+    task runs, with normal backpressure)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def decode(b: pa.Table) -> pa.Table:
+        from pyarrow import feather
+
+        tabs = []
+        for p in b.column("path").to_pylist():
+            t = feather.read_table(p, columns=columns)
+            if min_lsn_exclusive >= 0:
+                t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    items = ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    )
+    return items.map_batches(decode, batch_format="pyarrow")

@@ -59,6 +59,46 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (public-knowledge
+    training-data quality filters — Rae et al. 2021 §A1.1: documents
+    dominated by repeated tokens/n-grams are boilerplate): token
+    count, distinct-token count, and the most-frequent-token count.
+    All integers — duplicate fraction and top-token concentration
+    derive exactly downstream, and integer outputs value-hash
+    identically to the SQL oracle.
+
+    Vectorized: one regex split per batch, ``dictionary_encode`` to
+    int codes (C++ kernel), one ``np.unique`` over composite
+    (doc, code) keys, then ``np.maximum.reduceat`` for the per-doc
+    mode count — no per-row/per-token Python loop."""
+    toks = pc.split_pattern_regex(batch.column(text_col), TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = len(batch)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    lens = off[1:] - off[:-1]
+    flat = toks.values.slice(off[0], off[-1] - off[0])
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = int(codes.max()) + 1 if len(codes) else 1
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+    uniq, counts = np.unique(doc_ix * k + codes, return_counts=True)
+    doc_of_uniq = uniq // k
+    n_distinct = np.bincount(doc_of_uniq, minlength=n)
+    top = np.zeros(n, dtype=np.int64)
+    if len(uniq):
+        starts = np.r_[0, np.flatnonzero(np.diff(doc_of_uniq)) + 1]
+        top[doc_of_uniq[starts]] = np.maximum.reduceat(counts, starts)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "top_count": pa.array(top),
+        }
+    )
+
+
 def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-score features: char count, token count, stopword
     count/ratio.  Ratios are exact int/int divisions → identical fp

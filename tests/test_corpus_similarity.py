@@ -109,6 +109,31 @@ def test_langid_vectorized_predictions():
     assert scores[0] == 5 and scores[3] == 0 and scores[4] == 0
 
 
+def test_repetition_stats_kernel():
+    """Integer repetition numerators match hand counts, including the
+    degenerate cases (empty string → one empty token; all-same doc →
+    top_count == n_tokens)."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a c a b",  # 6 tokens, 3 distinct, top 'a'×3
+                    "spam spam spam spam",  # all-same
+                    "each word here once",  # all-distinct
+                    "",  # split('') → [''] → 1 token
+                ]
+            ),
+        }
+    )
+    out = repetition_stats(batch)
+    assert out.column("n_tokens").to_pylist() == [6, 4, 4, 1]
+    assert out.column("n_distinct").to_pylist() == [3, 1, 4, 1]
+    assert out.column("top_count").to_pylist() == [3, 4, 1, 1]
+
+
 # ------------------------- pipelines (Ray) -------------------------
 
 

@@ -178,6 +178,42 @@ def test_prune_files_by_lsn():
     assert prune_files_by_lsn(paths, 99) == paths[1:]
     assert prune_files_by_lsn(paths, 98) == paths
     assert prune_files_by_lsn(paths, 500) == ["wal/other.parquet"]
+    # IPC segments prune by the same filename convention
+    ipc = ["wal/changes-00000-lsn-0-100.arrow", "wal/changes-00001-lsn-100-200.arrow"]
+    assert prune_files_by_lsn(ipc, 99) == ipc[1:]
+
+
+def test_ipc_wal_roundtrip(ray_session, tmp_path):
+    """Arrow-IPC WAL segments (the tail-optimized format) round-trip
+    through write_change_log/read_change_log identically to parquet:
+    same rows, same schema, same watermark pruning, same replay
+    result."""
+    changes = generate_changes(3000, n_convs=60, delete_frac=0.1, seed=9)
+    d_pq, d_ipc = str(tmp_path / "pq"), str(tmp_path / "ipc")
+    p1 = write_change_log(changes, d_pq, n_files=4)
+    p2 = write_change_log(changes, d_ipc, n_files=4, format="ipc")
+    assert [os.path.basename(p).replace(".arrow", ".parquet") for p in p2] == [
+        os.path.basename(p) for p in p1
+    ]
+
+    a = read_change_log(d_pq).to_pandas().sort_values(["lsn"]).reset_index(drop=True)
+    b = read_change_log(d_ipc).to_pandas().sort_values(["lsn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # watermark filter: file-level pruning + post-decode row filter
+    half = read_change_log(d_ipc, min_lsn_exclusive=1500).to_pandas()
+    assert half["lsn"].min() == 1501 and len(half) == 1498 + 1
+
+    # replay from IPC segments == replay from parquet segments
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_to_table
+
+    ra = replay_to_table(read_change_log(d_pq), num_partitions=4).to_pandas()
+    rb = replay_to_table(read_change_log(d_ipc), num_partitions=4).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        ra.sort_values(key).reset_index(drop=True),
+        rb.sort_values(key).reset_index(drop=True),
+    )
 
 
 def test_invalid_op_raises(ray_session, tmp_path):
