@@ -109,6 +109,42 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    """Publish lake state (or a registered query result) as gzip CSV
+    parts — the reference's OpenData upload command
+    (opendata/opendata.py:68-75, 249-263)."""
+    ray = _ray_session(args.num_cpus)
+    from .stages.publish import write_csv_gzip
+
+    if args.query:
+        from .pipelines.queries import QUERIES
+
+        if args.query not in QUERIES:
+            raise SystemExit(f"unknown query {args.query!r}; one of {sorted(QUERIES)}")
+        ds = QUERIES[args.query](args.sf_dir)
+        if not hasattr(ds, "map_batches"):  # pandas/Arrow result → tiny
+            import ray.data as rd
+
+            ds = rd.from_pandas(ds) if hasattr(ds, "to_csv") else rd.from_arrow(ds)
+    else:
+        from .state.lake import TranscriptLake
+
+        ds = TranscriptLake(args.root).dataset()
+    manifest = write_csv_gzip(ds, args.out, level=args.gzip_level)
+    print(
+        json.dumps(
+            {
+                "parts": len(manifest),
+                "rows": int(manifest["rows"].sum()),
+                "bytes_gz": int(manifest["bytes_gz"].sum()),
+                "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .pipelines.queries import QUERIES
@@ -177,6 +213,14 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("vacuum", help="delete orphaned data files")
     c.add_argument("root")
     c.set_defaults(fn=cmd_vacuum)
+
+    c = sub.add_parser("publish", help="publish lake/query as gzip-CSV parts (OpenData analog)")
+    c.add_argument("--root", default=None, help="lake root to publish")
+    c.add_argument("--query", default=None, help="publish a registered query result instead")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="input tables for --query")
+    c.add_argument("--out", required=True)
+    c.add_argument("--gzip-level", type=int, default=7)
+    c.set_defaults(fn=cmd_publish)
 
     c = sub.add_parser("query", help="run a registered analytic pipeline")
     c.add_argument("name")

@@ -131,3 +131,34 @@ def test_export_json_schema(ray_session, tmp_path):
     assert by_name["ts"] == "datetime"
     assert by_name["score"] == "number"  # evolved column present
     assert sidecar["primaryKey"] == ["conv_id", "turn_idx"]
+
+
+def test_cli_publish_gzip_csv(ray_session, tmp_path, capsys):
+    """CLI publish: lake state → gzip-CSV parts readable by pandas,
+    with a per-part manifest summary on stdout (the reference's
+    OpenData upload command, opendata/opendata.py:249-263)."""
+    import glob
+    import gzip
+    import io
+    import json as _json
+
+    import pandas as pd
+
+    changes = generate_changes(800, n_convs=30, seed=5)
+    wal = str(tmp_path / "wal")
+    write_change_log(changes, wal, n_files=2)
+    root = str(tmp_path / "lake")
+    assert main(["create-lake", root, "--partitions", "4"]) == 0
+    assert main(["replay", root, wal]) == 0
+    out_dir = str(tmp_path / "pub")
+    assert main(["publish", "--root", root, "--out", out_dir]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    lake_rows = TranscriptLake(root).total_rows()
+    assert summary["rows"] == lake_rows and summary["parts"] >= 1
+    parts = sorted(glob.glob(out_dir + "/part-*.csv.gz"))
+    assert len(parts) == summary["parts"]
+    dfs = [pd.read_csv(io.BytesIO(gzip.decompress(open(p, "rb").read()))) for p in parts]
+    got = pd.concat(dfs, ignore_index=True)
+    assert len(got) == lake_rows
+    assert set(got.columns) == set(TranscriptLake(root).base_schema.names)
