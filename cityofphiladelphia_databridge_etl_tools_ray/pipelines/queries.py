@@ -361,6 +361,72 @@ def events_hourly_user_windows(sf_dir: str):
     )
 
 
+_SLIDE_SEC = 900  # 15-min slide
+_WIN_SLIDES = 4  # 1h window = 4 slides
+
+
+def events_sliding_user_windows(sf_dir: str):
+    """SLIDING 1h window, 15-min slide, per user (each event belongs
+    to 4 overlapping windows — the streaming hopping-window analog,
+    complementing the tumbling [events_hourly_user_windows] and
+    session [sessionize_events] windows).
+
+    Shape: per-batch explode (×4 via one take + integer window-start
+    arithmetic) immediately collapsed by a batch-local (user, window)
+    partial aggregation, so the shuffle moves ≤ one row per (user,
+    window) per block — not 4× the events.  Window starts are BIGINT
+    epoch seconds on both sides (no timestamp-conversion hazards)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = len(b)
+        slide = (
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // (_SLIDE_SEC * 1_000_000)
+        )
+        cents = _cents(b.column("value")).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n, dtype=np.int64), _WIN_SLIDES)
+        k = np.tile(np.arange(_WIN_SLIDES, dtype=np.int64), n)
+        win_start_s = (slide[rep] - k) * _SLIDE_SEC
+        t = pa.table(
+            {
+                "user_id": b.column("user_id").take(pa.array(rep)),
+                "window_start_s": pa.array(win_start_s),
+                "cents": pa.array(cents[rep]),
+            }
+        )
+        g = t.group_by(["user_id", "window_start_s"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "window_start_s": g.column("window_start_s"),
+                "part_n": g.column("cents_count"),
+                "part_sum": g.column("cents_sum"),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "window_start_s": b.column("window_start_s"),
+                "n": b.column("part_n_sum"),
+                "sum_value_cents": b.column("part_sum_sum"),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_s"])
+        .aggregate(Sum("part_n", alias_name="part_n_sum"), Sum("part_sum", alias_name="part_sum_sum"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def events_type_counts(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1012,6 +1078,7 @@ QUERIES = {
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
+    "events_sliding_user_windows": events_sliding_user_windows,
     "events_type_counts": events_type_counts,
     "events_value_histogram": events_value_histogram,
     "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
@@ -1125,13 +1192,28 @@ SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """,
+    # hopping windows: every event lands in 4 overlapping 1h windows;
+    # window starts as BIGINT epoch seconds on both sides
+    "events_sliding_user_windows": """
+WITH k AS (SELECT unnest(range(0, 4)) AS k),
+e AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000 // 900 - k.k) * 900 AS window_start_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN k
+)
+SELECT user_id, CAST(window_start_s AS BIGINT) AS window_start_s,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM e GROUP BY user_id, window_start_s
+""",
     "events_type_counts": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """,
     "events_value_histogram": """
-SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n FROM events GROUP BY 1
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n FROM events GROUP BY 1
 """,
     "sessionize_events": """
 WITH flagged AS (
