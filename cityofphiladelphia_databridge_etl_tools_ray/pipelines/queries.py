@@ -1066,6 +1066,135 @@ def distinct_segment_stats(sf_dir: str):
     return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
 
 
+_TOPK_PER_CUST = 3
+
+
+def _topk_per_group(b: pa.Table, k: int, with_rank: bool) -> pa.Table:
+    """Vectorized per-(o_custkey) top-k by (price_cents desc,
+    o_orderkey asc): one lexsort + group-boundary rank, no Python
+    per-group loop."""
+    cust = _np(b.column("o_custkey"))
+    key = _np(b.column("o_orderkey"))
+    cents = _np(b.column("price_cents"))
+    order = np.lexsort((key, -cents, cust))
+    cust_s = cust[order]
+    starts = np.flatnonzero(np.r_[True, cust_s[1:] != cust_s[:-1]])
+    sizes = np.diff(np.r_[starts, len(cust_s)])
+    ranks = np.arange(len(cust_s), dtype=np.int64) - np.repeat(starts, sizes)
+    keep = order[ranks < k]
+    out = {
+        "o_custkey": pa.array(cust[keep]),
+        "o_orderkey": pa.array(key[keep]),
+        "price_cents": pa.array(cents[keep]),
+    }
+    if with_rank:
+        out["rk"] = pa.array(ranks[ranks < k] + 1)
+    return pa.table(out)
+
+
+def grouped_topk_orders_per_customer(sf_dir: str):
+    """Top-3 orders per customer by price — the grouped-top-k pattern
+    (per-group LIMIT, reference's head-N generalized per key).
+
+    Scale shape: a map-side PARTIAL top-k inside every batch first (the
+    combiner bounds shuffle volume to ≤k rows per (group, block) —
+    the full fact table never moves), then one groupby shuffle and the
+    identical kernel as the finalizer.  Deterministic tie-break
+    (price_cents DESC, o_orderkey ASC) mirrors the oracle's
+    row_number() ordering exactly."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "price_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        return _topk_per_group(t, _TOPK_PER_CUST, with_rank=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        t = _topk_per_group(pa.Table.from_pandas(g, preserve_index=False), _TOPK_PER_CUST, True)
+        return t.to_pandas()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def events_value_percentiles(sf_dir: str):
+    """EXACT distributed percentiles (p50/p90/p99) of events.value via
+    the bounded-domain histogram CDF: per-batch ``np.unique`` count
+    combiner → one small groupby(cents) → driver-side cumsum +
+    searchsorted over the AGGREGATED histogram only (distinct cents is
+    bounded by the value domain — ~18k buckets at sf0.1 and O(domain),
+    not O(rows), at 100 TB; the raw column never leaves the cluster).
+    percentile_disc semantics: smallest value with cum_count ≥
+    ceil(p·N), matching the oracle's windowed-CDF subqueries."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        u, c = np.unique(_np(_cents(b.column("value"))), return_counts=True)
+        return pa.table({"cents": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    cum = h["n"].to_numpy().cumsum()
+    tot = int(cum[-1]) if len(cum) else 0
+    cents = h["cents"].to_numpy()
+
+    def q(p: float) -> int:
+        return int(cents[np.searchsorted(cum, math.ceil(p * tot), side="left")])
+
+    return pd.DataFrame(
+        {"n": [tot], "p50_cents": [q(0.50)], "p90_cents": [q(0.90)], "p99_cents": [q(0.99)]}
+    )
+
+
+# Knuth multiplicative hash over event_id: deterministic, seedable-by-
+# constant, reproducible in ANSI SQL.  Valid while id·mult fits int64
+# (id < 2^31); larger id spaces need the 128-bit splitmix route.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+_SAMPLE_KEEP = 214748364  # ≈5% of 2^32
+
+
+def sample_events_hash(sf_dir: str):
+    """Deterministic ~5% Bernoulli sample by multiplicative hash of the
+    primary key — the reproducible alternative to random_sample() for
+    training-data subsetting (same rows on every run / every cluster
+    size, exactly reproducible by the SQL oracle).  Pure vectorized
+    filter; no shuffle, no state."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        eid = _np(b.column("event_id"))
+        t = b.filter(pa.array((eid * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1093,6 +1222,9 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "grouped_topk_orders_per_customer": grouped_topk_orders_per_customer,
+    "events_value_percentiles": events_value_percentiles,
+    "sample_events_hash": sample_events_hash,
     "paged_api_extract": paged_api_extract,
     "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
@@ -1311,6 +1443,36 @@ GROUP BY n_name
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
+""",
+    "grouped_topk_orders_per_customer": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rk
+  FROM orders)
+SELECT o_custkey, o_orderkey, price_cents, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+    # percentile_disc semantics: smallest cents value whose cumulative
+    # count reaches ceil(p * N); IEEE-double p*N on both sides
+    "events_value_percentiles": """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+tot AS (SELECT count(*) AS tn FROM c),
+h AS (SELECT cents, count(*) AS cnt FROM c GROUP BY cents),
+cdf AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM h)
+SELECT CAST(tot.tn AS BIGINT) AS n,
+       (SELECT min(cents) FROM cdf WHERE cum >= ceil(0.50 * tot.tn)) AS p50_cents,
+       (SELECT min(cents) FROM cdf WHERE cum >= ceil(0.90 * tot.tn)) AS p90_cents,
+       (SELECT min(cents) FROM cdf WHERE cum >= ceil(0.99 * tot.tn)) AS p99_cents
+FROM tot
+""",
+    "sample_events_hash": """
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE (event_id * 2654435761) % 4294967296 < 214748364
 """,
     "ago_format_rows": r"""
 WITH g AS (
