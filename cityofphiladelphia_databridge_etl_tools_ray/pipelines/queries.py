@@ -1098,10 +1098,13 @@ def grouped_topk_orders_per_customer(sf_dir: str):
 
     Scale shape: a map-side PARTIAL top-k inside every batch first (the
     combiner bounds shuffle volume to ≤k rows per (group, block) —
-    the full fact table never moves), then one groupby shuffle and the
-    identical kernel as the finalizer.  Deterministic tie-break
-    (price_cents DESC, o_orderkey ASC) mirrors the oracle's
-    row_number() ordering exactly."""
+    the full fact table never moves), then ONE shuffle on a coarse
+    bucket key (o_custkey % 512: ~512 finalizer calls instead of one
+    Python call per customer — the per-group map_groups overhead
+    anti-pattern — while the vectorized kernel ranks every customer
+    inside its bucket; buckets stay spread across the cluster).
+    Deterministic tie-break (price_cents DESC, o_orderkey ASC) mirrors
+    the oracle's row_number() ordering exactly."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -1112,15 +1115,18 @@ def grouped_topk_orders_per_customer(sf_dir: str):
                 "price_cents": _cents(b.column("o_totalprice")),
             }
         )
-        return _topk_per_group(t, _TOPK_PER_CUST, with_rank=False)
+        t = _topk_per_group(t, _TOPK_PER_CUST, with_rank=False)
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t.column("o_custkey"), 511), pa.int32())
+        )
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        t = _topk_per_group(pa.Table.from_pandas(g, preserve_index=False), _TOPK_PER_CUST, True)
-        return t.to_pandas()
+        t = pa.Table.from_pandas(g[["o_custkey", "o_orderkey", "price_cents"]], preserve_index=False)
+        return _topk_per_group(t, _TOPK_PER_CUST, with_rank=True).to_pandas()
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
+        .groupby("bucket")
         .map_groups(finish, batch_format="pandas")
     )
 
