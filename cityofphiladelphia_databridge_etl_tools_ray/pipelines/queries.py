@@ -1170,6 +1170,83 @@ def events_value_percentiles(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_user_type_pivot(sf_dir: str):
+    """PIVOT: one row per user with per-event-type count columns.
+    Map-side partial pivot (5 vectorized indicator sums per batch —
+    the batch collapses to ≤1 row per user per block before the
+    shuffle), then a native Sum groupby.  The column set is the
+    declared type enum, so the schema is fixed ahead of time — the
+    scale-safe contract for distributed pivot."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        cols["n_total"] = pa.array(np.ones(len(b), np.int64))
+        return (
+            pa.table(cols)
+            .group_by(["user_id"])
+            .aggregate([(c, "sum") for c in cols if c != "user_id"])
+            .rename_columns(["user_id"] + [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"])
+        )
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+
+
+def events_user_running_total(sf_dir: str):
+    """Ordered window function at scale: per-user running sum of
+    value_cents and row_number over (ts, event_id) order.  One shuffle
+    on the coarse bucket key (user_id % 512), then a vectorized
+    multi-user kernel per bucket: lexsort + cumsum with group-boundary
+    reset — no per-user Python call, no per-row loop."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "cents": _cents(b.column("value")),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), 511), pa.int32()),
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, cents_s = user[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(user_s)])
+        total = np.cumsum(cents_s)
+        base = np.repeat(total[starts] - cents_s[starts], sizes)
+        seq = np.arange(len(user_s), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        return pd.DataFrame(
+            {
+                "event_id": eid[order],
+                "user_id": user_s,
+                "running_cents": total - base,
+                "seq": seq,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        running, batch_format="pandas"
+    )
+
+
 # Knuth multiplicative hash over event_id: deterministic, seedable-by-
 # constant, reproducible in ANSI SQL.  Valid while id·mult fits int64
 # (id < 2^31); larger id spaces need the 128-bit splitmix route.
@@ -1231,6 +1308,8 @@ QUERIES = {
     "grouped_topk_orders_per_customer": grouped_topk_orders_per_customer,
     "events_value_percentiles": events_value_percentiles,
     "sample_events_hash": sample_events_hash,
+    "events_user_type_pivot": events_user_type_pivot,
+    "events_user_running_total": events_user_running_total,
     "paged_api_extract": paged_api_extract,
     "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
@@ -1479,6 +1558,27 @@ SELECT event_id, user_id, event_type,
        CAST(round(value * 100) AS BIGINT) AS value_cents
 FROM events
 WHERE (event_id * 2654435761) % 4294967296 < 214748364
+""",
+    "events_user_type_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+""",
+    # ROWS frame (not the default RANGE) so equal-ts rows accumulate
+    # one by one in (ts, event_id) order, matching the engine kernel
+    "events_user_running_total": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
 """,
     "ago_format_rows": r"""
 WITH g AS (
