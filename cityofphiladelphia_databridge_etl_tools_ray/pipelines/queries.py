@@ -77,6 +77,48 @@ def _ts(s: str):
     return pa.scalar(pd.Timestamp(s).to_pydatetime(), pa.timestamp("us"))
 
 
+_N_BUCKETS = 512  # coarse shuffle key fan-out; raise ∝ cluster size
+
+
+def _sum_by_keys_bucketed(ds, keys, sum_cols, out_names, local_topk=None):
+    """Final combine for an already-partially-aggregated stream.
+
+    Ray's sort-based ``groupby().aggregate()`` runs a per-group Python
+    combine — fine for few groups, pathological when every block
+    carries thousands of distinct groups (measured ~150 s remote CPU
+    to sum 382k (user, window) partials; this path does it in <1 s).
+    Shape: ONE shuffle on a coarse hash bucket of ``keys[0]`` (all
+    rows of a group share it; keys[0] must be integral), then a single
+    vectorized Arrow ``group_by`` sum per bucket — ~_N_BUCKETS Python
+    calls total instead of one per group, with buckets spread across
+    the cluster.  ``local_topk=(k, sort_keys)`` additionally prunes
+    each bucket to its top-k rows (pushdown for global top-k: the
+    downstream sort sees ≤ k·_N_BUCKETS rows)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column(keys[0]), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g[list(keys) + list(sum_cols)], preserve_index=False)
+        a = t.group_by(list(keys)).aggregate([(c, "sum") for c in sum_cols])
+        cols = {k: a.column(k) for k in keys}
+        for c, out in zip(sum_cols, out_names):
+            cols[out] = a.column(f"{c}_sum")
+        out_t = pa.table(cols)
+        if local_topk is not None:
+            k, sort_keys = local_topk
+            out_t = out_t.sort_by(sort_keys).slice(0, k)
+        return out_t.to_pandas()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------
 # CDC queries (the flagship path)
 # --------------------------------------------------------------------
@@ -316,8 +358,6 @@ def events_hourly_user_windows(sf_dir: str):
     """Tumbling 1h window per user (streaming-window analog —
     SURVEY.md §2.10; Ray has no event-time windows, so the window key
     is computed per batch and aggregated by (user, window))."""
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def win(b: pa.Table) -> pa.Table:
@@ -343,21 +383,11 @@ def events_hourly_user_windows(sf_dir: str):
             }
         )
 
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": b.column("user_id"),
-                "hour": b.column("hour"),
-                "n": b.column("part_n_sum"),
-                "sum_value_cents": b.column("part_sum_sum"),
-            }
-        )
-
-    return (
-        ds.map_batches(win, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("part_n", alias_name="part_n_sum"), Sum("part_sum", alias_name="part_sum_sum"))
-        .map_batches(finish, batch_format="pyarrow")
+    return _sum_by_keys_bucketed(
+        ds.map_batches(win, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        sum_cols=["part_n", "part_sum"],
+        out_names=["n", "sum_value_cents"],
     )
 
 
@@ -376,8 +406,6 @@ def events_sliding_user_windows(sf_dir: str):
     partial aggregation, so the shuffle moves ≤ one row per (user,
     window) per block — not 4× the events.  Window starts are BIGINT
     epoch seconds on both sides (no timestamp-conversion hazards)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def explode(b: pa.Table) -> pa.Table:
@@ -409,21 +437,11 @@ def events_sliding_user_windows(sf_dir: str):
             }
         )
 
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": b.column("user_id"),
-                "window_start_s": b.column("window_start_s"),
-                "n": b.column("part_n_sum"),
-                "sum_value_cents": b.column("part_sum_sum"),
-            }
-        )
-
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_s"])
-        .aggregate(Sum("part_n", alias_name="part_n_sum"), Sum("part_sum", alias_name="part_sum_sum"))
-        .map_batches(finish, batch_format="pyarrow")
+    return _sum_by_keys_bucketed(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["user_id", "window_start_s"],
+        sum_cols=["part_n", "part_sum"],
+        out_names=["n", "sum_value_cents"],
     )
 
 
@@ -630,15 +648,17 @@ def q3_top_revenue_orders(sf_dir: str):
                 pc.subtract(pa.scalar(1.0), b.column("l_discount")),
             )
         )
-        return pa.table(
+        t = pa.table(
             {
                 "l_orderkey": b.column("l_orderkey"),
                 "o_orderdate": b.column("o_orderdate_i").cast(pa.timestamp("us")),
                 "revenue_cents": rev,
             }
         )
-
-    from ray.data.aggregate import Sum
+        # batch-local partial sum: the shuffle moves ≤1 row per
+        # (orderkey, block), not every lineitem
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["l_orderkey", "o_orderdate", "revenue_cents"])
 
     li = _read(
         sf_dir,
@@ -646,14 +666,16 @@ def q3_top_revenue_orders(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pc.field("l_shipdate") > cutoff),
     )
-    out = (
-        li.map_batches(join_revenue, fn_kwargs={"ref": omap_ref}, batch_format="pyarrow")
-        .groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-        .limit(10)
+    # bucketed final combine with per-bucket top-10 pushdown: the
+    # global sort sees ≤ 10·_N_BUCKETS rows regardless of data size
+    agg = _sum_by_keys_bucketed(
+        li.map_batches(join_revenue, fn_kwargs={"ref": omap_ref}, batch_format="pyarrow"),
+        keys=["l_orderkey", "o_orderdate"],
+        sum_cols=["revenue_cents"],
+        out_names=["revenue_cents"],
+        local_topk=(10, [("revenue_cents", "descending"), ("l_orderkey", "ascending")]),
     )
-    return out
+    return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
 
 
 _Q5_REGION = "ASIA"
@@ -1180,8 +1202,6 @@ def events_user_type_pivot(sf_dir: str):
     shuffle), then a native Sum groupby.  The column set is the
     declared type enum, so the schema is fixed ahead of time — the
     scale-safe contract for distributed pivot."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1197,9 +1217,13 @@ def events_user_type_pivot(sf_dir: str):
             .rename_columns(["user_id"] + [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"])
         )
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
-    aggs.append(Sum("n_total", alias_name="n_total"))
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+    count_cols = [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"]
+    return _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        sum_cols=count_cols,
+        out_names=count_cols,
+    )
 
 
 def events_user_running_total(sf_dir: str):
