@@ -100,9 +100,10 @@ def _sum_by_keys_bucketed(ds, keys, sum_cols, out_names, local_topk=None):
             "bucket", pc.cast(pc.bit_wise_and(b.column(keys[0]), _N_BUCKETS - 1), pa.int32())
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        t = pa.Table.from_pandas(g[list(keys) + list(sum_cols)], preserve_index=False)
-        a = t.group_by(list(keys)).aggregate([(c, "sum") for c in sum_cols])
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(list(keys) + list(sum_cols)).group_by(list(keys)).aggregate(
+            [(c, "sum") for c in sum_cols]
+        )
         cols = {k: a.column(k) for k in keys}
         for c, out in zip(sum_cols, out_names):
             cols[out] = a.column(f"{c}_sum")
@@ -110,12 +111,12 @@ def _sum_by_keys_bucketed(ds, keys, sum_cols, out_names, local_topk=None):
         if local_topk is not None:
             k, sort_keys = local_topk
             out_t = out_t.sort_by(sort_keys).slice(0, k)
-        return out_t.to_pandas()
+        return out_t
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -1192,6 +1193,108 @@ def events_value_percentiles(sf_dir: str):
     )
 
 
+_SHUF_JOIN_LO, _SHUF_JOIN_HI = "1995-01-01", "1996-01-01"
+
+
+def join_lineitem_orders_shuffle(sf_dir: str):
+    """TRUE repartition (shuffle hash) join of two FACT tables on the
+    order key — the 100-TB fallback when neither side reduces enough
+    to broadcast (complements the broadcast-build joins in q3/q5;
+    generalizes the reference upsert join, postgres/postgres.py:497-573,
+    to the case where the base table can't be treated as a lookup).
+
+    Shape: both sides map onto ONE common narrow schema tagged with
+    side + hash bucket of the join key (lineitem is partial-aggregated
+    per batch first, so the shuffle moves ≤1 probe row per (order,
+    block)); one union + one bucket shuffle; each bucket joins
+    build×probe with a vectorized sorted-key probe.  Per-order revenue
+    summary for one order-date year."""
+    lo, hi = pd.Timestamp(_SHUF_JOIN_LO).to_pydatetime(), pd.Timestamp(_SHUF_JOIN_HI).to_pydatetime()
+
+    def build_side(b: pa.Table) -> pa.Table:
+        key = b.column("o_orderkey")
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "side": pa.array(np.zeros(len(b), np.int8)),
+                "date_i": b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "part_cents": pa.array(np.zeros(len(b), np.int64)),
+                "part_n": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    def probe_side(b: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        t = pa.table({"key": b.column("l_orderkey"), "cents": rev})
+        g = t.group_by(["key"]).aggregate([("cents", "sum"), ("cents", "count")])
+        key = g.column("key")
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "date_i": pa.array(np.zeros(len(g), np.int64)),
+                "part_cents": g.column("cents_sum"),
+                "part_n": g.column("cents_count"),
+            }
+        )
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("revenue_cents", pa.int64()),
+            ("n_lines", pa.int64()),
+        ]
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = _np(g.column("side"))
+        build = side == 0
+        bkey = _np(g.column("key"))[build]
+        bdate = _np(g.column("date_i"))[build]
+        p = g.filter(pa.array(~build))
+        if not len(bkey) or not len(p):
+            return _OUT_SCHEMA.empty_table()
+        # combine probe partials per key, then sorted-key membership probe
+        a = (
+            p.select(["key", "part_cents", "part_n"])
+            .group_by(["key"])
+            .aggregate([("part_cents", "sum"), ("part_n", "sum")])
+        )
+        pk = a.column("key").to_numpy()
+        order = np.argsort(bkey)
+        bkey_s, bdate_s = bkey[order], bdate[order]
+        pos = np.searchsorted(bkey_s, pk)
+        pos_c = np.minimum(pos, len(bkey_s) - 1)
+        hit = bkey_s[pos_c] == pk
+        return pa.table(
+            {
+                "o_orderkey": pa.array(pk[hit]),
+                "o_orderdate": pa.array(bdate_s[pos_c[hit]]).cast(pa.timestamp("us")),
+                "revenue_cents": pa.array(a.column("part_cents_sum").to_numpy()[hit]),
+                "n_lines": pa.array(a.column("part_n_sum").to_numpy()[hit]),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    ).map_batches(build_side, batch_format="pyarrow")
+    lines = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(probe_side, batch_format="pyarrow")
+    return orders.union(lines).groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -1334,6 +1437,7 @@ QUERIES = {
     "sample_events_hash": sample_events_hash,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
+    "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
     "paged_api_extract": paged_api_extract,
     "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
@@ -1592,6 +1696,15 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
        CAST(count(*) AS BIGINT) AS n_total
 FROM events GROUP BY user_id
+""",
+    "join_lineitem_orders_shuffle": """
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
 """,
     # ROWS frame (not the default RANGE) so equal-ts rows accumulate
     # one by one in (ts, event_id) order, matching the engine kernel
