@@ -1405,6 +1405,177 @@ def sample_events_hash(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_LEFT_JOIN_LO = "1995-01-01"
+_LEFT_JOIN_HI = "1995-03-01"
+
+
+def left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER shuffle join: every customer survives, annotated
+    with order count / spend inside a two-month window (zero when the
+    customer placed no order there — ~77% of rows at sf0.01, so the
+    miss path is genuinely exercised).  Complements the inner
+    [join_lineitem_orders_shuffle]: same repartition-join machinery
+    (reference upsert join, postgres/postgres.py:497-573), but the
+    preserved side emits its row on probe miss instead of dropping it.
+
+    Shape: orders are partial-aggregated per (custkey, block) before
+    the shuffle (≤1 probe row per custkey per block); both sides map
+    onto one narrow tagged schema; ONE union + ONE bucket shuffle;
+    each bucket runs a vectorized sorted-key probe with miss→0."""
+    lo = pd.Timestamp(_LEFT_JOIN_LO).to_pydatetime()
+    hi = pd.Timestamp(_LEFT_JOIN_HI).to_pydatetime()
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey")
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "side": pa.array(np.zeros(len(b), np.int8)),
+                "seg": b.column("c_mktsegment").cast(pa.string()),
+                "part_cents": pa.array(np.zeros(len(b), np.int64)),
+                "part_n": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    def order_side(b: pa.Table) -> pa.Table:
+        t = pa.table({"key": b.column("o_custkey"), "cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by(["key"]).aggregate([("cents", "sum"), ("cents", "count")])
+        key = g.column("key")
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "seg": pa.nulls(len(g), pa.string()),
+                "part_cents": g.column("cents_sum"),
+                "part_n": g.column("cents_count"),
+            }
+        )
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("n_orders", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = _np(g.column("side"))
+        cust = g.filter(pa.array(side == 0))
+        if not len(cust):
+            return _OUT_SCHEMA.empty_table()
+        ck = _np(cust.column("key"))
+        p = g.filter(pa.array(side == 1))
+        n_orders = np.zeros(len(ck), np.int64)
+        cents = np.zeros(len(ck), np.int64)
+        if len(p):
+            a = (
+                p.select(["key", "part_cents", "part_n"])
+                .group_by(["key"])
+                .aggregate([("part_cents", "sum"), ("part_n", "sum")])
+            )
+            pk = a.column("key").to_numpy()
+            order = np.argsort(pk)
+            pk_s = pk[order]
+            cents_s = a.column("part_cents_sum").to_numpy()[order]
+            n_s = a.column("part_n_sum").to_numpy()[order]
+            pos = np.searchsorted(pk_s, ck)
+            pos_c = np.minimum(pos, len(pk_s) - 1)
+            hit = pk_s[pos_c] == ck
+            n_orders = np.where(hit, n_s[pos_c], 0).astype(np.int64)
+            cents = np.where(hit, cents_s[pos_c], 0).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": cust.column("key"),
+                "c_mktsegment": cust.column("seg"),
+                "n_orders": pa.array(n_orders),
+                "total_cents": pa.array(cents),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    ).map_batches(order_side, batch_format="pyarrow")
+    return cust.union(orders).groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+_BIGRAM_K = 100
+_BIGRAM_SCHEMA = pa.schema([("gram", pa.string()), ("part_n", pa.int64())])
+
+
+def bigram_partial_counts(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch-local bigram counts, extracted straight from the Arrow
+    list offsets: token values + one boolean mask excluding row-final
+    tokens — no per-row loop.  Tokenization mirrors the oracle's
+    ``string_split(trim(text), ' ')`` exactly (consecutive spaces
+    yield empty tokens on both sides)."""
+    t = pc.fill_null(pc.utf8_trim_whitespace(b.column(text_col)), "")
+    toks = pc.split_pattern(t, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy()
+    vals = toks.values
+    n_tok = len(vals)
+    if n_tok < 2:
+        return _BIGRAM_SCHEMA.empty_table()
+    # left index i is valid iff token i+1 is in the same row —
+    # i.e. i is not the last token of any row
+    valid = np.ones(n_tok - 1, bool)
+    last = off[1:].astype(np.int64) - 1
+    valid[last[last <= n_tok - 2]] = False
+    left = np.nonzero(valid)[0]
+    if not len(left):
+        return _BIGRAM_SCHEMA.empty_table()
+    grams = pc.binary_join_element_wise(
+        vals.take(pa.array(left)), vals.take(pa.array(left + 1)), " "
+    )
+    tt = pa.table({"gram": grams, "one": pa.array(np.ones(len(grams), np.int64))})
+    g = tt.group_by(["gram"]).aggregate([("one", "sum")])
+    return pa.table({"gram": g.column("gram"), "part_n": g.column("one_sum")})
+
+
+def corpus_bigram_topk(sf_dir: str):
+    """Corpus n-gram frequency: top-100 bigrams by global count — the
+    LM frequency-prune / contamination-check primitive over the
+    documents table.
+
+    Shape: per-batch vectorized bigram extraction straight from the
+    Arrow list offsets (token values + one boolean mask excluding
+    row-final tokens — no per-row loop), collapsed to batch-local
+    counts; ONE shuffle on a hash bucket of the gram (every partial of
+    a gram lands in the same bucket, so the per-bucket top-k prune is
+    exact); global merge sorts ≤ k·_N_BUCKETS rows."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b.column("gram").to_pandas(), dtype=object), categorize=False
+        )
+        return b.append_column("bucket", pa.array((h & (_N_BUCKETS - 1)).astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["gram", "part_n"]).group_by(["gram"]).aggregate([("part_n", "sum")])
+        out = pa.table({"gram": a.column("gram"), "n": a.column("part_n_sum")})
+        return out.sort_by([("n", "descending"), ("gram", "ascending")]).slice(0, _BIGRAM_K)
+
+    agg = (
+        ds.map_batches(bigram_partial_counts, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return agg.sort(["n", "gram"], descending=[True, False]).limit(_BIGRAM_K)
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1438,6 +1609,7 @@ QUERIES = {
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
+    "left_join_customer_orders": left_join_customer_orders,
     "paged_api_extract": paged_api_extract,
     "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
@@ -1447,6 +1619,7 @@ QUERIES = {
     "geom_reproject_points": geom_reproject_points,
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
+    "corpus_bigram_topk": corpus_bigram_topk,
     "text_bpe_token_counts": text_bpe_token_counts,
     "text_quality_scores": text_quality_scores,
     "text_repetition_scores": text_repetition_scores,
@@ -1705,6 +1878,28 @@ SELECT o.o_orderkey, o.o_orderdate,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY o.o_orderkey, o.o_orderdate
+""",
+    "left_join_customer_orders": """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total_cents, 0) AS total_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+""",
+    "corpus_bigram_topk": """
+WITH toks AS (SELECT CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(trim(text), ' ') END AS l
+              FROM documents),
+grams AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
+          FROM toks),
+counts AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY gram)
+SELECT gram, n FROM counts ORDER BY n DESC, gram ASC LIMIT 100
 """,
     # ROWS frame (not the default RANGE) so equal-ts rows accumulate
     # one by one in (ts, event_id) order, matching the engine kernel

@@ -76,3 +76,61 @@ def test_sample_hash_matches_sql_arithmetic():
     # spot-check a few against pure-python (SQL-identical) arithmetic
     for e in (0, 1, 12345, 99999):
         assert mask[e] == ((e * 2654435761) % 4294967296 < 214748364)
+
+
+def _docs(texts):
+    return pa.table({"text": pa.array(texts, pa.string())})
+
+
+def test_bigram_partial_basic_counts():
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import bigram_partial_counts
+
+    out = bigram_partial_counts(_docs(["a b c", "a b"]))
+    d = dict(zip(out.column("gram").to_pylist(), out.column("part_n").to_pylist()))
+    assert d == {"a b": 2, "b c": 1}
+
+
+def test_bigram_partial_short_and_empty_docs():
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import bigram_partial_counts
+
+    # empty / whitespace-only / single-token docs yield no bigram,
+    # and no bigram spans a row boundary
+    out = bigram_partial_counts(_docs(["", "   ", "solo", "x y"]))
+    d = dict(zip(out.column("gram").to_pylist(), out.column("part_n").to_pylist()))
+    assert d == {"x y": 1}
+
+
+def test_bigram_partial_consecutive_spaces_match_sql_split():
+    """'a  b' splits to ['a','','b'] under string_split(' ') — the
+    engine must mirror DuckDB exactly, empty tokens included."""
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import bigram_partial_counts
+
+    texts = ["a  b", "t1 t2  t3", None]
+    out = bigram_partial_counts(_docs(texts))
+    got = dict(zip(out.column("gram").to_pylist(), out.column("part_n").to_pylist()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?)", [(t,) for t in texts])
+    exp = dict(
+        con.execute(
+            """
+WITH toks AS (SELECT CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(trim(text), ' ') END AS l
+              FROM d WHERE text IS NOT NULL),
+grams AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
+          FROM toks)
+SELECT gram, count(*) FROM grams GROUP BY gram
+"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_bigram_partial_empty_batch():
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import bigram_partial_counts
+
+    out = bigram_partial_counts(_docs([]))
+    assert out.num_rows == 0
+    assert out.column_names == ["gram", "part_n"]
