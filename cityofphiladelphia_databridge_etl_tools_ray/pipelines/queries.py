@@ -1374,6 +1374,50 @@ def events_user_running_total(sf_dir: str):
     )
 
 
+def events_user_lag_gaps(sf_dir: str):
+    """LAG window function at scale: per event, the time since the
+    same user's previous event (first event per user emits no row, so
+    both sides stay non-null int64 — exact epoch-microsecond
+    arithmetic, not date_diff boundary counting).  Same shape as
+    [events_user_running_total]: ONE shuffle on the coarse user
+    bucket, then a vectorized multi-user lexsort + shifted-diff kernel
+    per bucket — no per-user Python call."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), 511), pa.int32()),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, ts_s, eid_s = user[order], ts[order], eid[order]
+        # row i has a predecessor iff it is not the first of its user run
+        has_prev = np.r_[False, user_s[1:] == user_s[:-1]]
+        gap = np.empty(len(ts_s), np.int64)
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        keep = np.flatnonzero(has_prev)
+        return pd.DataFrame(
+            {
+                "event_id": eid_s[keep],
+                "user_id": user_s[keep],
+                "gap_us": gap[keep],
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        gaps, batch_format="pandas"
+    )
+
+
 # Knuth multiplicative hash over event_id: deterministic, seedable-by-
 # constant, reproducible in ANSI SQL.  Valid while id·mult fits int64
 # (id < 2^31); larger id spaces need the 128-bit splitmix route.
@@ -1608,6 +1652,7 @@ QUERIES = {
     "sample_events_hash": sample_events_hash,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
+    "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
     "left_join_customer_orders": left_join_customer_orders,
     "paged_api_extract": paged_api_extract,
@@ -1911,6 +1956,14 @@ SELECT event_id, user_id,
        CAST(row_number() OVER (
          PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
 FROM events
+""",
+    "events_user_lag_gaps": """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, CAST(tus - prev AS BIGINT) AS gap_us
+FROM w WHERE prev IS NOT NULL
 """,
     "ago_format_rows": r"""
 WITH g AS (
