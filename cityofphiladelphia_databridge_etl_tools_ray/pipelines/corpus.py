@@ -147,6 +147,69 @@ def dedup_exact(sf_dir: str):
     )
 
 
+_CLEAN_MIN_TOKENS = 20
+_CLEAN_STOP_DENOM = 50  # 50·n_stopwords ≥ n_tokens ⇔ stopword_ratio ≥ 0.02
+
+
+def corpus_clean_pipeline(sf_dir: str):
+    """Compositional corpus-cleaning flagship: quality gate → exact
+    dedup keep-min — the filter→dedup chain a training-data pipeline
+    runs before tokenization, fused into one streaming pass.
+
+    The gate is integer-only arithmetic (token floor + the ratio
+    rewritten as ``50·n_stopwords ≥ n_tokens``) so the oracle matches
+    bit-exactly with no float rounding; the dedup reuses the
+    fingerprint-shuffled, collision-resolved kernel shape of
+    [dedup_exact] (shuffle key = 64-bit hash, full-text grouping
+    inside each tiny fingerprint group)."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import STOPWORD_RE, TOKEN_SPLIT
+
+    def gate_and_combine(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        n_tokens = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(t, TOKEN_SPLIT)), pa.int64()
+        )
+        n_stop = pc.cast(pc.count_substring_regex(t, STOPWORD_RE), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, pa.scalar(_CLEAN_MIN_TOKENS)),
+            pc.greater_equal(
+                pc.multiply(n_stop, pa.scalar(_CLEAN_STOP_DENOM, pa.int64())), n_tokens
+            ),
+        )
+        f = b.append_column("n_tokens", n_tokens).filter(keep)
+        g = f.group_by("text").aggregate(
+            [("doc_id", "min"), ("doc_id", "count"), ("n_tokens", "min")]
+        )
+        txt = g.column("text")
+        fp = pd.util.hash_array(
+            np.asarray(txt.to_pandas(), dtype=object), categorize=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp),
+                "text": txt,
+                "min_doc": g.column("doc_id_min"),
+                "cnt": g.column("doc_id_count"),
+                "ntok": g.column("n_tokens_min"),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", sort=False).agg(
+            doc_id=("min_doc", "min"), n_tokens=("ntok", "min"), n_copies=("cnt", "sum")
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gate_and_combine, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------
 # shingle signatures (shared by the near-dup family)
 # --------------------------------------------------------------------

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 from ..functions.lookup import SortedIntMap, deref as _deref
 from .corpus import (
+    corpus_clean_pipeline,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -1671,6 +1672,7 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2086,6 +2088,18 @@ FROM t
 """,
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+""",
+    # integer-only quality gate (50·n_stopwords ≥ n_tokens ⇔ ratio ≥ 0.02)
+    "corpus_clean_pipeline": r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS BIGINT) AS n_stopwords
+  FROM documents),
+f AS (SELECT * FROM q WHERE n_tokens >= 20 AND 50 * n_stopwords >= n_tokens)
+SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM f GROUP BY text
 """,
     # short-doc rule mirrors textsig.shingle_hashes: docs with < k
     # tokens contribute their single all-token shingle, never an empty
