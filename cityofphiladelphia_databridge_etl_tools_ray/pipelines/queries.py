@@ -1450,6 +1450,40 @@ def sample_events_hash(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sketch_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via a HyperLogLog sketch —
+    the mergeable-sketch cardinality primitive for 100 TB (exact
+    distinct needs a full shuffle; the sketch needs ONE ≤1024-row
+    max-groupby).  Every batch collapses to at most m (register,
+    max_rho) rows via a vectorized splitmix64 + register-max kernel;
+    the driver touches only the final m-row aggregate.  Deterministic
+    (fixed hash) but approximate by design → rows-only oracle;
+    accuracy is pinned in tests/test_sketch.py against the exact
+    count (3σ bound = 3·1.04/√1024 ≈ 9.8%)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.sketch import HLL_M, hll_estimate, hll_partial
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        reg, rho = hll_partial(_np(b.column("user_id")).astype(np.int64))
+        return pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="max_rho"))
+        .to_pandas()  # ≤ 1024 rows — the sketch, not the data
+    )
+    est = hll_estimate(
+        merged["register"].to_numpy(), merged["max_rho"].to_numpy()
+    )
+    return pd.DataFrame(
+        {"approx_distinct": [int(round(est))], "n_registers": [HLL_M]}
+    )
+
+
 _LEFT_JOIN_LO = "1995-01-01"
 _LEFT_JOIN_HI = "1995-03-01"
 
@@ -1651,6 +1685,7 @@ QUERIES = {
     "grouped_topk_orders_per_customer": grouped_topk_orders_per_customer,
     "events_value_percentiles": events_value_percentiles,
     "sample_events_hash": sample_events_hash,
+    "sketch_distinct_users": sketch_distinct_users,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "events_user_lag_gaps": events_user_lag_gaps,
