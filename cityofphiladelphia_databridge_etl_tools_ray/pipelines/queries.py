@@ -297,6 +297,83 @@ def cdc_replay_delta(sf_dir: str):
     return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
 
 
+def cdc_replay_schema_evolution(sf_dir: str):
+    """Schema evolution end-to-end through the lake merge path (the
+    north rule's column-add / type-widen promotion at the merge stage;
+    reference analog: staging-table schema projection + ALTER-free
+    evolution, databridge_etl_tools/postgres/postgres.py:392-448):
+
+    1. first half of the WAL replayed by a **v1 producer** — no
+       ``tool`` column, ``turn_idx`` int32;
+    2. second half by a **v2 producer** — NEW ``tool`` column
+       (``role || '-tool'``) and ``turn_idx`` widened to int64;
+    3. the merge promotes base+changes schemas per partition
+       (``schema.promote_schemas``): base rows backfill ``tool``
+       with nulls, int32 widens to int64.
+
+    Final state = LWW winners with ``tool`` set iff the winning event
+    came from the v2 stream — which the oracle expresses directly.
+    Partitions untouched by v2 legitimately remain on the v1 schema,
+    so the read conforms each partition to the promoted schema (the
+    same rule the merge itself applies)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..schema import conform
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+
+    root = os.path.join(
+        "/tmp", f"dbr_evolve_lake_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    n_parts = 16
+    TranscriptLake.create(root, num_partitions=n_parts)
+
+    def v1(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("lsn"), mid)).drop_columns(["tool"])
+
+    def v2(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("lsn"), mid))
+        tool = pc.binary_join_element_wise(b.column("role"), pa.scalar("-tool"), "")
+        b = b.set_column(b.column_names.index("tool"), "tool", tool)
+        return b.set_column(
+            b.column_names.index("turn_idx"),
+            "turn_idx",
+            pc.cast(b.column("turn_idx"), pa.int64()),
+        )
+
+    replay_into_lake(root, _derive_changelog(sf_dir).map_batches(v1, batch_format="pyarrow"))
+    replay_into_lake(root, _derive_changelog(sf_dir).map_batches(v2, batch_format="pyarrow"))
+
+    target = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("tool", pa.string()),
+        ]
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        lake = TranscriptLake(root)
+        out = [lake.read_partition(int(p)) for p in batch.column("pid").to_pylist()]
+        out = [conform(t, target) for t in out if len(t)]
+        return pa.concat_tables(out) if out else target.empty_table()
+
+    pids = ray.data.from_items(
+        [{"pid": p} for p in range(n_parts)], override_num_blocks=n_parts
+    )
+    return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+
+
 def cdc_latest_event_per_user(sf_dir: str):
     """LWW collapse keyed on user_id (upsert dedup as a query)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -1664,6 +1741,7 @@ QUERIES = {
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_replay_delta": cdc_replay_delta,
+    "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -1772,6 +1850,19 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
   FROM changes
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    # v2 producer (lsn > mid) adds `tool` and widens turn_idx; winners
+    # from the v1 half carry NULL tool (merge-stage backfill)
+    "cdc_replay_schema_evolution": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts,
+       CASE WHEN lsn > (SELECT max(event_id) // 2 FROM events)
+            THEN role || '-tool' ELSE NULL END AS tool
+FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,
