@@ -374,6 +374,95 @@ def cdc_replay_schema_evolution(sf_dir: str):
     return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
 
 
+def transcript_reassembly(sf_dir: str):
+    """Reassemble full per-conversation transcripts from the replayed
+    LWW state with NO extra shuffle: the merge output is hash-
+    partitioned on conv_id, so every turn of a conversation is already
+    co-located in its partition block (SURVEY §4 partitioning reuse —
+    pick ONE key and ride it through the pipeline).  One vectorized
+    map_batches finishes the job: sort block by (conv_id, turn_idx),
+    Arrow ``group_by`` list-agg (encounter order = turn order), then a
+    single ``pc.binary_join`` per block — no per-row or per-group
+    Python."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("n_turns", pa.int64()), ("transcript", pa.string())]
+    )
+
+    def assemble(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        line = pc.binary_join_element_wise(
+            b.column("role"), pa.scalar(": "), b.column("text"), ""
+        )
+        t = pa.table({"conv_id": b.column("conv_id"), "line": line})
+        g = t.group_by("conv_id", use_threads=False).aggregate([("line", "list")])
+        lines = g.column("line_list")
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_turns": pc.cast(pc.list_value_length(lines), pa.int64()),
+                "transcript": pc.binary_join(lines, pa.scalar("\n")),
+            }
+        )
+
+    return state.map_batches(assemble, batch_format="pyarrow")
+
+
+def conversation_stats(sf_dir: str):
+    """Per-conversation profile of the replayed state (turn count,
+    distinct roles, total characters, ts span) — same zero-shuffle
+    shape as ``transcript_reassembly``: convs are co-located by the
+    merge partitioning, one Arrow ``group_by`` per block."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_roles", pa.int64()),
+            ("total_chars", pa.int64()),
+            ("first_ts", pa.timestamp("us")),
+            ("last_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def stats(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+                "role": b.column("role"),
+                "ts": b.column("ts"),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [
+                ("chars", "count"),
+                ("role", "count_distinct"),
+                ("chars", "sum"),
+                ("ts", "min"),
+                ("ts", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_turns": g.column("chars_count"),
+                "n_roles": g.column("role_count_distinct"),
+                "total_chars": g.column("chars_sum"),
+                "first_ts": g.column("ts_min"),
+                "last_ts": g.column("ts_max"),
+            }
+        )
+
+    return state.map_batches(stats, batch_format="pyarrow")
+
+
 def cdc_latest_event_per_user(sf_dir: str):
     """LWW collapse keyed on user_id (upsert dedup as a query)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -556,6 +645,76 @@ def events_value_histogram(sf_dir: str):
 
 
 _SESSION_GAP_MIN = 30
+
+
+def events_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type, two-level:
+    batch-local pair dedup (map-side combiner) → shuffle on a coarse
+    user bucket (a user always lands in ONE bucket, so per-bucket
+    dedup is globally exact) → per-bucket distinct + per-type partial
+    counts → tiny final sum over buckets × types rows.  The wide
+    exchange moves only the distinct pairs of each block.  The
+    approximate twin is ``sketch_distinct_users`` (HyperLogLog)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        return g.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(g.column("user_id"), 255), pa.int32())
+        )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        d = g.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+        c = d.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table(
+            {"event_type": c.column("event_type"), "part_n": c.column("user_id_count")}
+        )
+
+    partials = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+    )
+    return partials.groupby("event_type").aggregate(Sum("part_n", alias_name="n_users"))
+
+
+def events_type_argmax(sf_dir: str):
+    """max_by: per event_type the event carrying the max value (ties
+    → min event_id).  Batch-local argmax partials collapse every block
+    to ≤ n_types rows (sort + adjacent-compare first-row filter, no
+    Python loop); the final reduce sees partials only."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _first_per_type(t: pa.Table) -> pa.Table:
+        s = t.sort_by(
+            [
+                ("event_type", "ascending"),
+                ("value", "descending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        et = s.column("event_type").combine_chunks()
+        n = len(s)
+        if n == 0:
+            return s
+        diff = pc.not_equal(et.slice(1), et.slice(0, n - 1))
+        if isinstance(diff, pa.ChunkedArray):
+            diff = diff.combine_chunks()
+        return s.filter(pa.concat_arrays([pa.array([True]), diff]))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(1)
+        return g.rename(columns={"event_id": "top_event_id", "value": "top_value"})
+
+    return (
+        ds.map_batches(_first_per_type, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def sessionize_events(sf_dir: str):
@@ -1742,12 +1901,16 @@ QUERIES = {
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_replay_delta": cdc_replay_delta,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
+    "transcript_reassembly": transcript_reassembly,
+    "conversation_stats": conversation_stats,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
     "events_sliding_user_windows": events_sliding_user_windows,
     "events_type_counts": events_type_counts,
     "events_value_histogram": events_value_histogram,
+    "events_distinct_users_per_type": events_distinct_users_per_type,
+    "events_type_argmax": events_type_argmax,
     "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
     "sessionize_events": sessionize_events,
     "session_stats": session_stats,
@@ -1864,6 +2027,32 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts,
             THEN role || '-tool' ELSE NULL END AS tool
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
+    "transcript_reassembly": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS transcript
+FROM state GROUP BY conv_id
+""",
+    "conversation_stats": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM state GROUP BY conv_id
+""",
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,
        event_type AS last_event_type, value AS last_value
@@ -1905,6 +2094,16 @@ FROM events GROUP BY event_type
 """,
     "events_value_histogram": """
 SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n FROM events GROUP BY 1
+""",
+    "events_distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    "events_type_argmax": """
+SELECT event_type, event_id AS top_event_id, value AS top_value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS rn FROM events)
+WHERE rn = 1
 """,
     "sessionize_events": """
 WITH flagged AS (
