@@ -408,7 +408,10 @@ def transcript_reassembly(sf_dir: str):
             }
         )
 
-    return state.map_batches(assemble, batch_format="pyarrow")
+    # batch_size=None → batch == block: the merge emits one block per
+    # partition group, so convs are never split across batches (the
+    # default batch_size=1024 WOULD split large partitions)
+    return state.map_batches(assemble, batch_format="pyarrow", batch_size=None)
 
 
 def conversation_stats(sf_dir: str):
@@ -460,7 +463,7 @@ def conversation_stats(sf_dir: str):
             }
         )
 
-    return state.map_batches(stats, batch_format="pyarrow")
+    return state.map_batches(stats, batch_format="pyarrow", batch_size=None)
 
 
 def cdc_latest_event_per_user(sf_dir: str):
