@@ -720,6 +720,148 @@ def events_type_argmax(sf_dir: str):
     )
 
 
+def events_user_value_moments(sf_dir: str):
+    """Distributed exact moments per user: n, Σcents, Σcents² as
+    int64.  The partials are associative integers, so the combine is
+    order-insensitive and bit-exact (no float summation-order drift);
+    variance/stddev derive downstream from the three moments.  Shape:
+    batch-local group_by partials → one bucketed combine."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("value"))
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "c": cents,
+                "c2": pc.multiply(cents, cents),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("one", "sum"), ("c", "sum"), ("c2", "sum")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "pn": g.column("one_sum"),
+                "pc_": g.column("c_sum"),
+                "pc2": g.column("c2_sum"),
+            }
+        )
+
+    return _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        sum_cols=["pn", "pc_", "pc2"],
+        out_names=["n_events", "sum_cents", "sumsq_cents"],
+    )
+
+
+def events_rollup_day_type(sf_dir: str):
+    """GROUP BY ROLLUP((day, event_type) → (day) → ()): the fine
+    (day, type) aggregate is computed distributively (map-side
+    partials, then a small groupby — day × type cardinality is tiny);
+    the coarser rollup levels derive from that aggregate alone, so no
+    second pass over the facts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                "event_type": b.column("event_type"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "event_type": g.column("event_type"),
+                "pn": g.column("one_sum"),
+                "pc_": g.column("cents_sum"),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("pc_", alias_name="sum_value_cents"))
+        .to_pandas()  # ≤ days × types rows — rollup levels are driver-cheap
+    )
+    day = fine.groupby("day", as_index=False)[["n", "sum_value_cents"]].sum()
+    day["event_type"] = None
+    total = pd.DataFrame(
+        {
+            "day": [pd.NaT],
+            "event_type": [None],
+            "n": [fine["n"].sum()],
+            "sum_value_cents": [fine["sum_value_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, day, total], ignore_index=True)[
+        ["day", "event_type", "n", "sum_value_cents"]
+    ]
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
+    return out
+
+
+def events_user_modal_type(sf_dir: str):
+    """mode(): each user's most frequent event_type (ties → lexico-
+    graphically smallest).  (user, type) counts flow through the
+    bucketed combine; the per-user argmax then runs block-local —
+    every row of a user shares its bucket, so no further shuffle
+    (batch == block via batch_size=None)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "pn": g.column("event_type_count"),
+            }
+        )
+
+    counts = _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id", "event_type"],
+        sum_cols=["pn"],
+        out_names=["n"],
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("modal_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        s = b.sort_by(
+            [("user_id", "ascending"), ("n", "descending"), ("event_type", "ascending")]
+        )
+        uid = s.column("user_id").combine_chunks()
+        n = len(s)
+        diff = pc.not_equal(uid.slice(1), uid.slice(0, n - 1))
+        if isinstance(diff, pa.ChunkedArray):
+            diff = diff.combine_chunks()
+        s = s.filter(pa.concat_arrays([pa.array([True]), diff]))
+        return pa.table(
+            {
+                "user_id": pc.cast(s.column("user_id"), pa.int64()),
+                "modal_type": s.column("event_type"),
+                "n": s.column("n"),
+            }
+        )
+
+    return counts.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity closes a session):
     per-event session ids via groupby(user) + vectorized cumsum of
@@ -1914,6 +2056,9 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_distinct_users_per_type": events_distinct_users_per_type,
     "events_type_argmax": events_type_argmax,
+    "events_user_value_moments": events_user_value_moments,
+    "events_rollup_day_type": events_rollup_day_type,
+    "events_user_modal_type": events_user_modal_type,
     "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
     "sessionize_events": sessionize_events,
     "session_stats": session_stats,
@@ -2106,6 +2251,27 @@ FROM events GROUP BY event_type
 SELECT event_type, event_id AS top_event_id, value AS top_value
 FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY value DESC, event_id) AS rn FROM events)
+WHERE rn = 1
+""",
+    "events_user_value_moments": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+            AS BIGINT) AS sumsq_cents
+FROM events GROUP BY user_id
+""",
+    "events_rollup_day_type": """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY ROLLUP(day, event_type)
+""",
+    "events_user_modal_type": """
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+FROM (SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
 WHERE rn = 1
 """,
     "sessionize_events": """
