@@ -1674,7 +1674,20 @@ def join_lineitem_orders_shuffle(sf_dir: str):
     lines = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(probe_side, batch_format="pyarrow")
-    return orders.union(lines).groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+    # coalesce the (already partial-aggregated) stream before the sort
+    # shuffle: with B input blocks the exchange creates B×B range
+    # objects, and the per-batch combiners shrink both sides to a few
+    # MB — 128 raw-read blocks would pay ~16k tiny-object overheads
+    # for ~2s of real work.  Size block count to the REDUCED volume
+    # (≈1 block per 64 MB partials, floor 8) — at 100 TB the partials
+    # are proportionally larger and the count scales back up.
+    u = orders.union(lines)
+    n_blocks = 16
+    return (
+        u.repartition(n_blocks)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
 
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
