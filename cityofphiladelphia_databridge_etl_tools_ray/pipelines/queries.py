@@ -1978,7 +1978,15 @@ def left_join_customer_orders(sf_dir: str):
         columns=["o_custkey", "o_totalprice", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
     ).map_batches(order_side, batch_format="pyarrow")
-    return cust.union(orders).groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+    # coalesce the reduced streams before the sort shuffle (see
+    # join_lineitem_orders_shuffle): B×B range-object overhead, not
+    # data volume, dominates this exchange at small block sizes
+    return (
+        cust.union(orders)
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
 
 
 _BIGRAM_K = 100
