@@ -1769,6 +1769,84 @@ def events_user_running_total(sf_dir: str):
     )
 
 
+def events_user_value_rank(sf_dir: str):
+    """RANK + ROW_NUMBER per user over (value DESC, event_id ASC) —
+    the tie-aware window pair.  Same shape as the other ordered
+    windows: ONE coarse user-bucket shuffle, then a vectorized
+    multi-user lexsort kernel (run-start detection gives row_number;
+    (user, value)-run starts give standard-SQL RANK with gaps)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "value": b.column("value"),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), 511), pa.int32()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -val, user))
+        user_s, val_s, eid_s = user[order], val[order], eid[order]
+        n = len(user_s)
+        user_start = np.r_[True, user_s[1:] != user_s[:-1]]
+        starts = np.flatnonzero(user_start)
+        sizes = np.diff(np.r_[starts, n])
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        # RANK: row_number of the first row of each (user, value) tie run
+        tie_start = np.flatnonzero(user_start | np.r_[True, val_s[1:] != val_s[:-1]])
+        tie_sizes = np.diff(np.r_[tie_start, n])
+        rnk = np.repeat(rn[tie_start], tie_sizes)
+        return pd.DataFrame(
+            {"event_id": eid_s, "user_id": user_s, "rn": rn, "rnk": rnk}
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        rank, batch_format="pandas"
+    )
+
+
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT of two derived key sets (users who clicked AND
+    purchased).  Batch-local indicator partials collapse each block to
+    ≤1 row per user; the bucketed combine sums them; the final filter
+    is block-local.  The shuffle moves per-(user, block) indicator
+    rows, never events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_click": pc.cast(pc.equal(et, "click"), pa.int64()),
+                "n_purchase": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("n_click", "sum"), ("n_purchase", "sum")])
+        return g.rename_columns(["user_id", "n_click", "n_purchase"])
+
+    counts = _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        sum_cols=["n_click", "n_purchase"],
+        out_names=["n_click", "n_purchase"],
+    )
+
+    def both(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b.column("n_click"), 0), pc.greater(b.column("n_purchase"), 0)
+        )
+        return b.filter(keep).select(["user_id"])
+
+    return counts.map_batches(both, batch_format="pyarrow", batch_size=None)
+
+
 def events_user_lag_gaps(sf_dir: str):
     """LAG window function at scale: per event, the time since the
     same user's previous event (first event per user emits no row, so
@@ -2098,6 +2176,8 @@ QUERIES = {
     "sketch_distinct_users": sketch_distinct_users,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
+    "events_user_value_rank": events_user_value_rank,
+    "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
     "left_join_customer_orders": left_join_customer_orders,
@@ -2286,6 +2366,17 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY ROLLUP(day, event_type)
+""",
+    "events_user_value_rank": """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+FROM events
+""",
+    "users_click_and_purchase": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
 """,
     "events_user_modal_type": """
 SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
