@@ -1575,6 +1575,95 @@ def events_value_percentiles(sf_dir: str):
     )
 
 
+_VALUE_TIERS = (("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 400.0), ("extreme", 400.0, float("inf")))
+
+
+def events_value_tier_rangejoin(sf_dir: str):
+    """Non-equi RANGE join against a small interval table: each event
+    joins the tier whose [lo, hi) contains its value.  The tier table
+    is a broadcast constant; per batch ONE ``np.searchsorted`` over the
+    sorted boundaries replaces the interval predicate — the scale
+    pattern for band/interval joins with a small side (no shuffle;
+    at 100 TB the tier table still rides in the task closure).  Output
+    is the per-tier aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    bounds = np.array([t[1] for t in _VALUE_TIERS[1:]])  # inner boundaries
+    names = np.array([t[0] for t in _VALUE_TIERS])
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = _np(b.column("value"))
+        tier = names[np.searchsorted(bounds, v, side="right")]
+        t = pa.table(
+            {
+                "tier": pa.array(tier),
+                "one": pa.array(np.ones(len(v), np.int64)),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by("tier").aggregate([("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["tier", "pn", "pc_"])
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("tier")
+        .aggregate(Sum("pn", alias_name="n"), Sum("pc_", alias_name="sum_value_cents"))
+    )
+
+
+def events_type_percentiles(sf_dir: str):
+    """EXACT per-group percentiles (p50/p90/p99 per event_type) via
+    the grouped bounded-domain histogram CDF: per-batch (type, cents)
+    count partials → one small groupby → per-type cumsum over the
+    AGGREGATED histogram only (rows ≤ n_types × value domain — O(domain),
+    not O(events), leaves the cluster)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "cents", "pn"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        cum = grp["n"].to_numpy().cumsum()
+        tot = int(cum[-1])
+        cents = grp["cents"].to_numpy()
+
+        def q(p: float) -> int:
+            return int(cents[np.searchsorted(cum, math.ceil(p * tot), side="left")])
+
+        rows.append(
+            {
+                "event_type": et,
+                "n": tot,
+                "p50_cents": q(0.50),
+                "p90_cents": q(0.90),
+                "p99_cents": q(0.99),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 _SHUF_JOIN_LO, _SHUF_JOIN_HI = "1995-01-01", "1996-01-01"
 
 
@@ -2172,6 +2261,8 @@ QUERIES = {
     "distinct_segment_stats": distinct_segment_stats,
     "grouped_topk_orders_per_customer": grouped_topk_orders_per_customer,
     "events_value_percentiles": events_value_percentiles,
+    "events_type_percentiles": events_type_percentiles,
+    "events_value_tier_rangejoin": events_value_tier_rangejoin,
     "sample_events_hash": sample_events_hash,
     "sketch_distinct_users": sketch_distinct_users,
     "events_user_type_pivot": events_user_type_pivot,
@@ -2506,6 +2597,30 @@ SELECT CAST(tot.tn AS BIGINT) AS n,
        (SELECT min(cents) FROM cdf WHERE cum >= ceil(0.90 * tot.tn)) AS p90_cents,
        (SELECT min(cents) FROM cdf WHERE cum >= ceil(0.99 * tot.tn)) AS p99_cents
 FROM tot
+""",
+    "events_type_percentiles": """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+tot AS (SELECT event_type, count(*) AS tn FROM c GROUP BY event_type),
+h AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY event_type, cents),
+cdf AS (SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum FROM h)
+SELECT tot.event_type, CAST(tot.tn AS BIGINT) AS n,
+       (SELECT min(cents) FROM cdf WHERE cdf.event_type = tot.event_type
+          AND cum >= ceil(0.50 * tot.tn)) AS p50_cents,
+       (SELECT min(cents) FROM cdf WHERE cdf.event_type = tot.event_type
+          AND cum >= ceil(0.90 * tot.tn)) AS p90_cents,
+       (SELECT min(cents) FROM cdf WHERE cdf.event_type = tot.event_type
+          AND cum >= ceil(0.99 * tot.tn)) AS p99_cents
+FROM tot
+""",
+    "events_value_tier_rangejoin": """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+  ('high', 250.0, 400.0), ('extreme', 400.0, 1e308))
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
 """,
     "sample_events_hash": """
 SELECT event_id, user_id, event_type,
