@@ -59,7 +59,7 @@ def read_change_log(
         paths = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
-            if f.endswith((".parquet", ".arrow"))
+            if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz"))
         )
     elif isinstance(path, str):
         paths = [path]
@@ -74,15 +74,59 @@ def read_change_log(
     flt = (pc.field("lsn") > min_lsn_exclusive) if min_lsn_exclusive >= 0 else None
     pq_paths = [p for p in paths if p.endswith(".parquet")]
     ipc_paths = [p for p in paths if p.endswith(".arrow")]
+    csv_paths = [p for p in paths if p.endswith((".csv", ".csv.gz"))]
     parts = []
     if pq_paths:
         parts.append(ray.data.read_parquet(pq_paths, columns=columns, filter=flt))
     if ipc_paths:
         parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+    if csv_paths:
+        parts.append(_read_csv_segments(csv_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
     ds = parts[0]
     for extra in parts[1:]:
         ds = ds.union(extra)
     return ds
+
+
+def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+    """CSV / gzip-CSV WAL segments as a Dataset — the reference's
+    interchange format (get_csv_from_s3 → upsert-csv,
+    databridge_etl_tools/postgres/postgres.py:497-573) as a tail
+    source.  One decode task per segment (same granularity as the IPC
+    path); parsing is schema-driven from CHANGE_SCHEMA (typed lsn /
+    turn_idx / ts columns, unquoted-empty → null for nullable payload
+    columns) rather than inferred per file, so every segment decodes
+    to identical Arrow types regardless of which values it happens to
+    contain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pyarrow import csv as pa_csv
+
+    from ..schema import CHANGE_SCHEMA
+
+    col_types = {f.name: f.type for f in CHANGE_SCHEMA}
+    convert = pa_csv.ConvertOptions(
+        column_types=col_types,
+        strings_can_be_null=True,
+        quoted_strings_can_be_null=False,
+        include_columns=list(columns) if columns else None,
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with pa.input_stream(p, compression="detect") as f:
+                t = pa_csv.read_csv(f, convert_options=convert)
+            if min_lsn_exclusive >= 0:
+                t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    items = ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    )
+    return items.map_batches(decode, batch_format="pyarrow")
 
 
 def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
