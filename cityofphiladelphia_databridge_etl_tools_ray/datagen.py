@@ -163,16 +163,18 @@ def write_change_log(
 
     ``format="parquet"`` for columnar-scan segments,
     ``format="ipc"`` for Arrow IPC + lz4 — the tail-optimized WAL
-    format (3-6× cheaper decode; see sources/changelog.py docstring).
+    format (3-6× cheaper decode; see sources/changelog.py docstring),
+    ``format="csv"`` for gzip CSV — the reference's interchange format
+    (schema-driven decode in sources/changelog._read_csv_segments).
     """
     import os
 
     import pyarrow.parquet as pq
     from pyarrow import feather
 
-    if format not in ("parquet", "ipc"):
-        raise ValueError(f"format must be 'parquet' or 'ipc', got {format!r}")
-    ext = "parquet" if format == "parquet" else "arrow"
+    if format not in ("parquet", "ipc", "csv"):
+        raise ValueError(f"format must be 'parquet', 'ipc' or 'csv', got {format!r}")
+    ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz"}[format]
     os.makedirs(out_dir, exist_ok=True)
     lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
     lo, hi = int(lsn.min()), int(lsn.max()) + 1
@@ -186,6 +188,11 @@ def write_change_log(
         path = os.path.join(out_dir, f"changes-{b:05d}-lsn-{lo + b * width}-{min(hi, lo + (b + 1) * width)}.{ext}")
         if format == "parquet":
             pq.write_table(part, path)
+        elif format == "csv":
+            from pyarrow import csv as pa_csv
+
+            with pa.CompressedOutputStream(path, "gzip") as f:
+                pa_csv.write_csv(part, f)
         else:
             feather.write_feather(part, path, compression="lz4")
         paths.append(path)

@@ -440,7 +440,10 @@ def validate_replay_sample(
     full normalize+shuffle; the per-batch validation in the normalizer
     still guards the remaining rows.
     """
-    head = changes_ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    # take_batch alone (no .limit): Ray's limit-pushdown rewrite drops
+    # children from a ≥3-way Union plan (plan_union_op asserts ≥2) —
+    # take_batch already stops after `sample` rows with backpressure
+    head = changes_ds.take_batch(sample, batch_format="pyarrow")
     missing = [c for c in ("op", "lsn", "conv_id", "turn_idx") if c not in head.column_names]
     if missing:
         raise ValueError(f"replay sample missing required columns: {missing}")

@@ -82,10 +82,11 @@ def read_change_log(
         parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
     if csv_paths:
         parts.append(_read_csv_segments(csv_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
-    ds = parts[0]
-    for extra in parts[1:]:
-        ds = ds.union(extra)
-    return ds
+    if len(parts) == 1:
+        return parts[0]
+    # one variadic union: chained .union(.union(...)) builds a nested
+    # Union node that Ray's planner rejects (expects ≥2 children)
+    return parts[0].union(*parts[1:])
 
 
 def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):

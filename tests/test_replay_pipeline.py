@@ -73,6 +73,27 @@ def test_replay_into_lake_matches_oracle(ray_session, lake_with_base, tmp_path):
     assert m["max_watermark"] == 7999
 
 
+def test_replay_mixed_format_wal(ray_session, lake_with_base, tmp_path):
+    """One WAL directory carrying parquet + Arrow-IPC + gzip-CSV
+    segments (disjoint lsn thirds) replays to the same state as the
+    sequential oracle — the three decode paths union into one stream
+    with identical Arrow types (schema-driven CSV parse)."""
+    lake, base = lake_with_base
+    changes = generate_changes(6000, n_convs=80, delete_frac=0.1, dup_frac=0.05)
+    log_dir = str(tmp_path / "wal")
+    lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+    thirds = [
+        changes.filter(pa.array(lsn % 3 == r)) for r in range(3)
+    ]
+    write_change_log(thirds[0], log_dir, n_files=2, format="parquet")
+    write_change_log(thirds[1], log_dir, n_files=2, format="ipc")
+    write_change_log(thirds[2], log_dir, n_files=2, format="csv")
+
+    replay_into_lake(lake.root, read_change_log(log_dir))
+    exp = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), exp)
+
+
 def test_replay_exactly_once_resume(ray_session, lake_with_base, tmp_path):
     """Replaying the same WAL range twice is a no-op (SCN-watermark
     semantics, reference db2/db2.py:596-655)."""
