@@ -441,6 +441,63 @@ def cdc_replay_from_csv(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
 
 
+def wal_hot_keys(sf_dir: str):
+    """Skew diagnostics over the WAL: the top-20 hottest conv_ids by
+    event count (ties → conv_id asc) plus each key's share of the
+    total stream in ppm — the observability view feeding the salted
+    hot-key merge decision (north rule: explicit skew mitigation).
+    Shape: batch-local count partials → bucketed combine with a
+    per-bucket top-k prune (the global sort sees ≤ k rows per bucket),
+    exact total from the same partials."""
+    ds = _derive_changelog(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("conv_id").aggregate([("lsn", "count")])
+        t = pa.table({"conv_id": g.column("conv_id"), "pn": g.column("lsn_count")})
+        # integral bucket for the combine: numeric suffix of conv-<uid>
+        uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 64), pa.int64())
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(uid, _N_BUCKETS - 1), pa.int32())
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["conv_id", "pn"]).group_by("conv_id").aggregate([("pn", "sum")])
+        t = pa.table(
+            {
+                "conv_id": a.column("conv_id"),
+                "n_events": a.column("pn_sum"),
+                "bucket": pa.array(
+                    np.full(len(a), g.column("bucket")[0].as_py(), np.int32)
+                ),
+                "bucket_total": pa.array(
+                    np.full(len(a), pc.sum(a.column("pn_sum")).as_py() or 0, np.int64)
+                ),
+            }
+        )
+        # keep the per-bucket top-k (+ the bucket total for the global sum)
+        return t.sort_by([("n_events", "descending"), ("conv_id", "ascending")]).slice(0, 20)
+
+    pruned = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(pruned.drop_duplicates("bucket")["bucket_total"].sum())
+    top = (
+        pruned.sort_values(["n_events", "conv_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": top["conv_id"],
+            "n_events": top["n_events"].astype("int64"),
+            "share_ppm": (top["n_events"] * 1_000_000 // total).astype("int64"),
+        }
+    )
+
+
 def transcript_reassembly(sf_dir: str):
     """Reassemble full per-conversation transcripts from the replayed
     LWW state with NO extra shuffle: the merge output is hash-
@@ -2302,6 +2359,7 @@ QUERIES = {
     "cdc_replay_delta": cdc_replay_delta,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_from_csv": cdc_replay_from_csv,
+    "wal_hot_keys": wal_hot_keys,
     "transcript_reassembly": transcript_reassembly,
     "conversation_stats": conversation_stats,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
@@ -2442,6 +2500,15 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts,
        CASE WHEN lsn > (SELECT max(event_id) // 2 FROM events)
             THEN role || '-tool' ELSE NULL END AS tool
 FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "wal_hot_keys": _CHANGES_CTE
+    + """
+, counts AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_events FROM changes GROUP BY conv_id),
+tot AS (SELECT sum(n_events) AS t FROM counts)
+SELECT conv_id, n_events,
+       CAST(n_events * 1000000 // tot.t AS BIGINT) AS share_ppm
+FROM counts, tot
+ORDER BY n_events DESC, conv_id LIMIT 20
 """,
     "transcript_reassembly": _CHANGES_CTE
     + """
