@@ -57,6 +57,124 @@ def _read_docs(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _tf_table(b: pa.Table) -> pa.Table:
+    """Batch-local (doc_id, term, tf) counts — offsets-level token
+    explode (no per-row loop), empty tokens dropped (split on ' '
+    mirrors the oracle's ``string_split(text, ' ')`` exactly)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy()
+    doc = np.repeat(
+        b.column("doc_id").to_numpy(zero_copy_only=False), np.diff(off)
+    )
+    t = pa.table({"doc_id": pa.array(doc), "term": toks.values})
+    t = t.filter(pc.not_equal(t.column("term"), ""))
+    g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "term": g.column("term"),
+            "tf": g.column("term_count"),
+        }
+    )
+
+
+def corpus_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Keyword extraction: top-k terms per document by an integer-exact
+    tf·df⁻¹ weight (``score = tf * 1e6 // df`` — monotone in tf and in
+    1/df; the log-free surrogate keeps scores bit-exact across engines,
+    which float ``ln()`` tf-idf cannot guarantee at rank boundaries).
+
+    Two streaming corpus passes (the classic large-corpus shape):
+
+    1. **DF pass** — per-batch (doc, term) partials reduce to per-term
+       distinct-doc counts; one vocab-sized groupby; the resulting
+       term→df map is O(vocab), collected once and broadcast via
+       ``ray.put`` (sorted term array + df array, joined by
+       ``np.searchsorted`` in pass 2 — zero-copy from plasma).
+    2. **Score pass** — recompute batch-local tf (cheaper than
+       materializing pass 1 at corpus scale), vectorized df join, and
+       a per-doc top-k inside the batch (a document is one input row,
+       so it never crosses batches)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = _tf_table(b).group_by("term").aggregate([("doc_id", "count")])
+        return pa.table(
+            {"term": g.column("term"), "pdf": g.column("doc_id_count")}
+        )
+
+    df_tbl = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+        .sort_values("term")
+    )
+    terms_sorted = df_tbl["term"].to_numpy(str)
+    df_sorted = df_tbl["df"].to_numpy().astype(np.int64)
+    ref = ray.put((terms_sorted, df_sorted))
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        t = _tf_table(b)
+        if len(t) == 0:
+            return out_schema.empty_table()
+        vocab, dfs = ray.get(ref)
+        idx = np.searchsorted(
+            vocab, t.column("term").to_numpy(zero_copy_only=False).astype(str)
+        )
+        df = dfs[idx]
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        score = tf * 1_000_000 // df
+        s = (
+            t.append_column("df", pa.array(df))
+            .append_column("score", pa.array(score))
+            .sort_by(
+                [
+                    ("doc_id", "ascending"),
+                    ("score", "descending"),
+                    ("term", "ascending"),
+                ]
+            )
+        )
+        doc = s.column("doc_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        sizes = np.diff(np.r_[starts, len(doc)])
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        s = s.append_column("rank", pa.array(rank)).filter(pa.array(rank <= k))
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id"),
+                "term": s.column("term"),
+                "tf": pc.cast(s.column("tf"), pa.int64()),
+                "df": s.column("df"),
+                "score": s.column("score"),
+                "rank": s.column("rank"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 from ..functions.lookup import SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
+    corpus_tfidf_top_terms,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -2408,6 +2409,7 @@ QUERIES = {
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
     "corpus_bigram_topk": corpus_bigram_topk,
+    "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
     "text_bpe_token_counts": text_bpe_token_counts,
     "text_quality_scores": text_quality_scores,
     "text_repetition_scores": text_repetition_scores,
@@ -2802,6 +2804,24 @@ FROM customer c LEFT JOIN (
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
   GROUP BY o_custkey
 ) o ON o.o_custkey = c.c_custkey
+""",
+    "corpus_tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rank
+FROM scored WHERE rnk <= 3
 """,
     "corpus_bigram_topk": """
 WITH toks AS (SELECT CASE WHEN trim(text) = '' THEN []
