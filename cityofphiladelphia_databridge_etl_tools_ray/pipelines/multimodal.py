@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..stages.multimodal import (
     DEFAULT_MM_BATCH,
+    DecodeAudioMeta,
     DecodeImageMeta,
     ExtractImageFeatures,
     SampleVideoFrames,
@@ -40,6 +41,18 @@ def multimodal_image_meta(sf_dir: str):
     stage (codec built once per actor)."""
     return _payload_ds(sf_dir).map_batches(
         DecodeImageMeta,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "doc_id"},
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MM_BATCH,
+        concurrency=(1, 4),
+    )
+
+
+def multimodal_audio_meta(sf_dir: str):
+    """binary payload → typed audio metadata (sample rate, channels,
+    exact duration) via the actor-pool decode stage."""
+    return _payload_ds(sf_dir).map_batches(
+        DecodeAudioMeta,
         fn_constructor_kwargs={"payload_col": "payload", "id_col": "doc_id"},
         batch_format="pyarrow",
         batch_size=DEFAULT_MM_BATCH,

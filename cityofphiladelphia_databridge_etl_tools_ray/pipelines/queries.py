@@ -39,6 +39,7 @@ from .corpus import (
     text_token_counts,
 )
 from .multimodal import (
+    multimodal_audio_meta,
     multimodal_frame_sample,
     multimodal_image_features,
     multimodal_image_meta,
@@ -2427,6 +2428,7 @@ QUERIES = {
     "dedup_embedding_cosine_bucketed": dedup_embedding_cosine_bucketed,
     # multimodal (binary payload columns, actor-pool decode stages)
     "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
 }
@@ -3016,6 +3018,27 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
     # the actor-pool decode stages are fully oracle-checked; only
     # image_features (seeded RNG vectors) gets the rows-only check and
     # is pinned by pytest instead.
+    "multimodal_audio_meta": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(sha256(text), 1, 16)) AS UBIGINT) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+m AS (
+  SELECT media_id, n_bytes,
+         CASE h % 4 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                    WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+         1 + ((h // 256) % 2) AS ch,
+         1 + ((h // 16777216) % 30) AS secs
+  FROM d)
+SELECT media_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(secs * rate AS BIGINT) AS n_samples,
+       CAST(secs * 1000 AS BIGINT) AS duration_ms,
+       n_bytes
+FROM m
+""",
     "multimodal_image_meta": """
 WITH d AS (
   SELECT doc_id AS media_id,

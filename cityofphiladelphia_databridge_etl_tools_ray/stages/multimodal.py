@@ -83,6 +83,17 @@ class FakeCodec:
         channels = np.where((d >> 32) % 10 == 0, 1, 3).astype(np.int32)
         return width, height, channels
 
+    def audio_meta(self, payloads: np.ndarray):
+        """(sample_rate, channels, n_samples) per payload."""
+        if self.strict:
+            raise NotImplementedError("real audio decode requires libsndfile/ffmpeg")
+        d = self._digests(payloads)
+        rates = np.array([16000, 22050, 44100, 48000], np.int64)
+        sample_rate = rates[(d % 4).astype(np.int64)]
+        channels = (1 + ((d >> 8) % 2)).astype(np.int32)
+        secs = (1 + ((d >> 24) % 30)).astype(np.int64)
+        return sample_rate.astype(np.int32), channels, secs * sample_rate
+
     def image_features(self, payloads: np.ndarray, dim: int) -> np.ndarray:
         """(n, dim) float32 embedding per payload (fake but stable)."""
         if self.strict:
@@ -137,6 +148,33 @@ class DecodeImageMeta:
                 "width": pa.array(w, pa.int32()),
                 "height": pa.array(h, pa.int32()),
                 "channels": pa.array(c, pa.int32()),
+                "n_bytes": sizes,
+            }
+        )
+
+
+class DecodeAudioMeta:
+    """Actor-pool stage: binary payload → typed audio metadata
+    (sample rate, channels, sample count, exact duration) — the
+    libsndfile/ffprobe seam, same contract as ``DecodeImageMeta``."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.codec = FakeCodec(strict=strict)  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_np(batch, self.payload_col)
+        rate, ch, n_samples = self.codec.audio_meta(payloads)
+        sizes = pc.binary_length(batch.column(self.payload_col)).cast(pa.int64())
+        return pa.table(
+            {
+                "media_id": batch.column(self.id_col).cast(pa.int64()),
+                "sample_rate": pa.array(rate, pa.int32()),
+                "channels": pa.array(ch, pa.int32()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "duration_ms": pa.array(n_samples * 1000 // rate.astype(np.int64), pa.int64()),
                 "n_bytes": sizes,
             }
         )
