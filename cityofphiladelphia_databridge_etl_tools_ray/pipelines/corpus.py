@@ -507,3 +507,152 @@ def dedup_simhash(sf_dir: str):
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# --------------------------------------------------------------------
+# corpus mixing / sampling / sequence packing
+# --------------------------------------------------------------------
+
+_MIX_MULT = 2654435761  # Knuth multiplicative hash constant
+_QUOTA_MOD = 1_000_000_007
+_QUOTA_K = 5
+_PACK_BUDGET = 2048  # chars per packed training sequence
+_PACK_RANGE = 4096  # doc_ids per contiguous prefix-sum bucket
+
+
+def corpus_mix_weighted(sf_dir: str):
+    """Weighted corpus mixing: deterministic per-source sampling rates
+    applied via an integer multiplicative hash of ``doc_id`` — the
+    standard way a training pipeline upsamples/downsamples corpora
+    (reference analog: the per-table extract gating in
+    ``databridge_etl_tools/cli.py``; here the gate is per-row).
+
+    Source ``src<N>`` keeps rows where ``(doc_id*M) % 100 <
+    10 + (N*7) % 86``.  One vectorized ``map_batches`` filter — no
+    shuffle, no driver state, embarrassingly parallel at any scale.
+    """
+    import pyarrow.compute as pc
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        srcnum = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3, 32), pa.int64()),
+            dtype=np.int64,
+        )
+        rate = 10 + (srcnum * 7) % 86
+        keep = (ids * _MIX_MULT) % 100 < rate
+        out = b.filter(pa.array(keep))
+        return out.append_column(
+            "rate_pct", pa.array(rate[keep].astype(np.int64))
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
+def quota_sample_per_source(sf_dir: str, k: int = _QUOTA_K):
+    """Stratified quota sampling: the ``k`` docs per source stratum
+    with the smallest deterministic hash ``(doc_id*M) % P`` — per-
+    domain quota curation for a training mix.
+
+    Scale shape: each block prunes to its local per-source top-k
+    (vectorized sorted-run head-k, no Python per group), so the
+    ``groupby(source)`` shuffle moves at most ``k × blocks`` rows per
+    stratum regardless of input size; the final per-group rank is
+    assigned on ≤ ``k × blocks`` rows.
+    """
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        h = (ids * _MIX_MULT) % _QUOTA_MOD
+        t = pa.table(
+            {"doc_id": b.column("doc_id"), "source": b.column("source"), "h": pa.array(h)}
+        )
+        t = t.sort_by(
+            [("source", "ascending"), ("h", "ascending"), ("doc_id", "ascending")]
+        )
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+        rank_in_src = np.arange(len(t), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(t)])
+        )
+        return t.filter(pa.array(rank_in_src < k))
+
+    def final_rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "source": g.column("source"),
+                "sample_rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source"])
+        .map_batches(local_prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_rank, batch_format="pyarrow")
+    )
+
+
+def pack_token_budget(sf_dir: str, budget: int = _PACK_BUDGET):
+    """Concat-and-chunk sequence packing: lay all docs end-to-end in
+    ``doc_id`` order and cut fixed ``budget``-char training sequences;
+    emit each doc's (seq_start, seq_end, offset_in_seq) placement —
+    the exact layout LLM pretraining uses (concat + chunk, docs may
+    straddle sequence boundaries).
+
+    Distributed global prefix sum in two passes (no driver-side fact
+    materialization): pass 1 aggregates per-bucket char totals where
+    ``bucket = doc_id // _PACK_RANGE`` is CONTIGUOUS in doc order, so
+    the driver only sees ``n_docs / 4096`` bucket sums to turn into
+    exclusive prefix offsets (broadcast once via ``ray.put``); pass 2
+    is one groupby(bucket) whose groups locally cumsum on top of
+    their bucket's offset.  At 10^10 docs the bucket table is ~2.4M
+    rows — widen ``_PACK_RANGE`` to keep it driver-sized.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.append_column("bucket", pa.array(ids // _PACK_RANGE))
+
+    bucketed = docs.map_batches(add_bucket, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b.group_by("bucket").aggregate([("n_chars", "sum")])
+        return pa.table(
+            {"bucket": a.column("bucket"), "part": a.column("n_chars_sum")}
+        )
+
+    totals = (
+        bucketed.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("part")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = totals["bucket"].to_numpy(dtype=np.int64)
+    offs = np.r_[0, np.cumsum(totals["sum(part)"].to_numpy(dtype=np.int64))[:-1]]
+    ref = ray.put((buckets, offs))
+
+    def place(g: pa.Table) -> pa.Table:
+        bks, base = deref(ref)
+        g = g.sort_by("doc_id")
+        n = np.asarray(g.column("n_chars"), dtype=np.int64)
+        start = int(base[np.searchsorted(bks, g.column("bucket")[0].as_py())])
+        off = start + np.r_[0, np.cumsum(n)[:-1]]
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "seq_start": pa.array(off // budget),
+                "seq_end": pa.array((off + np.maximum(n, 1) - 1) // budget),
+                "offset_in_seq": pa.array(off % budget),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(place, batch_format="pyarrow")

@@ -26,11 +26,14 @@ import pyarrow.compute as pc
 from ..functions.lookup import SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
+    corpus_mix_weighted,
     corpus_tfidf_top_terms,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    pack_token_budget,
+    quota_sample_per_source,
     text_bpe_token_counts,
     text_fingerprints,
     text_language_id,
@@ -590,6 +593,52 @@ def conversation_stats(sf_dir: str):
         )
 
     return state.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
+def dialogue_pairs(sf_dir: str):
+    """Adjacent (prompt → response) turn-pair extraction from the
+    replayed transcript state — the SFT-style pair miner a training
+    pipeline runs over conversation logs.  Zero extra shuffle: convs
+    are co-located by the merge partitioning (same shape as
+    ``transcript_reassembly``), and the pairing is one block-local
+    sort + shifted-slice compare — a vectorized LEAD() window, no
+    per-row Python."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("prompt_turn_idx", pa.int64()),
+            ("prompt_role", pa.string()),
+            ("prompt_text", pa.string()),
+            ("response_turn_idx", pa.int64()),
+            ("response_role", pa.string()),
+            ("response_text", pa.string()),
+        ]
+    )
+
+    def pair(b: pa.Table) -> pa.Table:
+        if len(b) < 2:
+            return out_schema.empty_table()
+        b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = len(b)
+        conv = b.column("conv_id").combine_chunks()
+        same = pc.equal(conv.slice(0, n - 1), conv.slice(1, n - 1))
+        head, tail = b.slice(0, n - 1), b.slice(1, n - 1)
+        t = pa.table(
+            {
+                "conv_id": head.column("conv_id"),
+                "prompt_turn_idx": pc.cast(head.column("turn_idx"), pa.int64()),
+                "prompt_role": head.column("role"),
+                "prompt_text": head.column("text"),
+                "response_turn_idx": pc.cast(tail.column("turn_idx"), pa.int64()),
+                "response_role": tail.column("role"),
+                "response_text": tail.column("text"),
+            }
+        )
+        return t.filter(same)
+
+    return state.map_batches(pair, batch_format="pyarrow", batch_size=None)
 
 
 def cdc_latest_event_per_user(sf_dir: str):
@@ -2364,6 +2413,7 @@ QUERIES = {
     "wal_hot_keys": wal_hot_keys,
     "transcript_reassembly": transcript_reassembly,
     "conversation_stats": conversation_stats,
+    "dialogue_pairs": dialogue_pairs,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -2418,6 +2468,9 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "corpus_mix_weighted": corpus_mix_weighted,
+    "quota_sample_per_source": quota_sample_per_source,
+    "pack_token_budget": pack_token_budget,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2539,6 +2592,24 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM state GROUP BY conv_id
+""",
+    "dialogue_pairs": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+), led AS (
+  SELECT conv_id,
+         CAST(turn_idx AS BIGINT) AS prompt_turn_idx,
+         role AS prompt_role, text AS prompt_text,
+         CAST(lead(turn_idx) OVER w AS BIGINT) AS response_turn_idx,
+         lead(role) OVER w AS response_role,
+         lead(text) OVER w AS response_text
+  FROM state WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT * FROM led WHERE response_turn_idx IS NOT NULL
 """,
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -2941,6 +3012,35 @@ FROM customer
     "text_token_counts": r"""
 SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+    # integer multiplicative-hash gate — identical arithmetic on both sides
+    "corpus_mix_weighted": """
+SELECT doc_id, source, lang, n_chars,
+       CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 86 AS BIGINT) AS rate_pct
+FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 86
+""",
+    "quota_sample_per_source": """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+    "pack_token_budget": """
+WITH laid AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM documents
+)
+SELECT doc_id,
+       CAST(off // 2048 AS BIGINT) AS seq_start,
+       CAST((off + greatest(n_chars, 1) - 1) // 2048 AS BIGINT) AS seq_end,
+       CAST(off % 2048 AS BIGINT) AS offset_in_seq
+FROM laid
 """,
     # same RE2 pattern on both sides → identical match counts
     "text_bpe_token_counts": r"""
