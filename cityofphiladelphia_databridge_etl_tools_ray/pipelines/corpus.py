@@ -656,3 +656,87 @@ def pack_token_budget(sf_dir: str, budget: int = _PACK_BUDGET):
         )
 
     return bucketed.groupby("bucket").map_groups(place, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------
+
+_DECON_EVAL_SOURCE = "src0"  # the held-out "benchmark" stratum
+
+
+def _trigram_table(b: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT word trigrams, extracted straight from the
+    Arrow list offsets (one boolean mask excluding row-crossing
+    windows — no per-row loop).  Tokenization mirrors the oracle's
+    ``string_split(trim(text), ' ')`` exactly."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(pc.utf8_trim_whitespace(b.column("text")), "")
+    toks = pc.split_pattern(t, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy()
+    vals = toks.values
+    n_tok = len(vals)
+    empty = pa.schema([("doc_id", pa.int64()), ("gram", pa.string())]).empty_table()
+    if n_tok < 3:
+        return empty
+    lens = off[1:] - off[:-1]
+    doc_ix = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+    left = np.nonzero(doc_ix[: n_tok - 2] == doc_ix[2:])[0]
+    if not len(left):
+        return empty
+    ids = np.asarray(b.column("doc_id"), dtype=np.int64)[doc_ix[left]]
+    la = pa.array(left)
+    grams = pc.binary_join_element_wise(
+        vals.take(la), vals.take(pa.array(left + 1)), vals.take(pa.array(left + 2)), " "
+    )
+    tt = pa.table({"doc_id": pa.array(ids), "gram": grams})
+    return tt.group_by(["doc_id", "gram"]).aggregate([])  # distinct per doc
+
+
+def corpus_decontaminate(sf_dir: str, eval_source: str = _DECON_EVAL_SOURCE):
+    """Benchmark decontamination: flag training docs sharing any word
+    trigram with the held-out eval stratum (``source == 'src0'``) and
+    report how many distinct eval trigrams each one matched — the
+    n-gram-overlap contamination screen every pretraining pipeline
+    runs before training.
+
+    Scale shape: the eval side is small BY NATURE (benchmark suites
+    are thousands of docs, not billions), so its distinct trigram set
+    is reduced on the cluster (per-batch Arrow group_by distinct) and
+    broadcast once via ``ray.put``; the training side is one
+    shuffle-free ``map_batches`` pass — trigram extraction from list
+    offsets, a ``pc.index_in`` hash join against the broadcast set,
+    and a per-batch group count (each doc is one row, so no
+    cross-batch partials exist)."""
+    import pyarrow.compute as pc
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
+    ev = (
+        docs.filter(expr=f"source == '{eval_source}'")
+        .map_batches(_trigram_table, batch_format="pyarrow")
+        .select_columns(["gram"])
+        .to_pandas()["gram"]
+        .unique()
+    )
+    ref = ray.put(pa.array(ev, pa.string()))
+
+    def flag(b: pa.Table) -> pa.Table:
+        eval_grams = deref(ref)
+        tg = _trigram_table(b)
+        hit = pc.is_valid(pc.index_in(tg.column("gram"), value_set=eval_grams))
+        t = pa.table(
+            {"doc_id": tg.column("doc_id"), "one": pc.cast(hit, pa.int64())}
+        )
+        g = t.group_by("doc_id").aggregate([("one", "sum")])
+        out = pa.table(
+            {"doc_id": g.column("doc_id"), "n_matched": g.column("one_sum")}
+        )
+        return out.filter(pc.greater(out.column("n_matched"), 0))
+
+    return docs.filter(expr=f"source != '{eval_source}'").map_batches(
+        flag, batch_format="pyarrow"
+    )

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 from ..functions.lookup import SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
+    corpus_decontaminate,
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
     dedup_exact,
@@ -639,6 +640,60 @@ def dialogue_pairs(sf_dir: str):
         return t.filter(same)
 
     return state.map_batches(pair, batch_format="pyarrow", batch_size=None)
+
+
+def conversation_role_transitions(sf_dir: str):
+    """Global role→role transition counts over the replayed transcript
+    state (the Markov-profile observability query for conversation
+    corpora).  Per-block shifted-slice pairing exactly as
+    ``dialogue_pairs``, collapsed to block-local (from, to) partial
+    counts, then ONE tiny groupby (≤ |roles|² rows per block) sums the
+    partials — the map-side pre-aggregation shape from SURVEY §4."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [("from_role", pa.string()), ("to_role", pa.string()), ("pn", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) < 2:
+            return out_schema.empty_table()
+        b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = len(b)
+        conv = b.column("conv_id").combine_chunks()
+        same = pc.equal(conv.slice(0, n - 1), conv.slice(1, n - 1))
+        role = b.column("role").combine_chunks()
+        t = pa.table(
+            {
+                "from_role": role.slice(0, n - 1),
+                "to_role": role.slice(1, n - 1),
+                "one": pa.array(np.ones(n - 1, np.int64)),
+            }
+        ).filter(same)
+        g = t.group_by(["from_role", "to_role"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "from_role": g.column("from_role"),
+                "to_role": g.column("to_role"),
+                "pn": g.column("one_sum"),
+            }
+        )
+
+    agg = (
+        state.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["from_role", "to_role"])
+        .sum("pn")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "from_role": b.column("from_role"),
+                "to_role": b.column("to_role"),
+                "n": b.column("sum(pn)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def cdc_latest_event_per_user(sf_dir: str):
@@ -2414,6 +2469,7 @@ QUERIES = {
     "transcript_reassembly": transcript_reassembly,
     "conversation_stats": conversation_stats,
     "dialogue_pairs": dialogue_pairs,
+    "conversation_role_transitions": conversation_role_transitions,
     "cdc_latest_event_per_user": cdc_latest_event_per_user,
     "cdc_partition_watermarks": cdc_partition_watermarks,
     "events_hourly_user_windows": events_hourly_user_windows,
@@ -2471,6 +2527,7 @@ QUERIES = {
     "corpus_mix_weighted": corpus_mix_weighted,
     "quota_sample_per_source": quota_sample_per_source,
     "pack_token_budget": pack_token_budget,
+    "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2610,6 +2667,21 @@ FROM state GROUP BY conv_id
   FROM state WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 )
 SELECT * FROM led WHERE response_turn_idx IS NOT NULL
+""",
+    "conversation_role_transitions": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 'delete'
+), led AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM state
+)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM led WHERE to_role IS NOT NULL GROUP BY from_role, to_role
 """,
     "cdc_latest_event_per_user": """
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -3028,6 +3100,22 @@ SELECT doc_id, source, sample_rank FROM (
            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS sample_rank
   FROM documents
 ) WHERE sample_rank <= 5
+""",
+    "corpus_decontaminate": """
+WITH toks AS (SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split(trim(text), ' ') END AS l
+              FROM documents),
+tg AS (SELECT doc_id, source,
+              CASE WHEN len(l) < 3 THEN []
+                   ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))
+              END AS s
+       FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM tg WHERE source = 'src0'),
+tr AS (SELECT doc_id, unnest(s) AS g FROM tg WHERE source <> 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+FROM tr JOIN ev USING (g) GROUP BY doc_id
 """,
     "pack_token_budget": """
 WITH laid AS (

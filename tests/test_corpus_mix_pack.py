@@ -116,3 +116,64 @@ def test_dialogue_pairs_respect_conv_boundaries(ray_session, tmp_path):
     assert list(df["conv_id"]) == ["conv-1", "conv-1"]
     assert list(zip(df["prompt_turn_idx"], df["response_turn_idx"])) == [(1, 2), (2, 3)]
     assert list(df["response_text"]) == ["t2", "t3"]
+
+
+def test_decontaminate_trigram_overlap(ray_session, tmp_path):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        corpus_decontaminate,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",  # eval (src0)
+                    "x y a b c z",  # train: shares trigram "a b c" → flagged (1)
+                    "c d e f g h",  # train: shares "c d e" → flagged (1)
+                    "z z y y x x",  # train: no shared trigram
+                    "a b",  # train: < 3 tokens → no trigrams
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["src0", "src1", "src1", "src1", "src1"], pa.string()),
+            "n_chars": pa.array([9, 11, 11, 11, 3], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = corpus_decontaminate(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(df["doc_id"]) == [2, 3]
+    assert list(df["n_matched"]) == [1, 1]
+
+
+def test_role_transitions_counts(ray_session, tmp_path):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        conversation_role_transitions,
+    )
+
+    # user 1: click→view→click (transitions click→view, view→click);
+    # user 2: view→view
+    ev = [(1, 1, "click"), (2, 1, "view"), (3, 1, "click"), (4, 2, "view"), (5, 2, "view")]
+    t = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in ev], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=e[0]) for e in ev],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([e[1] for e in ev], pa.int64()),
+            "event_type": pa.array([e[2] for e in ev], pa.string()),
+            "value": pa.array([1.0] * len(ev), pa.float64()),
+            "props": pa.array([f"t{e[0]}" for e in ev], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = (
+        conversation_role_transitions(str(tmp_path))
+        .to_pandas()
+        .sort_values(["from_role", "to_role"])
+        .reset_index(drop=True)
+    )
+    got = {(r["from_role"], r["to_role"]): r["n"] for _, r in df.iterrows()}
+    assert got == {("click", "view"): 1, ("view", "click"): 1, ("view", "view"): 1}
