@@ -42,8 +42,78 @@ from ..stages.merge import (
 )
 
 PART_COL = "_part"
+BLOB_COL = "_blob"
 
 _ALLOC_TUNED = False
+
+
+def _pack_codec() -> str | None:
+    """Exchange blob compression codec (GRAFT_PACK_CODEC=lz4|zstd|none)."""
+    import os
+
+    c = os.environ.get("GRAFT_PACK_CODEC", "lz4")
+    return None if c == "none" else c
+
+
+def pack_exchange(batch: pa.Table, pids: np.ndarray) -> pa.Table:
+    """Map-side exchange packing: group the batch's rows by partition
+    id and serialize each partition slice to ONE compressed Arrow-IPC
+    blob, emitting ``(PART_COL, BLOB_COL)`` rows.
+
+    Why: the replay's single all-to-all moves the full text payload.
+    Shuffling raw rows makes Ray's sort shuffle order 14M+ strings and
+    push ~2× the payload bytes through the object store — and on a
+    multi-worker host the exchange is memory-BANDWIDTH bound, which is
+    exactly what breaks N→4N scaling efficiency.  Packing turns the
+    exchange into ≤ maps×partitions tiny rows whose payload is
+    lz4-compressed columnar IPC (≈3× fewer bytes, C++ codec), so the
+    sort is trivial and reducers unpack zero-copy.  The loop below is
+    over PARTITIONS in the batch (≤ num_partitions), not rows."""
+    if len(batch) == 0:
+        return _EMPTY_PACKED
+    order = np.argsort(pids, kind="stable")
+    sp = pids[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
+    bounds = np.r_[starts, len(sp)]
+    sorted_batch = batch.take(pa.array(order)).combine_chunks()
+    opts = pa.ipc.IpcWriteOptions(compression=_pack_codec())
+    blobs = []
+    for i in range(len(starts)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        sl = sorted_batch.slice(s, e - s)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sl.schema, options=opts) as w:
+            w.write_table(sl)
+        blobs.append(sink.getvalue())
+    return pa.table(
+        {
+            PART_COL: pa.array(sp[starts], pa.int32()),
+            BLOB_COL: pa.array([b.to_pybytes() for b in blobs], pa.large_binary()),
+        }
+    )
+
+
+_EMPTY_PACKED = pa.schema(
+    [(PART_COL, pa.int32()), (BLOB_COL, pa.large_binary())]
+).empty_table()
+
+
+def unpack_exchange(group: pa.Table) -> pa.Table:
+    """Reduce-side unpack: deserialize a partition's IPC blobs and
+    concatenate (per-blob schemas may differ across producers —
+    unified permissively, same rule as the merge stage)."""
+    tables = [
+        pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+        for b in group.column(BLOB_COL).to_pylist()
+    ]
+    if not tables:
+        return CHANGE_SCHEMA.empty_table()
+    if len(tables) == 1:
+        return tables[0]
+    try:
+        return pa.concat_tables(tables, promote_options="permissive")
+    except TypeError:  # pyarrow < 14 signature drift
+        return pa.concat_tables(tables, promote=True)
 
 
 def _tune_worker_allocator() -> None:
@@ -110,6 +180,7 @@ class ChangeNormalizer:
         scrub_text: bool = True,
         min_lsn_exclusive: int = -1,
         assume_tz: str | None = None,
+        pack: bool = True,
     ):
         self.num_partitions = num_partitions
         self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
@@ -120,6 +191,9 @@ class ChangeNormalizer:
         self.scrub_text = scrub_text
         self.min_lsn_exclusive = min_lsn_exclusive
         self.assume_tz = assume_tz
+        import os
+
+        self.pack = pack and os.environ.get("GRAFT_PACK_EXCHANGE", "1") != "0"
         self._valid_ops = pa.array(list(OPS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -133,7 +207,7 @@ class ChangeNormalizer:
         if self.min_lsn_exclusive >= 0:
             batch = batch.filter(pc.greater(batch.column("lsn"), self.min_lsn_exclusive))
         if len(batch) == 0:
-            return _with_part_col(CHANGE_SCHEMA.empty_table())
+            return _EMPTY_PACKED if self.pack else _with_part_col(CHANGE_SCHEMA.empty_table())
 
         # op enum validation
         ok = pc.is_in(batch.column("op"), value_set=self._valid_ops)
@@ -178,6 +252,8 @@ class ChangeNormalizer:
         # stages/merge.dedup_last_writer_skew_aware).
         pids = partition_ids(batch.column("conv_id"), self.num_partitions)
         batch, pids = dedup_last_writer_skew_aware(batch, pids, self.num_partitions)
+        if self.pack:
+            return pack_exchange(batch, pids)
         return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
     def _write_dead_letter(self, rejected: pa.Table) -> None:
@@ -238,7 +314,10 @@ def _enable_push_shuffle() -> None:
 
 
 def _merge_group_to_state(group: pa.Table, keep_lsn: bool) -> pa.Table:
-    changes = group.drop_columns([PART_COL])
+    if BLOB_COL in group.column_names:
+        changes = unpack_exchange(group)
+    else:
+        changes = group.drop_columns([PART_COL])
     return merge_partition(None, changes, keep_lsn=keep_lsn)
 
 
@@ -294,7 +373,15 @@ def replay_to_table(
     _enable_push_shuffle()
     ds = _normalized(
         changes_ds,
-        ChangeNormalizer(num_partitions, rename_map=rename_map, assume_tz=assume_tz),
+        ChangeNormalizer(
+            num_partitions,
+            rename_map=rename_map,
+            assume_tz=assume_tz,
+            # the salted pre-reduce consumes ROWS (it re-shuffles on
+            # (part, salt)), so the packed exchange only applies to the
+            # single-shuffle path
+            pack=not (salt and salt > 1),
+        ),
         concurrency,
     )
     if salt and salt > 1:
@@ -320,6 +407,7 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
             "scrub_text": normalizer.scrub_text,
             "min_lsn_exclusive": normalizer.min_lsn_exclusive,
             "assume_tz": normalizer.assume_tz,
+            "pack": normalizer.pack,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -369,7 +457,10 @@ class _MergeCommit:
         _tune_worker_allocator()
         t0 = time.perf_counter()
         pid = int(group.column(PART_COL)[0].as_py())
-        changes = group.drop_columns([PART_COL])
+        if BLOB_COL in group.column_names:
+            changes = unpack_exchange(group)
+        else:
+            changes = group.drop_columns([PART_COL])
 
         wm = self.lake.watermark(pid)
         changes = changes.filter(pc.greater(changes.column("lsn"), wm))
@@ -550,6 +641,7 @@ def replay_into_lake(
             # still no-ops re-applied events.
             min_lsn_exclusive=(-1 if mode == "snapshot" else lake.min_watermark()),
             assume_tz=assume_tz,
+            pack=not (salt and salt > 1),
         ),
         concurrency,
     )
