@@ -472,36 +472,75 @@ def dedup_simhash(sf_dir: str):
             }
         )
 
+    _PAIRS_SCHEMA = pa.schema(
+        [
+            pa.field("doc_id_a", pa.int64()),
+            pa.field("doc_id_b", pa.int64()),
+            pa.field("hamming", pa.int64()),
+        ]
+    )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        """One call per COARSE bucket (256 total), not per
+        (chunk_id, chunk_val) — a 16-bit chunk space yields tens of
+        thousands of near-singleton exact buckets, and per-group task
+        dispatch dominated the stage (~7s for 5k docs).  Inside: one
+        sort, vectorized consecutive-dedup, then pair generation only
+        for sub-buckets that actually collide (len ≥ 2 — rare by
+        construction, so the Python loop is over collisions, not
+        groups)."""
         if len(g) < 2:
-            return pa.schema(
-                [
-                    pa.field("doc_id_a", pa.int64()),
-                    pa.field("doc_id_b", pa.int64()),
-                    pa.field("hamming", pa.int64()),
-                ]
-            ).empty_table()
-        g = g.sort_by("doc_id")
+            return _PAIRS_SCHEMA.empty_table()
+        g = g.sort_by(
+            [("chunk_id", "ascending"), ("chunk_val", "ascending"), ("doc_id", "ascending")]
+        )
+        cid = np.asarray(g.column("chunk_id"), dtype=np.int64)
+        cval = np.asarray(g.column("chunk_val"), dtype=np.int64)
         ids = np.asarray(g.column("doc_id"), dtype=np.int64)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids = ids[keep]
-        sims = np.asarray(g.column("simhash"), dtype=np.int64)[keep]
-        ia, ib = np.triu_indices(len(ids), 1)
-        d = textsig.hamming64(sims[ia], sims[ib])
-        m = d <= SIMHASH_MAX_HAMMING
+        sims = np.asarray(g.column("simhash"), dtype=np.int64)
+        keep = np.r_[
+            True, (cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1]) | (ids[1:] != ids[:-1])
+        ]
+        cid, cval, ids, sims = cid[keep], cval[keep], ids[keep], sims[keep]
+        starts = np.r_[0, np.flatnonzero((cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1])) + 1]
+        lens = np.diff(np.r_[starts, len(ids)])
+        out_a, out_b, out_d = [], [], []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            ia, ib = np.triu_indices(int(ln), 1)
+            a, b = ids[s + ia], ids[s + ib]
+            d = textsig.hamming64(sims[s + ia], sims[s + ib])
+            m = d <= SIMHASH_MAX_HAMMING
+            out_a.append(a[m])
+            out_b.append(b[m])
+            out_d.append(d[m])
+        if not out_a:
+            return _PAIRS_SCHEMA.empty_table()
         return pa.table(
             {
-                "doc_id_a": pa.array(ids[ia[m]]),
-                "doc_id_b": pa.array(ids[ib[m]]),
-                "hamming": pa.array(d[m]),
+                "doc_id_a": pa.array(np.concatenate(out_a)),
+                "doc_id_b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_d)),
             }
         )
 
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("chunk_id"), np.int64) * 65536 + np.asarray(
+            b.column("chunk_val"), np.int64
+        )
+        return b.append_column(
+            "bkt", pa.array(((k * 2654435761) % 1_000_000_007 % 256).astype(np.int32))
+        )
+
+    # coalesce the tiny exploded stream before the exchange — the
+    # 4-rows-per-doc signature stream is a few MB, and B×B range-object
+    # overhead (not data volume) dominates both all-to-alls at small
+    # block counts (same analysis as join_lineitem_orders_shuffle)
     pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bkt")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
