@@ -342,7 +342,15 @@ def _salted_prereduce(ds, salt: int):
         return b.append_column(SALT_COL, s)
 
     def prereduce(g: pa.Table) -> pa.Table:
-        return dedup_last_writer(g.drop_columns([SALT_COL]))
+        """Dedup the (part, salt) sub-group, then PACK the survivors
+        into one compressed blob row so the second exchange (final
+        groupby on part) moves ≤ salt blob rows per partition instead
+        of re-shuffling the full payload — the same bandwidth argument
+        as the primary packed exchange, and hot-key streams are where
+        the exchange volume is highest."""
+        pid = int(g.column(PART_COL)[0].as_py())
+        deduped = dedup_last_writer(g.drop_columns([PART_COL, SALT_COL]))
+        return pack_exchange(deduped, np.full(len(deduped), pid, np.int32))
 
     prereduce.__name__ = "salted_prereduce"
     return (
