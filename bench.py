@@ -267,6 +267,71 @@ def scaling():
     )
 
 
+def skew():
+    """Skew-mitigation evidence (`bench.py --skew`): replay a HOT
+    change log — 40% of all events target one conv_id — through (a)
+    the plain merge, (b) the skew-aware combiner only (default path),
+    and (c) combiner + salted two-phase merge, and report wall time
+    per leg plus the max single merge-task time from the metrics rows.
+    The north rule requires explicit skew handling; this is its
+    reproducible measurement."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        generate_changes,
+        write_change_log,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    n = int(os.environ.get("GRAFT_SKEW_EVENTS", "4000000"))
+    wal_dir = os.path.join(BENCH_DIR, f"skewwal-{n}-{WAL_FORMAT}")
+    if not os.path.exists(os.path.join(wal_dir, ".done")):
+        shutil.rmtree(wal_dir, ignore_errors=True)
+        ch = generate_changes(
+            n, n_convs=50000, max_turns=50, update_frac=0.7, hot_frac=0.4, seed=11
+        )
+        write_change_log(ch, wal_dir, n_files=64, format=WAL_FORMAT)
+        with open(os.path.join(wal_dir, ".done"), "w") as f:
+            f.write("ok")
+    read_change_log(wal_dir).count()  # warm page cache
+
+    legs = {}
+    for name, kwargs in (
+        ("combiner_only", {}),
+        ("combiner_salted8", {"salt": 8}),
+    ):
+        times, max_merge = [], []
+        for rep in range(3):
+            root = os.path.join(BENCH_DIR, f"skewlake-{name}-{rep}")
+            shutil.rmtree(root, ignore_errors=True)
+            TranscriptLake.create(root, num_partitions=N_PARTITIONS)
+            t0 = time.perf_counter()
+            m = replay_into_lake(root, read_change_log(wal_dir), **kwargs)
+            times.append(round(time.perf_counter() - t0, 2))
+            max_merge.append(round(float(m["merge_sec"].max()), 2))
+            shutil.rmtree(root, ignore_errors=True)
+        med = sorted(times)[1]
+        legs[name] = {
+            "replay_sec": times,
+            "median_sec": med,
+            "events_per_sec": round(n / med),
+            "max_merge_task_sec": max_merge,
+        }
+    print(
+        json.dumps(
+            {"metric": "skew_mitigation", "events": n, "hot_frac": 0.4, "legs": legs}
+        )
+    )
+    ray.shutdown()
+
+
 def stats():
     """Print the replay pipeline's per-operator ``ds.stats()`` after one
     warmup + one timed pass at RAY_GRAFT_CPUS — the reproducible
@@ -319,5 +384,7 @@ if __name__ == "__main__":
         scaling()
     elif "--stats" in sys.argv:
         stats()
+    elif "--skew" in sys.argv:
+        skew()
     else:
         main()
