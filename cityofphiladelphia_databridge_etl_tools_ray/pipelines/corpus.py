@@ -216,6 +216,63 @@ def text_language_id(sf_dir: str):
     )
 
 
+def text_pii_redaction(sf_dir: str):
+    """PII scrub over the corpus (emails / phones / IPv4 → typed
+    placeholders, with per-doc match counts).  The synthetic corpus
+    carries no PII, so deterministic doc_id-derived contact strings
+    are injected first (same oracle-twin trick as ago_format_rows) —
+    the DuckDB oracle rebuilds the identical noisy text and applies
+    the identical RE2 patterns, so the redacted output is bit-exact.
+    doc_id % 3 == 0 → email + phone appended, == 1 → IPv4 appended,
+    == 2 → untouched (exercises the no-match path)."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import redact_pii
+
+    def inject(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.int64())
+        k = pc.subtract(did, pc.multiply(pc.divide(did, pa.scalar(3)), pa.scalar(3)))
+        id_s = pc.cast(did, pa.string())
+        phone4 = pc.utf8_lpad(
+            pc.cast(
+                pc.subtract(
+                    did, pc.multiply(pc.divide(did, pa.scalar(10000)), pa.scalar(10000))
+                ),
+                pa.string(),
+            ),
+            4,
+            "0",
+        )
+        oct2 = pc.cast(
+            pc.subtract(did, pc.multiply(pc.divide(did, pa.scalar(200)), pa.scalar(200))),
+            pa.string(),
+        )
+        oct4 = pc.cast(
+            pc.subtract(did, pc.multiply(pc.divide(did, pa.scalar(250)), pa.scalar(250))),
+            pa.string(),
+        )
+        with_contact = pc.binary_join_element_wise(
+            b.column("text"), pa.scalar(" Contact user"), id_s,
+            pa.scalar("@mail.example.com or +1 555-010-"), phone4, "",
+        )
+        with_ip = pc.binary_join_element_wise(
+            b.column("text"), pa.scalar(" from 10."), oct2, pa.scalar(".0."), oct4, "",
+        )
+        t = pc.case_when(
+            pc.make_struct(pc.equal(k, 0), pc.equal(k, 1)),
+            with_contact,
+            with_ip,
+            b.column("text"),
+        )
+        return pa.table({"doc_id": did, "text": t})
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(redact_pii, batch_format="pyarrow")
+    )
+
+
 def text_fingerprints(sf_dir: str):
     """64-bit whitespace-normalized content hash per doc (rows-only:
     the hash function is engine-internal)."""

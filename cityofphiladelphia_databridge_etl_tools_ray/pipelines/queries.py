@@ -38,6 +38,7 @@ from .corpus import (
     text_bpe_token_counts,
     text_fingerprints,
     text_language_id,
+    text_pii_redaction,
     text_quality_scores,
     text_repetition_scores,
     text_token_counts,
@@ -2520,6 +2521,7 @@ QUERIES = {
     "text_bpe_token_counts": text_bpe_token_counts,
     "text_quality_scores": text_quality_scores,
     "text_repetition_scores": text_repetition_scores,
+    "text_pii_redaction": text_pii_redaction,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
@@ -3148,6 +3150,30 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM c GROUP BY doc_id
+""",
+    # PII scrub: the CASE rebuilds the engine's deterministic noise
+    # injection; counts on original text, replace email -> phone -> ip
+    # (both engines are RE2, so the patterns behave identically)
+    "text_pii_redaction": r"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or +1 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 1 THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+           ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '[PHONE]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM noisy
 """,
     "text_quality_scores": r"""
 WITH t AS (

@@ -125,6 +125,45 @@ def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: PII patterns (RE2-compatible — identical semantics in pyarrow and
+#: DuckDB, both RE2-engined, so the redaction oracle is bit-exact).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII redaction for training corpora: mask emails, international
+    phone numbers and IPv4 addresses with typed placeholders, and
+    report per-doc match counts (the audit signal a scrubbing pipeline
+    keeps).  Generalizes the reference's per-value scrubbers
+    (oracle/oracle.py:150-156 null-byte scan, ago/ago.py:436-474
+    format_row) to corpus scale: three ``count_substring_regex`` and
+    three ``replace_substring_regex`` C++ kernel calls per batch, no
+    Python per-row work.
+
+    Semantics (mirrored exactly in the DuckDB oracle): counts are
+    computed on the ORIGINAL text; replacement applies email → phone
+    → IPv4 in sequence (placeholders contain no digits/@, so later
+    patterns cannot match earlier replacements)."""
+    t = batch.column(text_col)
+    n_emails = pc.cast(pc.count_substring_regex(t, PII_EMAIL_RE), pa.int64())
+    n_phones = pc.cast(pc.count_substring_regex(t, PII_PHONE_RE), pa.int64())
+    n_ips = pc.cast(pc.count_substring_regex(t, PII_IPV4_RE), pa.int64())
+    clean = pc.replace_substring_regex(t, PII_EMAIL_RE, "[EMAIL]")
+    clean = pc.replace_substring_regex(clean, PII_PHONE_RE, "[PHONE]")
+    clean = pc.replace_substring_regex(clean, PII_IPV4_RE, "[IP]")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean_text": clean,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+        }
+    )
+
+
 class LangId:
     """Stopword-profile language ID (actor-pool stage: the vocab
     lookup table is built once per actor in ``__init__``).

@@ -278,3 +278,31 @@ def test_clean_string_columns_edge_cases():
     assert out.column("name").to_pylist() == ["abcd", None, None, None]
     d = out.column("d").to_pylist()
     assert [x is not None for x in d] == [True, True, True, False]
+
+
+def test_redact_pii_kernel():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at a.b+c@x-y.example.org or bob@ex.co today",
+                    "call +1 555-010-0042 from 192.168.1.200 now",
+                    "no pii here",
+                    "two ips 10.0.0.1 8.8.8.8 and +44 207-946-0958",
+                ]
+            ),
+        }
+    )
+    out = redact_pii(t)
+    assert out.column("clean_text").to_pylist() == [
+        "mail me at [EMAIL] or [EMAIL] today",
+        "call [PHONE] from [IP] now",
+        "no pii here",
+        "two ips [IP] [IP] and [PHONE]",
+    ]
+    assert out.column("n_emails").to_pylist() == [2, 0, 0, 0]
+    assert out.column("n_phones").to_pylist() == [0, 1, 0, 1]
+    assert out.column("n_ips").to_pylist() == [0, 1, 0, 2]
