@@ -273,6 +273,66 @@ def text_pii_redaction(sf_dir: str):
     )
 
 
+CHUNK_SIZE = 200  # chars per chunk
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def chunk_documents(sf_dir: str):
+    """Overlapping fixed-window document chunking (the RAG /
+    context-window prep stage): each doc explodes into chunks of
+    CHUNK_SIZE chars starting every CHUNK_STRIDE chars.  Vectorized
+    per chunk ORDINAL, not per row: chunk k of every doc in the batch
+    is one ``utf8_slice_codeunits`` kernel call over the filtered
+    column (max-doc-len/stride calls per batch, each O(batch)).
+    Shuffle-free; output order is irrelevant (order-insensitive
+    oracle).  n_chunks = 1 + ceil((len - SIZE)/STRIDE) for len >
+    SIZE else 1 — integer math on both sides, so bit-exact in SQL."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_explode, batch_format="pyarrow"
+    )
+
+
+def _chunk_explode(b: pa.Table) -> pa.Table:
+    """Batch kernel for chunk_documents (module-level so tests drive
+    it directly)."""
+    import pyarrow.compute as pc
+
+    t = b.column("text")
+    did = pc.cast(b.column("doc_id"), pa.int64())
+    n = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+    extra = (n - (CHUNK_SIZE - CHUNK_STRIDE + 1)) // CHUNK_STRIDE
+    n_chunks = np.where(n <= CHUNK_SIZE, 1, 1 + extra)
+    pieces = []
+    for k in range(int(n_chunks.max(initial=0))):
+        mask = pa.array(n_chunks > k)
+        sub = t.filter(mask)
+        chunk = pc.utf8_slice_codeunits(
+            sub, start=k * CHUNK_STRIDE, stop=k * CHUNK_STRIDE + CHUNK_SIZE
+        )
+        pieces.append(
+            pa.table(
+                {
+                    "doc_id": did.filter(mask),
+                    "chunk_idx": pa.array(
+                        np.full(len(sub), k, dtype=np.int64)
+                    ),
+                    "chunk_text": chunk,
+                    "n_chunk_chars": pc.cast(pc.utf8_length(chunk), pa.int64()),
+                }
+            )
+        )
+    if not pieces:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_chunk_chars": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(pieces)
+
+
 def text_fingerprints(sf_dir: str):
     """64-bit whitespace-normalized content hash per doc (rows-only:
     the hash function is engine-internal)."""

@@ -37,6 +37,7 @@ from .corpus import (
     quota_sample_per_source,
     text_bpe_token_counts,
     text_fingerprints,
+    chunk_documents,
     text_language_id,
     text_pii_redaction,
     text_quality_scores,
@@ -2522,6 +2523,7 @@ QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_repetition_scores": text_repetition_scores,
     "text_pii_redaction": text_pii_redaction,
+    "chunk_documents": chunk_documents,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
@@ -3150,6 +3152,25 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM c GROUP BY doc_id
+""",
+    # overlapping 200-char chunks every 150 chars; integer n_chunks
+    # formula mirrors corpus.chunk_documents exactly
+    "chunk_documents": r"""
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+c AS (
+  SELECT doc_id, text,
+         CASE WHEN n <= 200 THEN 1 ELSE 1 + (n - 51) // 150 END AS n_chunks
+  FROM d),
+e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM c)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substring(text, 1 + CAST(i AS INTEGER) * 150, 200) AS chunk_text,
+       CAST(length(substring(text, 1 + CAST(i AS INTEGER) * 150, 200)) AS BIGINT) AS n_chunk_chars
+FROM e
 """,
     # PII scrub: the CASE rebuilds the engine's deterministic noise
     # injection; counts on original text, replace email -> phone -> ip

@@ -306,3 +306,59 @@ def test_redact_pii_kernel():
     assert out.column("n_emails").to_pylist() == [2, 0, 0, 0]
     assert out.column("n_phones").to_pylist() == [0, 1, 0, 1]
     assert out.column("n_ips").to_pylist() == [0, 1, 0, 2]
+
+
+def test_chunk_documents_boundaries(ray_session):
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    assert (CHUNK_SIZE, CHUNK_STRIDE) == (200, 150)
+    sf = "/root/testdata/sf0.001"
+    out = chunk_documents(sf).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, length(text) AS n FROM '{sf}/documents.parquet'"
+    ).df()
+    for _, r in docs.iterrows():
+        n = int(r["n"])
+        expect = 1 if n <= 200 else 1 + -(-(n - 200) // 150)
+        got = out[out["doc_id"] == r["doc_id"]]
+        assert len(got) == expect, (r["doc_id"], n)
+        assert got["n_chunk_chars"].iloc[0] == min(n, 200)
+        last = got.sort_values("chunk_idx").iloc[-1]
+        # last chunk ends exactly at the doc's final char
+        assert int(last["chunk_idx"]) * 150 + int(last["n_chunk_chars"]) == n
+
+
+def test_chunk_explode_kernel_edges():
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import _chunk_explode
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", "x" * 200, "y" * 201, "a" * 350 + "b"]),
+        }
+    )
+    out = _chunk_explode(t)
+    by_doc = {}
+    for d, i, c in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("chunk_idx").to_pylist(),
+        out.column("chunk_text").to_pylist(),
+    ):
+        by_doc.setdefault(d, []).append((i, c))
+    assert by_doc[1] == [(0, "")]  # empty doc -> one empty chunk
+    assert by_doc[2] == [(0, "x" * 200)]  # exactly chunk_size -> 1 chunk
+    assert by_doc[3] == [(0, "y" * 200), (1, "y" * 51)]  # 201 chars -> 2
+    # 351 chars -> 3 chunks; overlap region repeats; last char covered
+    assert [i for i, _ in by_doc[4]] == [0, 1, 2]
+    assert by_doc[4][2][1] == "a" * 50 + "b"
+    # empty batch
+    empty = _chunk_explode(t.slice(0, 0))
+    assert len(empty) == 0 and empty.schema.names == [
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_chars",
+    ]
