@@ -676,6 +676,35 @@ _PACK_BUDGET = 2048  # chars per packed training sequence
 _PACK_RANGE = 4096  # doc_ids per contiguous prefix-sum bucket
 
 
+def split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment (96/2/2 by a
+    multiplicative hash of doc_id) — the leakage-safe split stage
+    every training pipeline needs: stable under re-runs, re-shards
+    and cluster-size changes (pure function of the key, no RNG state,
+    no shuffle), and any future doc joins back to the same split.
+    Keyed on the DOCUMENT id: near-dup chunks of one doc can never
+    straddle splits (chunk-level hashing would leak).  One vectorized
+    map_batches; the bucket arithmetic is integer-exact in SQL."""
+    import pyarrow.compute as pc
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        bucket = (ids * _MIX_MULT) % 100
+        split = np.where(bucket < 96, "train", np.where(bucket < 98, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "source": b.column("source"),
+                "split_bucket": pa.array(bucket),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def corpus_mix_weighted(sf_dir: str):
     """Weighted corpus mixing: deterministic per-source sampling rates
     applied via an integer multiplicative hash of ``doc_id`` — the

@@ -38,6 +38,7 @@ from .corpus import (
     text_bpe_token_counts,
     text_fingerprints,
     chunk_documents,
+    split_assign,
     text_language_id,
     text_pii_redaction,
     text_quality_scores,
@@ -2524,6 +2525,7 @@ QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "text_pii_redaction": text_pii_redaction,
     "chunk_documents": chunk_documents,
+    "split_assign": split_assign,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
@@ -3152,6 +3154,15 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM c GROUP BY doc_id
+""",
+    # deterministic 96/2/2 split by Knuth multiplicative hash of doc_id
+    "split_assign": """
+SELECT doc_id, source,
+       (doc_id * 2654435761) % 100 AS split_bucket,
+       CASE WHEN (doc_id * 2654435761) % 100 < 96 THEN 'train'
+            WHEN (doc_id * 2654435761) % 100 < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
     # overlapping 200-char chunks every 150 chars; integer n_chunks
     # formula mirrors corpus.chunk_documents exactly

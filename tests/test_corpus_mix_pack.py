@@ -177,3 +177,20 @@ def test_role_transitions_counts(ray_session, tmp_path):
     )
     got = {(r["from_role"], r["to_role"]): r["n"] for _, r in df.iterrows()}
     assert got == {("click", "view"): 1, ("view", "click"): 1, ("view", "view"): 1}
+
+
+def test_split_assign_deterministic_and_disjoint(ray_session):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import split_assign
+
+    sf = "/root/testdata/sf0.001"
+    a = split_assign(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = split_assign(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # stable across runs
+    assert set(a["split"].unique()) <= {"train", "val", "test"}
+    # every doc gets exactly one split; buckets match the formula
+    assert a["doc_id"].is_unique
+    expect = (a["doc_id"].to_numpy() * 2654435761) % 100
+    assert (a["split_bucket"].to_numpy() == expect).all()
+    # train dominates (96% nominal; tolerate hash variance on tiny sf)
+    frac = (a["split"] == "train").mean()
+    assert 0.9 <= frac <= 1.0
