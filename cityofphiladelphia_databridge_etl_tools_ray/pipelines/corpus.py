@@ -566,6 +566,59 @@ def dedup_ngram_jaccard(sf_dir: str):
     return sig_ds.map_batches(all_pairs, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+def dedup_clusters(sf_dir: str):
+    """Connected components over near-dup pairs → per-doc canonical
+    cluster id (= min doc_id in the component) + component size: the
+    decision step that turns pairwise dedup output into keep/drop
+    labels (keep doc_id == cluster_id, drop the rest).
+
+    Scale design: the pair list is the REDUCED output of dedup
+    (O(duplicates) ≪ corpus).  It streams out of the distributed pair
+    pipeline into one path-compressed union-find pass (O(E·α)); only
+    the doc→cluster map is materialized.  At 100 TB, with billions of
+    pairs, this single pass becomes the in-group finisher of iterated
+    min-label propagation (large-star/small-star: map_batches emits
+    (node, min neighbor label), groupby-min per round, O(log n)
+    rounds — the same groupby machinery dedup_minhash_lsh uses).
+    Pairs come from the exact-jaccard twin so the oracle (recursive
+    CTE transitive closure) is hash-exact; swapping in
+    dedup_minhash_lsh pairs gives the 100-TB variant unchanged."""
+    pairs = dedup_ngram_jaccard(sf_dir).to_pandas()  # reduced edge list
+    a = pairs["doc_id_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_id_b"].to_numpy(dtype=np.int64)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller: the final root
+            # of every component is its minimum doc_id
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+
+    docs = sorted(parent)
+    labels = np.fromiter((find(d) for d in docs), dtype=np.int64, count=len(docs))
+    _, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(docs, dtype=np.int64)),
+            "cluster_id": pa.array(labels),
+            "n_members": pa.array(counts[inv].astype(np.int64)),
+        }
+    )
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs: 64-bit signature, Hamming ≤ T, found
     via pigeonhole bucketing on the 4 16-bit chunks (T ≤ 3 guarantees

@@ -38,6 +38,7 @@ from .corpus import (
     text_bpe_token_counts,
     text_fingerprints,
     chunk_documents,
+    dedup_clusters,
     split_assign,
     text_language_id,
     text_pii_redaction,
@@ -2535,6 +2536,7 @@ QUERIES = {
     "pack_token_budget": pack_token_budget,
     "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     # similarity search (embeddings table)
@@ -3318,3 +3320,25 @@ r AS (SELECT qid, nid,
 SELECT qid, nid, CAST(rnk AS BIGINT) AS "rank" FROM r WHERE rnk <= 5
 """,
 }
+
+# connected components over the near-dup pairs: recursive-CTE
+# transitive closure over the (already oracle-exact) jaccard pair SQL;
+# min reachable node = canonical cluster id
+ORACLE_SQL["dedup_clusters"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLE_SQL["dedup_ngram_jaccard"]
+    + """),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM pairs),
+walk(u, lbl) AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM lab
+"""
+)

@@ -362,3 +362,28 @@ def test_chunk_explode_kernel_edges():
     assert len(empty) == 0 and empty.schema.names == [
         "doc_id", "chunk_idx", "chunk_text", "n_chunk_chars",
     ]
+
+
+def test_dedup_clusters_transitive(ray_session):
+    """Union-find must close transitively: if A~B and B~C are pairs but
+    A~C is not, all three still share one cluster (min id), and
+    n_members counts the whole component."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        dedup_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup_ngram_jaccard(sf).to_pandas()
+    out = dedup_clusters(sf).to_pandas()
+    # every doc in a pair is labeled, no others
+    docs_in_pairs = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+    assert set(out["doc_id"]) == docs_in_pairs
+    # cluster id is the component minimum and a member of the cluster
+    for cid, grp in out.groupby("cluster_id"):
+        assert cid == grp["doc_id"].min()
+        assert (grp["n_members"] == len(grp)).all()
+    # transitivity: labels must be a fixpoint of one propagation step
+    lbl = dict(zip(out["doc_id"], out["cluster_id"]))
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        assert lbl[a] == lbl[b]
