@@ -619,6 +619,123 @@ def dedup_clusters(sf_dir: str):
     )
 
 
+def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
+    """dedup_clusters' 100-TB twin: connected components by iterative
+    MIN-LABEL PROPAGATION expressed entirely in Ray Data exchanges —
+    no driver-side union-find, no single-node edge materialization.
+
+    Per round (O(component diameter) rounds; dup clusters are
+    shallow): the label table and the bidirectional edge table stream
+    into ONE bucket shuffle on hash(key) (the same
+    narrow-schema+side-tag shape as join_lineitem_orders_shuffle);
+    each bucket scatters labels to incident edges with a vectorized
+    sorted-key ``np.searchsorted`` probe (≤ n_buckets Python calls per
+    round, all O(bucket) inside); a groupby-min on the node then picks
+    each node's best candidate.  Convergence is detected from the
+    monotone non-increasing global label sum — one scalar per round.
+    Cluster sizes come from an O(clusters) count table broadcast via
+    ``ray.put``.  Labels are byte-identical to dedup_clusters (pinned
+    in tests) and share its recursive-CTE oracle."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    n_buckets = 32
+    pairs = dedup_ngram_jaccard(sf_dir)
+
+    def bidir(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("doc_id_a"), dtype=np.int64)
+        c = np.asarray(b.column("doc_id_b"), dtype=np.int64)
+        key = np.concatenate([c, a])  # neighbor = join key
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "node": pa.array(np.concatenate([a, c])),
+                "lbl": pa.nulls(2 * len(a), pa.int64()),
+                "bucket": pa.array((key & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    edges = pairs.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    # labels(node, lbl): init lbl = node (every node appears as "key")
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column("key"), "lbl": b.column("key")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+
+    def lab_keyed(b: pa.Table) -> pa.Table:
+        key = np.asarray(b.column("node"), dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "node": pa.nulls(len(b), pa.int64()),
+                "lbl": pc.cast(b.column("lbl"), pa.int64()),
+                "bucket": pa.array((key & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def scatter_bucket(g: pa.Table) -> pa.Table:
+        lbl = g.column("lbl")
+        is_lab = np.asarray(pc.is_valid(lbl))
+        keys = np.asarray(g.column("key"), dtype=np.int64)
+        lk, lv = keys[is_lab], np.asarray(lbl, dtype="object")[is_lab].astype(np.int64)
+        order = np.argsort(lk)
+        lk_s, lv_s = lk[order], lv[order]
+        ek = keys[~is_lab]
+        en = np.asarray(g.column("node"), dtype="object")[~is_lab].astype(np.int64)
+        # every edge key has exactly one label row (labels are total)
+        pos = np.searchsorted(lk_s, ek)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([en, lk_s])),
+                "cand": pa.array(np.concatenate([lv_s[pos], lv_s])),
+            }
+        )
+
+    for _ in range(max_rounds):
+        labels = (
+            labels.map_batches(lab_keyed, batch_format="pyarrow")
+            .union(edges)
+            .groupby("bucket")
+            .map_groups(scatter_bucket, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="lbl"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # monotone ↓ sum: fixpoint reached
+            break
+        prev_sum = cur_sum
+
+    # O(clusters) count table, broadcast once
+    sizes = labels.groupby("lbl").count().to_pandas()
+    cnt_col = next(c for c in sizes.columns if c != "lbl")
+    ck = sizes["lbl"].to_numpy(dtype=np.int64)
+    cn = sizes[cnt_col].to_numpy(dtype=np.int64)
+    co = np.argsort(ck)
+    ref = ray.put((ck[co], cn[co]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        k, n = deref(ref)
+        lbl = np.asarray(b.column("lbl"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("node"), pa.int64()),
+                "cluster_id": pa.array(lbl),
+                "n_members": pa.array(n[np.searchsorted(k, lbl)]),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs: 64-bit signature, Hamming ≤ T, found
     via pigeonhole bucketing on the 4 16-bit chunks (T ≤ 3 guarantees

@@ -39,6 +39,7 @@ from .corpus import (
     text_fingerprints,
     chunk_documents,
     dedup_clusters,
+    dedup_clusters_distributed,
     split_assign,
     text_language_id,
     text_pii_redaction,
@@ -2537,6 +2538,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_distributed": dedup_clusters_distributed,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     # similarity search (embeddings table)
@@ -3324,6 +3326,8 @@ SELECT qid, nid, CAST(rnk AS BIGINT) AS "rank" FROM r WHERE rnk <= 5
 # connected components over the near-dup pairs: recursive-CTE
 # transitive closure over the (already oracle-exact) jaccard pair SQL;
 # min reachable node = canonical cluster id
+# the distributed label-propagation twin converges to the identical
+# labeling, so it shares the recursive-CTE oracle verbatim
 ORACLE_SQL["dedup_clusters"] = (
     "WITH RECURSIVE pairs AS ("
     + ORACLE_SQL["dedup_ngram_jaccard"]
@@ -3342,3 +3346,4 @@ SELECT doc_id, cluster_id,
 FROM lab
 """
 )
+ORACLE_SQL["dedup_clusters_distributed"] = ORACLE_SQL["dedup_clusters"]

@@ -387,3 +387,29 @@ def test_dedup_clusters_transitive(ray_session):
     lbl = dict(zip(out["doc_id"], out["cluster_id"]))
     for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
         assert lbl[a] == lbl[b]
+
+
+def test_dedup_clusters_distributed_matches_unionfind(ray_session):
+    """Label propagation must converge to the identical labeling the
+    union-find finisher produces (same pairs, same canonical ids)."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        dedup_clusters,
+        dedup_clusters_distributed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    uf = (
+        dedup_clusters(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp = (
+        dedup_clusters_distributed(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert uf[["doc_id", "cluster_id", "n_members"]].equals(
+        lp[["doc_id", "cluster_id", "n_members"]]
+    )
