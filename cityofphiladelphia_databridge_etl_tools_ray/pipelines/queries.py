@@ -2391,6 +2391,121 @@ def left_join_customer_orders(sf_dir: str):
     )
 
 
+_FOJ_W1 = ("1995-01-01", "1995-03-01")
+_FOJ_W2 = ("1995-03-01", "1995-05-01")
+
+
+def full_outer_join_customer_windows(sf_dir: str):
+    """FULL OUTER shuffle join: per-customer order count/spend in
+    window A joined against window B, preserving customers active in
+    only one window (zeros on the missing side) — completes the join
+    family (inner: join_lineitem_orders_shuffle; left:
+    left_join_customer_orders).  Both inputs are the same fact table
+    under different pushed-down date filters, so misses occur in BOTH
+    directions (a genuinely exercised full-outer path).
+
+    Shape: identical repartition-join machinery — per-(custkey, block)
+    partial aggregation before the exchange, one narrow tagged-schema
+    union, one bucket shuffle; each bucket merges the two sides over
+    the np.union1d of their keys with two sorted probes."""
+    w1lo, w1hi = (pd.Timestamp(x).to_pydatetime() for x in _FOJ_W1)
+    w2lo, w2hi = (pd.Timestamp(x).to_pydatetime() for x in _FOJ_W2)
+
+    def side_fn(tag: int):
+        def prep(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"key": b.column("o_custkey"), "cents": _cents(b.column("o_totalprice"))}
+            )
+            g = t.group_by(["key"]).aggregate([("cents", "sum"), ("cents", "count")])
+            key = g.column("key")
+            return pa.table(
+                {
+                    "key": key,
+                    "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                    "side": pa.array(np.full(len(g), tag, np.int8)),
+                    "part_cents": g.column("cents_sum"),
+                    "part_n": g.column("cents_count"),
+                }
+            )
+
+        return prep
+
+    _OUT = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("n_orders_a", pa.int64()),
+            ("cents_a", pa.int64()),
+            ("n_orders_b", pa.int64()),
+            ("cents_b", pa.int64()),
+        ]
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return _OUT.empty_table()
+        side = _np(g.column("side"))
+
+        def reduce_side(tag: int):
+            p = g.filter(pa.array(side == tag))
+            if not len(p):
+                return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+            a = (
+                p.select(["key", "part_cents", "part_n"])
+                .group_by(["key"])
+                .aggregate([("part_cents", "sum"), ("part_n", "sum")])
+            )
+            k = a.column("key").to_numpy()
+            o = np.argsort(k)
+            return (
+                k[o],
+                a.column("part_n_sum").to_numpy()[o],
+                a.column("part_cents_sum").to_numpy()[o],
+            )
+
+        ka, na, ca = reduce_side(0)
+        kb, nb, cb = reduce_side(1)
+        keys = np.union1d(ka, kb)
+
+        def probe(ks, ns, cs):
+            if not len(ks):
+                return np.zeros(len(keys), np.int64), np.zeros(len(keys), np.int64)
+            pos = np.searchsorted(ks, keys)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            hit = ks[pos_c] == keys
+            return (
+                np.where(hit, ns[pos_c], 0).astype(np.int64),
+                np.where(hit, cs[pos_c], 0).astype(np.int64),
+            )
+
+        n_a, c_a = probe(ka, na, ca)
+        n_b, c_b = probe(kb, nb, cb)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys),
+                "n_orders_a": pa.array(n_a),
+                "cents_a": pa.array(c_a),
+                "n_orders_b": pa.array(n_b),
+                "cents_b": pa.array(c_b),
+            }
+        )
+
+    def read_window(lo, hi, tag):
+        return _read(
+            sf_dir,
+            "orders",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+        ).map_batches(side_fn(tag), batch_format="pyarrow")
+
+    return (
+        read_window(w1lo, w1hi, 0)
+        .union(read_window(w2lo, w2hi, 1))
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
 _BIGRAM_K = 100
 _BIGRAM_SCHEMA = pa.schema([("gram", pa.string()), ("part_n", pa.int64())])
 
@@ -2511,6 +2626,7 @@ QUERIES = {
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
     "left_join_customer_orders": left_join_customer_orders,
+    "full_outer_join_customer_windows": full_outer_join_customer_windows,
     "paged_api_extract": paged_api_extract,
     "ago_format_rows": ago_format_rows,
     "tz_localize_events": tz_localize_events,
@@ -2946,6 +3062,26 @@ SELECT o.o_orderkey, o.o_orderdate,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY o.o_orderkey, o.o_orderdate
+""",
+    "full_outer_join_customer_windows": """
+WITH a AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY o_custkey),
+b AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-05-01'
+  GROUP BY o_custkey)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+       COALESCE(a.n_orders, 0) AS n_orders_a,
+       COALESCE(a.cents, 0) AS cents_a,
+       COALESCE(b.n_orders, 0) AS n_orders_b,
+       COALESCE(b.cents, 0) AS cents_b
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 """,
     "left_join_customer_orders": """
 SELECT c.c_custkey, c.c_mktsegment,

@@ -67,3 +67,35 @@ def test_left_join_crafted_vs_oracle(ray_session, lj_sf_dir):
     assert by_key.loc[513, "n_orders"] == 0  # only an out-of-window order (>= hi bound)
     assert by_key.loc[1025, "n_orders"] == 0  # never ordered
     assert 9999 not in by_key.index  # orphan order emits nothing
+
+
+def test_full_outer_join_both_side_misses(ray_session):
+    """Customers active in only one window must appear with zeros on
+    the other side, and shared customers carry both sides' values."""
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        ORACLE_SQL,
+        full_outer_join_customer_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        full_outer_join_customer_windows(sf)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    exp = (
+        con.execute(ORACLE_SQL["full_outer_join_customer_windows"])
+        .fetchdf()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+        .astype({"c_custkey": "int64"})
+    )
+    assert got[exp.columns.tolist()].equals(exp)
+    only_a = ((got["n_orders_a"] > 0) & (got["n_orders_b"] == 0)).sum()
+    only_b = ((got["n_orders_a"] == 0) & (got["n_orders_b"] > 0)).sum()
+    assert only_a > 0 and only_b > 0  # genuine misses both directions
