@@ -656,7 +656,12 @@ def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
             }
         )
 
-    edges = pairs.map_batches(bidir, batch_format="pyarrow").materialize()
+    # coalesce the reduced edge stream once: every round re-reads it
+    # through a bucket shuffle, and B×B range-object overhead (not
+    # byte volume) dominates exchanges over reduced streams
+    edges = (
+        pairs.map_batches(bidir, batch_format="pyarrow").repartition(8).materialize()
+    )
 
     # labels(node, lbl): init lbl = node (every node appears as "key")
     labels = (
