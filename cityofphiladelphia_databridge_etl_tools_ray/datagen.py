@@ -165,16 +165,20 @@ def write_change_log(
     ``format="ipc"`` for Arrow IPC + lz4 — the tail-optimized WAL
     format (3-6× cheaper decode; see sources/changelog.py docstring),
     ``format="csv"`` for gzip CSV — the reference's interchange format
-    (schema-driven decode in sources/changelog._read_csv_segments).
+    (schema-driven decode in sources/changelog._read_csv_segments),
+    ``format="jsonl"`` for gzip JSON-lines — the Debezium-style CDC
+    feed shape (explicit-schema decode in _read_jsonl_segments).
     """
     import os
 
     import pyarrow.parquet as pq
     from pyarrow import feather
 
-    if format not in ("parquet", "ipc", "csv"):
-        raise ValueError(f"format must be 'parquet', 'ipc' or 'csv', got {format!r}")
-    ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz"}[format]
+    if format not in ("parquet", "ipc", "csv", "jsonl"):
+        raise ValueError(
+            f"format must be 'parquet', 'ipc', 'csv' or 'jsonl', got {format!r}"
+        )
+    ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz", "jsonl": "jsonl.gz"}[format]
     os.makedirs(out_dir, exist_ok=True)
     lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
     lo, hi = int(lsn.min()), int(lsn.max()) + 1
@@ -188,6 +192,17 @@ def write_change_log(
         path = os.path.join(out_dir, f"changes-{b:05d}-lsn-{lo + b * width}-{min(hi, lo + (b + 1) * width)}.{ext}")
         if format == "parquet":
             pq.write_table(part, path)
+        elif format == "jsonl":
+            import gzip
+            import json
+
+            # Debezium-style JSON-lines interchange; ts as ISO-8601 so
+            # the reader's explicit-schema parse recovers timestamp[us]
+            with gzip.open(path, "wt", encoding="utf-8") as f:
+                for row in part.to_pylist():
+                    if row.get("ts") is not None:
+                        row["ts"] = row["ts"].isoformat()
+                    f.write(json.dumps(row, ensure_ascii=False) + "\n")
         elif format == "csv":
             from pyarrow import csv as pa_csv
 

@@ -385,25 +385,11 @@ def cdc_replay_schema_evolution(sf_dir: str):
     return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
 
 
-def cdc_replay_from_csv(sf_dir: str):
-    """Full replay whose WAL tail is **gzip-CSV segments** — the
-    reference's interchange format (get_csv_from_s3 → upsert-csv,
-    databridge_etl_tools/postgres/postgres.py:497-573) driven through
-    the engine's tail source: schema-driven distributed CSV decode
-    (one task per segment, typed parse from CHANGE_SCHEMA, lsn-range
-    file pruning applies to the encoded names) → the same normalize →
-    shuffle → LWW merge path as the parquet WAL, same oracle.
-
-    Writing the segments is input prep (driver-side, deterministic
-    from the events table — test scaffolding at these sf sizes); the
-    graded path is the distributed decode + replay."""
-    import os
-    import shutil
-
+def _interchange_changes(sf_dir: str) -> pa.Table:
+    """Derive the deterministic change table the interchange-WAL
+    queries (CSV / JSON-lines) segment-write and replay — one build,
+    shared by both formats (and by their common oracle CTE)."""
     import pyarrow.parquet as pq
-    from pyarrow import csv as pa_csv
-
-    from ..sources.changelog import read_change_log
 
     ev = pq.read_table(
         f"{sf_dir}/events.parquet",
@@ -430,9 +416,41 @@ def cdc_replay_from_csv(sf_dir: str):
             "ts": ev.column("ts"),
         }
     ).sort_by("lsn")
+    return t
+
+
+def cdc_replay_from_csv(sf_dir: str):
+    """Full replay whose WAL tail is **gzip-CSV segments** — the
+    reference's interchange format (get_csv_from_s3 → upsert-csv,
+    databridge_etl_tools/postgres/postgres.py:497-573) driven through
+    the engine's tail source: schema-driven distributed CSV decode
+    (one task per segment, typed parse from CHANGE_SCHEMA, lsn-range
+    file pruning applies to the encoded names) → the same normalize →
+    shuffle → LWW merge path as the parquet WAL, same oracle.
+
+    Writing the segments is input prep (driver-side, deterministic
+    from the events table — test scaffolding at these sf sizes); the
+    graded path is the distributed decode + replay."""
+    from ..sources.changelog import read_change_log
+
+    t = _interchange_changes(sf_dir)
+    seg_dir = _write_interchange_wal(t, sf_dir, "csv")
+    out = replay_to_table(read_change_log(seg_dir), num_partitions=32, keep_lsn=True)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
+def _write_interchange_wal(t: pa.Table, sf_dir: str, fmt: str) -> str:
+    """Segment-write the derived change table as an interchange-format
+    WAL under /tmp (gzip CSV or gzip JSON-lines), lsn ranges encoded
+    in the names so file-level pruning applies — driver-side input
+    prep for the interchange replay queries."""
+    import os
+    import shutil
+
+    from pyarrow import csv as pa_csv
 
     seg_dir = os.path.join(
-        "/tmp", f"dbr_csv_wal_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp", f"dbr_{fmt}_wal_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     shutil.rmtree(seg_dir, ignore_errors=True)
     os.makedirs(seg_dir)
@@ -444,10 +462,35 @@ def cdc_replay_from_csv(sf_dir: str):
         if len(sl) == 0:
             continue
         lo, hi = int(lsn[i * n // n_seg]), int(lsn[(i + 1) * n // n_seg - 1]) + 1
-        path = os.path.join(seg_dir, f"changes-0-lsn-{lo}-{hi}.csv.gz")
-        with pa.CompressedOutputStream(path, "gzip") as f:
-            pa_csv.write_csv(sl, f)
+        if fmt == "csv":
+            path = os.path.join(seg_dir, f"changes-0-lsn-{lo}-{hi}.csv.gz")
+            with pa.CompressedOutputStream(path, "gzip") as f:
+                pa_csv.write_csv(sl, f)
+        else:
+            import gzip
+            import json
 
+            path = os.path.join(seg_dir, f"changes-0-lsn-{lo}-{hi}.jsonl.gz")
+            with gzip.open(path, "wt", encoding="utf-8") as f:
+                for row in sl.to_pylist():
+                    if row.get("ts") is not None:
+                        row["ts"] = row["ts"].isoformat()
+                    f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    return seg_dir
+
+
+def cdc_replay_from_jsonl(sf_dir: str):
+    """Full replay whose WAL tail is **gzip JSON-lines segments** —
+    the Debezium-style CDC feed shape, driven through the engine's
+    tail source: explicit-schema distributed JSON decode (one task per
+    segment, CHANGE_SCHEMA-typed parse incl. ISO-8601 → timestamp[us],
+    lsn-range file-name pruning) → the same normalize → shuffle → LWW
+    merge path as every other WAL format, same oracle (generalizes the
+    reference's JSON-handling extracts, airtable/airtable.py:70-140)."""
+    from ..sources.changelog import read_change_log
+
+    t = _interchange_changes(sf_dir)
+    seg_dir = _write_interchange_wal(t, sf_dir, "jsonl")
     out = replay_to_table(read_change_log(seg_dir), num_partitions=32, keep_lsn=True)
     return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
 
@@ -2585,6 +2628,7 @@ QUERIES = {
     "cdc_replay_delta": cdc_replay_delta,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_from_csv": cdc_replay_from_csv,
+    "cdc_replay_from_jsonl": cdc_replay_from_jsonl,
     "wal_hot_keys": wal_hot_keys,
     "transcript_reassembly": transcript_reassembly,
     "conversation_stats": conversation_stats,
@@ -2721,6 +2765,14 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
     "cdc_replay_from_csv": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "cdc_replay_from_jsonl": _CHANGES_CTE
     + """
 , ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import re
 
-_LSN_RANGE = re.compile(r"lsn-(\d+)-(\d+)\.(parquet|arrow)$")
+_LSN_RANGE = re.compile(r"lsn-(\d+)-(\d+)\.(parquet|arrow|csv(\.gz)?|jsonl(\.gz)?)$")
 
 
 def prune_files_by_lsn(paths: list[str], min_lsn_exclusive: int) -> list[str]:
@@ -59,7 +59,7 @@ def read_change_log(
         paths = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
-            if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz"))
+            if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz", ".jsonl", ".jsonl.gz"))
         )
     elif isinstance(path, str):
         paths = [path]
@@ -75,6 +75,7 @@ def read_change_log(
     pq_paths = [p for p in paths if p.endswith(".parquet")]
     ipc_paths = [p for p in paths if p.endswith(".arrow")]
     csv_paths = [p for p in paths if p.endswith((".csv", ".csv.gz"))]
+    jsonl_paths = [p for p in paths if p.endswith((".jsonl", ".jsonl.gz"))]
     parts = []
     if pq_paths:
         parts.append(ray.data.read_parquet(pq_paths, columns=columns, filter=flt))
@@ -82,6 +83,8 @@ def read_change_log(
         parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
     if csv_paths:
         parts.append(_read_csv_segments(csv_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+    if jsonl_paths:
+        parts.append(_read_jsonl_segments(jsonl_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
     if len(parts) == 1:
         return parts[0]
     # one variadic union: chained .union(.union(...)) builds a nested
@@ -146,6 +149,42 @@ def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
             t = feather.read_table(p, columns=columns)
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    items = ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    )
+    return items.map_batches(decode, batch_format="pyarrow")
+
+
+def _read_jsonl_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+    """Gzip JSON-lines WAL segments as a Dataset — the Debezium-style
+    CDC feed shape (one JSON object per change event).  One decode
+    task per segment; parsing is schema-driven from CHANGE_SCHEMA
+    (``explicit_schema``: typed lsn / int32 turn_idx, ISO-8601 →
+    timestamp[us], JSON null → Arrow null) so every segment decodes to
+    identical Arrow types.  JSON has no reader-side projection —
+    columns are selected right after decode, before the batch leaves
+    the task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pyarrow import json as pa_json
+
+    from ..schema import CHANGE_SCHEMA
+
+    parse = pa_json.ParseOptions(explicit_schema=CHANGE_SCHEMA)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with pa.input_stream(p, compression="detect") as f:
+                t = pa_json.read_json(f, parse_options=parse)
+            if min_lsn_exclusive >= 0:
+                t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            if columns:
+                t = t.select(list(columns))
             tabs.append(t)
         return pa.concat_tables(tabs)
 

@@ -74,20 +74,22 @@ def test_replay_into_lake_matches_oracle(ray_session, lake_with_base, tmp_path):
 
 
 def test_replay_mixed_format_wal(ray_session, lake_with_base, tmp_path):
-    """One WAL directory carrying parquet + Arrow-IPC + gzip-CSV
-    segments (disjoint lsn thirds) replays to the same state as the
-    sequential oracle — the three decode paths union into one stream
-    with identical Arrow types (schema-driven CSV parse)."""
+    """One WAL directory carrying parquet + Arrow-IPC + gzip-CSV +
+    gzip-JSONL segments (disjoint lsn quarters) replays to the same
+    state as the sequential oracle — the four decode paths union into
+    one stream with identical Arrow types (schema-driven CSV parse,
+    explicit-schema JSON parse)."""
     lake, base = lake_with_base
     changes = generate_changes(6000, n_convs=80, delete_frac=0.1, dup_frac=0.05)
     log_dir = str(tmp_path / "wal")
     lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
-    thirds = [
-        changes.filter(pa.array(lsn % 3 == r)) for r in range(3)
+    quarters = [
+        changes.filter(pa.array(lsn % 4 == r)) for r in range(4)
     ]
-    write_change_log(thirds[0], log_dir, n_files=2, format="parquet")
-    write_change_log(thirds[1], log_dir, n_files=2, format="ipc")
-    write_change_log(thirds[2], log_dir, n_files=2, format="csv")
+    write_change_log(quarters[0], log_dir, n_files=2, format="parquet")
+    write_change_log(quarters[1], log_dir, n_files=2, format="ipc")
+    write_change_log(quarters[2], log_dir, n_files=2, format="csv")
+    write_change_log(quarters[3], log_dir, n_files=2, format="jsonl")
 
     replay_into_lake(lake.root, read_change_log(log_dir))
     exp = apply_changes_reference(base, changes)
