@@ -619,6 +619,38 @@ def dedup_clusters(sf_dir: str):
     )
 
 
+def corpus_neardup_keep(sf_dir: str):
+    """Apply near-dup clustering to the corpus: keep only each
+    cluster's canonical doc (min doc_id) plus every unclustered doc —
+    the end-to-end "dedup and move on" step that follows pair finding
+    and cluster labeling.  The drop-set (non-canonical cluster
+    members) is O(duplicates) ≪ corpus; it broadcasts once via
+    ``ray.put`` and the corpus streams through one vectorized
+    sorted-membership filter — no shuffle touches the full corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    labels = dedup_clusters(sf_dir)
+    keep_mask = pc.equal(labels.column("doc_id"), labels.column("cluster_id"))
+    drop = np.sort(
+        np.asarray(labels.filter(pc.invert(keep_mask)).column("doc_id"), dtype=np.int64)
+    )
+    ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = deref(ref)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if len(d):
+            pos = np.searchsorted(d, ids)
+            pos_c = np.minimum(pos, len(d) - 1)
+            b = b.filter(pa.array(d[pos_c] != ids))
+        return b
+
+    return _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
     """dedup_clusters' 100-TB twin: connected components by iterative
     MIN-LABEL PROPAGATION expressed entirely in Ray Data exchanges —

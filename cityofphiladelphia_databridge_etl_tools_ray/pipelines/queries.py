@@ -38,6 +38,7 @@ from .corpus import (
     text_bpe_token_counts,
     text_fingerprints,
     chunk_documents,
+    corpus_neardup_keep,
     dedup_clusters,
     dedup_clusters_distributed,
     split_assign,
@@ -2699,6 +2700,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_distributed": dedup_clusters_distributed,
+    "corpus_neardup_keep": corpus_neardup_keep,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     # similarity search (embeddings table)
@@ -3535,3 +3537,23 @@ FROM lab
 """
 )
 ORACLE_SQL["dedup_clusters_distributed"] = ORACLE_SQL["dedup_clusters"]
+
+# anti-join the corpus against the non-canonical cluster members
+ORACLE_SQL["corpus_neardup_keep"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLE_SQL["dedup_ngram_jaccard"]
+    + """),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM pairs),
+walk(u, lbl) AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+"""
+)

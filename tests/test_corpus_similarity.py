@@ -413,3 +413,18 @@ def test_dedup_clusters_distributed_matches_unionfind(ray_session):
     assert uf[["doc_id", "cluster_id", "n_members"]].equals(
         lp[["doc_id", "cluster_id", "n_members"]]
     )
+
+
+def test_corpus_neardup_keep_canonical_only(ray_session):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        corpus_neardup_keep,
+        dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    labels = dedup_clusters(sf).to_pandas()
+    kept = set(corpus_neardup_keep(sf).to_pandas()["doc_id"])
+    dropped = set(labels.loc[labels["doc_id"] != labels["cluster_id"], "doc_id"])
+    canon = set(labels.loc[labels["doc_id"] == labels["cluster_id"], "doc_id"])
+    assert kept.isdisjoint(dropped)
+    assert canon <= kept  # every cluster survives through its canonical doc
