@@ -30,6 +30,7 @@ from ..functions import textsig
 from ..functions.lookup import deref
 from ..stages.text import (
     LangId,
+    normalize_text,
     bpe_token_counts,
     fingerprints,
     quality_stats,
@@ -331,6 +332,14 @@ def _chunk_explode(b: pa.Table) -> pa.Table:
             }
         )
     return pa.concat_tables(pieces)
+
+
+def text_normalize(sf_dir: str):
+    """Canonical normalization pass (lowercase, whitespace collapse,
+    trim) — the step upstream of fingerprint/shingle dedup."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize_text, batch_format="pyarrow"
+    )
 
 
 def text_fingerprints(sf_dir: str):

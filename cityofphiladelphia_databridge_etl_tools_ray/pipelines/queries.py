@@ -43,6 +43,7 @@ from .corpus import (
     dedup_clusters_distributed,
     split_assign,
     text_language_id,
+    text_normalize,
     text_pii_redaction,
     text_quality_scores,
     text_repetition_scores,
@@ -2687,6 +2688,7 @@ QUERIES = {
     "text_quality_scores": text_quality_scores,
     "text_repetition_scores": text_repetition_scores,
     "text_pii_redaction": text_pii_redaction,
+    "text_normalize": text_normalize,
     "chunk_documents": chunk_documents,
     "split_assign": split_assign,
     "text_language_id": text_language_id,
@@ -3376,6 +3378,12 @@ SELECT doc_id,
        substring(text, 1 + CAST(i AS INTEGER) * 150, 200) AS chunk_text,
        CAST(length(substring(text, 1 + CAST(i AS INTEGER) * 150, 200)) AS BIGINT) AS n_chunk_chars
 FROM e
+""",
+    "text_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+FROM documents
 """,
     # PII scrub: the CASE rebuilds the engine's deterministic noise
     # injection; counts on original text, replace email -> phone -> ip

@@ -164,6 +164,20 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization before fingerprinting/dedup:
+    lowercase, collapse whitespace runs to one space, trim — three
+    C++ kernel calls per batch, bit-exact vs DuckDB
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    t = pc.utf8_lower(batch.column(text_col))
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    n = pc.cast(pc.utf8_length(t), pa.int64())
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "norm_text": t, "n_norm_chars": n}
+    )
+
+
 class LangId:
     """Stopword-profile language ID (actor-pool stage: the vocab
     lookup table is built once per actor in ``__init__``).

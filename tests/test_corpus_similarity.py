@@ -428,3 +428,17 @@ def test_corpus_neardup_keep_canonical_only(ray_session):
     canon = set(labels.loc[labels["doc_id"] == labels["cluster_id"], "doc_id"])
     assert kept.isdisjoint(dropped)
     assert canon <= kept  # every cluster survives through its canonical doc
+
+
+def test_normalize_text_kernel():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["  Hello\t\tWORLD \n", "", "éÉ  x"]),
+        }
+    )
+    out = normalize_text(t)
+    assert out.column("norm_text").to_pylist() == ["hello world", "", "éé x"]
+    assert out.column("n_norm_chars").to_pylist() == [11, 0, 4]
