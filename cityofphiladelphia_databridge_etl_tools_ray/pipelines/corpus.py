@@ -660,10 +660,24 @@ def corpus_neardup_keep(sf_dir: str):
     )
 
 
+#: rounds used by the last _propagate_clusters call (observability,
+#: asserted in the long-chain convergence test)
+_LAST_PROPAGATE_ROUNDS = 0
+
+
 def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
     """dedup_clusters' 100-TB twin: connected components by iterative
     MIN-LABEL PROPAGATION expressed entirely in Ray Data exchanges —
     no driver-side union-find, no single-node edge materialization.
+    Labels are byte-identical to dedup_clusters (pinned in tests) and
+    share its recursive-CTE oracle.  Algorithm in
+    ``_propagate_clusters`` (module-level so tests can drive it on
+    adversarial graphs — e.g. the long-chain diameter test)."""
+    return _propagate_clusters(dedup_ngram_jaccard(sf_dir), max_rounds=max_rounds)
+
+
+def _propagate_clusters(pairs, max_rounds: int = 16):
+    """Connected components over a (doc_id_a, doc_id_b) pair Dataset.
 
     Per round (O(component diameter) rounds; dup clusters are
     shallow): the label table and the bidirectional edge table stream
@@ -674,15 +688,18 @@ def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
     round, all O(bucket) inside); a groupby-min on the node then picks
     each node's best candidate.  Convergence is detected from the
     monotone non-increasing global label sum — one scalar per round.
+    Each round runs a HOP step (min over graph neighbors) then a
+    POINTER-JUMPING shortcut step (label→label edges through the SAME
+    scatter machinery: lbl[x] ← lbl[lbl[x]]), so unresolved chain
+    depth halves every round — O(log diameter) rounds total, the
+    published technique for distributed connected components.
     Cluster sizes come from an O(clusters) count table broadcast via
-    ``ray.put``.  Labels are byte-identical to dedup_clusters (pinned
-    in tests) and share its recursive-CTE oracle."""
+    ``ray.put``."""
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Min, Sum
 
     n_buckets = 32
-    pairs = dedup_ngram_jaccard(sf_dir)
 
     def bidir(b: pa.Table) -> pa.Table:
         a = np.asarray(b.column("doc_id_a"), dtype=np.int64)
@@ -745,15 +762,50 @@ def dedup_clusters_distributed(sf_dir: str, max_rounds: int = 16):
             }
         )
 
-    for _ in range(max_rounds):
-        labels = (
-            labels.map_batches(lab_keyed, batch_format="pyarrow")
-            .union(edges)
+    def shortcut_edges(b: pa.Table) -> pa.Table:
+        # pointer-jumping edges (key = lbl[x], node = x): scattering
+        # labels over these gives lbl[x] ← lbl[lbl[x]] — halves the
+        # unresolved chain depth every round (O(log diameter) rounds
+        # combined with the hop step).  Self-labeled rows carry no
+        # information; drop them.
+        lbl = np.asarray(b.column("lbl"), dtype=np.int64)
+        node = np.asarray(b.column("node"), dtype=np.int64)
+        m = lbl != node
+        return pa.table(
+            {
+                "key": pa.array(lbl[m]),
+                "node": pa.array(node[m]),
+                "lbl": pa.nulls(int(m.sum()), pa.int64()),
+                "bucket": pa.array((lbl[m] & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def step(lab_ds, edge_ds):
+        # the trailing repartition pins the label table's block count:
+        # without it each round's union+aggregate COMPOUNDS blocks
+        # (32 → 80 → 176 → ... measured) and the sort exchange's B×B
+        # range-object overhead turns O(log d) rounds quadratic in
+        # practice — the same reduced-stream lesson as the join
+        # coalesces, applied to an iterative loop
+        return (
+            lab_ds.map_batches(lab_keyed, batch_format="pyarrow")
+            .union(edge_ds)
             .groupby("bucket")
             .map_groups(scatter_bucket, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("cand", alias_name="lbl"))
+            .repartition(8)
             .materialize()
+        )
+
+    global _LAST_PROPAGATE_ROUNDS
+    _LAST_PROPAGATE_ROUNDS = 0
+    for _ in range(max_rounds):
+        _LAST_PROPAGATE_ROUNDS += 1
+        labels = step(labels, edges)  # hop: min over graph neighbors
+        labels = step(  # shortcut: pointer jump via label→label edges
+            labels,
+            labels.map_batches(shortcut_edges, batch_format="pyarrow"),
         )
         cur_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         if cur_sum == prev_sum:  # monotone ↓ sum: fixpoint reached

@@ -442,3 +442,37 @@ def test_normalize_text_kernel():
     out = normalize_text(t)
     assert out.column("norm_text").to_pylist() == ["hello world", "", "éé x"]
     assert out.column("n_norm_chars").to_pylist() == [11, 0, 4]
+
+
+def test_propagate_clusters_long_chain(ray_session):
+    """A 40-node path graph (diameter 39 — far deeper than any real
+    dup cluster) must still converge to one component labeled by its
+    minimum node, within the round budget, along with disjoint side
+    components."""
+    import ray
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import _propagate_clusters
+
+    chain = [(i, i + 1) for i in range(100, 140)]  # path: 100..140
+    extra = [(7, 3), (3, 55), (200, 201)]  # star + separate pair
+    t = pa.table(
+        {
+            "doc_id_a": pa.array([a for a, _ in chain + extra], pa.int64()),
+            "doc_id_b": pa.array([b for _, b in chain + extra], pa.int64()),
+        }
+    )
+    out = (
+        _propagate_clusters(ray.data.from_arrow(t), max_rounds=64)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # pointer jumping: O(log diameter) rounds, not O(diameter)
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines import corpus as _c
+
+    assert _c._LAST_PROPAGATE_ROUNDS <= 8
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(lab[i] == 100 for i in range(100, 141))
+    assert lab[7] == lab[3] == lab[55] == 3
+    assert lab[200] == lab[201] == 200
+    sizes = dict(zip(out["doc_id"], out["n_members"]))
+    assert sizes[100] == 41 and sizes[3] == 3 and sizes[200] == 2
