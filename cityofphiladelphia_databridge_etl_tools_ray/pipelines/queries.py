@@ -554,6 +554,74 @@ def wal_hot_keys(sf_dir: str):
     )
 
 
+_MG_K = 64  # Misra-Gries counter budget
+
+
+def _mg_compact(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compaction: keep at most k counters by deducting
+    the (k+1)-th largest count from every counter and dropping the
+    non-positive ones (Agarwal et al., "Mergeable Summaries", PODS'12
+    — public knowledge).  Deterministic; the deduction is returned so
+    callers can track the summary's cumulative error bound."""
+    if len(keys) <= k:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    deduct = int(counts[order[k]])
+    counts = counts - deduct
+    keep = counts > 0
+    return keys[keep], counts[keep], deduct
+
+
+def wal_heavy_hitters_sketch(sf_dir: str):
+    """Heavy-hitter conv_ids via a Misra-Gries sketch — the
+    bounded-memory, mergeable sibling of the exact ``wal_hot_keys``:
+    every merge holds ≤ _MG_K counters no matter how many distinct
+    keys stream past, so the memory profile is O(k), not O(distinct).
+    Guarantee (deterministic): est ≤ true ≤ est + total_deduction and
+    total_deduction ≤ n/(k+1); every key with true count > n/(k+1) is
+    guaranteed present.  Per-batch exact group_by → MG-compact →
+    single tiny merge (B×k rows) → final compact.  Sketch estimates
+    aren't SQL-expressible → rows-only oracle; the error bound and
+    hot-key recall are pinned against exact counts in tests."""
+    ds = _derive_changelog(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("conv_id").aggregate([("lsn", "count")])
+        keys = np.asarray(g.column("conv_id"), dtype=object)
+        counts = g.column("lsn_count").to_numpy().astype(np.int64)
+        keys, counts, deduct = _mg_compact(keys, counts, _MG_K)
+        n = len(keys)
+        # the summary's deduction rides along on its FIRST row only,
+        # so the driver's error bound is a plain column sum
+        ded = np.zeros(n, np.int64)
+        if n:
+            ded[0] = deduct
+        return pa.table(
+            {
+                "conv_id": pa.array(keys, pa.string()),
+                "est": pa.array(counts),
+                "deduct": pa.array(ded),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # merge: pointwise sum of counters, then one final compaction —
+    # the merged frame is ≤ (#batches × k) rows, i.e. tiny by design
+    summed = parts.groupby("conv_id", sort=False)["est"].sum()
+    keys = summed.index.to_numpy(dtype=object)
+    counts = summed.to_numpy().astype(np.int64)
+    keys, counts, deduct = _mg_compact(keys, counts, _MG_K)
+    total_deduct = int(parts["deduct"].sum()) + deduct
+    out = (
+        pd.DataFrame({"conv_id": keys, "est_events": counts})
+        .sort_values(["est_events", "conv_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["max_undercount"] = np.int64(total_deduct)
+    return out
+
+
 def transcript_reassembly(sf_dir: str):
     """Reassemble full per-conversation transcripts from the replayed
     LWW state with NO extra shuffle: the merge output is hash-
@@ -2632,6 +2700,7 @@ QUERIES = {
     "cdc_replay_from_csv": cdc_replay_from_csv,
     "cdc_replay_from_jsonl": cdc_replay_from_jsonl,
     "wal_hot_keys": wal_hot_keys,
+    "wal_heavy_hitters_sketch": wal_heavy_hitters_sketch,
     "transcript_reassembly": transcript_reassembly,
     "conversation_stats": conversation_stats,
     "dialogue_pairs": dialogue_pairs,

@@ -52,3 +52,46 @@ def test_sketch_distinct_users_accuracy(ray_session):
     ).fetchone()[0]
     assert abs(approx - exact) / exact < 3 * 1.04 / np.sqrt(HLL_M)
     assert int(got["n_registers"].iloc[0]) == HLL_M
+
+
+def test_misra_gries_guarantee_and_recall(ray_session):
+    """MG guarantee: est <= true <= est + max_undercount, with
+    max_undercount <= n/(k+1); every key with true count above that
+    bound must be present (the hot conv_ids on the skewed WAL)."""
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        _MG_K,
+        wal_heavy_hitters_sketch,
+        wal_hot_keys,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sk = wal_heavy_hitters_sketch(sf)
+    exact = wal_hot_keys(sf)  # exact top-20 with true counts
+    true = dict(zip(exact["conv_id"], exact["n_events"]))
+    bound = int(sk["max_undercount"].iloc[0])
+    n_total = int(duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/events.parquet'"
+    ).fetchone()[0])
+    assert 0 <= bound <= n_total // (_MG_K + 1) + 1
+    est = dict(zip(sk["conv_id"], sk["est_events"]))
+    for cid, t in true.items():
+        if t > bound:  # guaranteed-present region
+            assert cid in est, (cid, t, bound)
+        if cid in est:
+            assert est[cid] <= t <= est[cid] + bound, (cid, est[cid], t, bound)
+
+
+def test_mg_compact_kernel():
+    import numpy as np
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import _mg_compact
+
+    keys = np.array(["a", "b", "c", "d"], dtype=object)
+    counts = np.array([10, 7, 3, 1], dtype=np.int64)
+    k2, c2, d = _mg_compact(keys, counts, 2)
+    assert list(k2) == ["a", "b"] and list(c2) == [7, 4] and d == 3
+    # under budget: untouched
+    k3, c3, d3 = _mg_compact(keys, counts, 8)
+    assert list(k3) == list(keys) and d3 == 0
