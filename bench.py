@@ -49,12 +49,12 @@ def build_wal() -> str:
         return wal_dir
     from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
         generate_changes,
+        stream_change_log,
         write_change_log,
     )
 
     shutil.rmtree(wal_dir, ignore_errors=True)
-    changes = generate_changes(
-        N_EVENTS,
+    gen_kwargs = dict(
         n_convs=N_CONVS,
         max_turns=50,
         update_frac=0.5,
@@ -63,7 +63,15 @@ def build_wal() -> str:
         dup_frac=0.02,
         seed=42,
     )
-    write_change_log(changes, wal_dir, n_files=WAL_FILES, format=WAL_FORMAT)
+    if N_EVENTS > 32_000_000:
+        # monolithic generation OOMs the 128 GB driver around 10^8
+        # events; the streamed writer generates one lsn bucket at a time
+        stream_change_log(
+            N_EVENTS, wal_dir, n_files=WAL_FILES, format=WAL_FORMAT, **gen_kwargs
+        )
+    else:
+        changes = generate_changes(N_EVENTS, **gen_kwargs)
+        write_change_log(changes, wal_dir, n_files=WAL_FILES, format=WAL_FORMAT)
     with open(done, "w") as f:
         f.write("ok")
     return wal_dir

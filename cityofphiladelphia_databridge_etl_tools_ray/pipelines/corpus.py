@@ -575,6 +575,15 @@ def dedup_ngram_jaccard(sf_dir: str):
     return sig_ds.map_batches(all_pairs, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+_CLUSTER_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("cluster_id", pa.int64()),
+        pa.field("n_members", pa.int64()),
+    ]
+)
+
+
 def dedup_clusters(sf_dir: str):
     """Connected components over near-dup pairs → per-doc canonical
     cluster id (= min doc_id in the component) + component size: the
@@ -593,6 +602,10 @@ def dedup_clusters(sf_dir: str):
     CTE transitive closure) is hash-exact; swapping in
     dedup_minhash_lsh pairs gives the 100-TB variant unchanged."""
     pairs = dedup_ngram_jaccard(sf_dir).to_pandas()  # reduced edge list
+    if pairs.empty or "doc_id_a" not in pairs.columns:
+        # a dup-free corpus labels nothing (Ray's empty to_pandas also
+        # drops columns, so guard before indexing)
+        return _CLUSTER_SCHEMA.empty_table()
     a = pairs["doc_id_a"].to_numpy(dtype=np.int64)
     b = pairs["doc_id_b"].to_numpy(dtype=np.int64)
 
@@ -720,6 +733,10 @@ def _propagate_clusters(pairs, max_rounds: int = 16):
     edges = (
         pairs.map_batches(bidir, batch_format="pyarrow").repartition(8).materialize()
     )
+    if edges.count() == 0:  # dup-free corpus: nothing to label
+        import ray.data
+
+        return ray.data.from_arrow(_CLUSTER_SCHEMA.empty_table())
 
     # labels(node, lbl): init lbl = node (every node appears as "key")
     labels = (

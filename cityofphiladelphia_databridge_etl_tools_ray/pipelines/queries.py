@@ -443,41 +443,22 @@ def cdc_replay_from_csv(sf_dir: str):
 
 def _write_interchange_wal(t: pa.Table, sf_dir: str, fmt: str) -> str:
     """Segment-write the derived change table as an interchange-format
-    WAL under /tmp (gzip CSV or gzip JSON-lines), lsn ranges encoded
-    in the names so file-level pruning applies — driver-side input
-    prep for the interchange replay queries."""
+    WAL under /tmp (gzip CSV or gzip JSON-lines) via
+    ``datagen.write_change_log`` — ONE serializer implementation shared
+    with the generator, so format/encoding fixes land in one place.
+    lsn ranges are encoded in the names, so file-level pruning
+    applies.  Driver-side input prep for the interchange replay
+    queries."""
     import os
     import shutil
 
-    from pyarrow import csv as pa_csv
+    from ..datagen import write_change_log
 
     seg_dir = os.path.join(
         "/tmp", f"dbr_{fmt}_wal_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     shutil.rmtree(seg_dir, ignore_errors=True)
-    os.makedirs(seg_dir)
-    n_seg = 8
-    n = len(t)
-    lsn = _np(t.column("lsn"))
-    for i in range(n_seg):
-        sl = t.slice(i * n // n_seg, (i + 1) * n // n_seg - i * n // n_seg)
-        if len(sl) == 0:
-            continue
-        lo, hi = int(lsn[i * n // n_seg]), int(lsn[(i + 1) * n // n_seg - 1]) + 1
-        if fmt == "csv":
-            path = os.path.join(seg_dir, f"changes-0-lsn-{lo}-{hi}.csv.gz")
-            with pa.CompressedOutputStream(path, "gzip") as f:
-                pa_csv.write_csv(sl, f)
-        else:
-            import gzip
-            import json
-
-            path = os.path.join(seg_dir, f"changes-0-lsn-{lo}-{hi}.jsonl.gz")
-            with gzip.open(path, "wt", encoding="utf-8") as f:
-                for row in sl.to_pylist():
-                    if row.get("ts") is not None:
-                        row["ts"] = row["ts"].isoformat()
-                    f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    write_change_log(t, seg_dir, n_files=8, format=fmt)
     return seg_dir
 
 
@@ -591,16 +572,19 @@ def wal_heavy_hitters_sketch(sf_dir: str):
         counts = g.column("lsn_count").to_numpy().astype(np.int64)
         keys, counts, deduct = _mg_compact(keys, counts, _MG_K)
         n = len(keys)
-        # the summary's deduction rides along on its FIRST row only,
-        # so the driver's error bound is a plain column sum
-        ded = np.zeros(n, np.int64)
-        if n:
-            ded[0] = deduct
+        # the summary's deduction rides on a dedicated NULL-key carrier
+        # row (never on a counter row): compaction can empty the
+        # summary entirely while deduct > 0 (uniform-tail batches), and
+        # a first-row carrier would silently lose that error term.
+        # The null key is excluded from the counter merge (pandas
+        # groupby dropna) but still counted by the plain column sum.
         return pa.table(
             {
-                "conv_id": pa.array(keys, pa.string()),
-                "est": pa.array(counts),
-                "deduct": pa.array(ded),
+                "conv_id": pa.array(list(keys) + [None], pa.string()),
+                "est": pa.array(np.append(counts, 0).astype(np.int64)),
+                "deduct": pa.array(
+                    np.append(np.zeros(n, np.int64), deduct).astype(np.int64)
+                ),
             }
         )
 
@@ -3448,10 +3432,14 @@ SELECT doc_id,
        CAST(length(substring(text, 1 + CAST(i AS INTEGER) * 150, 200)) AS BIGINT) AS n_chunk_chars
 FROM e
 """,
+    # trim is explicitly space-only on BOTH sides: bare trim() is
+    # Unicode-aware in DuckDB but with a different code-point set than
+    # Arrow's utf8_trim_whitespace (\x0b, \u2028 differ — measured),
+    # so only the explicit character list is engine-exact
     "text_normalize": r"""
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_norm_chars
 FROM documents
 """,
     # PII scrub: the CASE rebuilds the engine's deterministic noise

@@ -168,10 +168,16 @@ def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Canonical text normalization before fingerprinting/dedup:
     lowercase, collapse whitespace runs to one space, trim — three
     C++ kernel calls per batch, bit-exact vs DuckDB
-    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')``.
+    The trim strips SPACES only, matched by the oracle's explicit
+    character list: RE2 ``\\s`` excludes Unicode whitespace on both
+    engines, while bare Unicode-aware trims DIVERGE between engines
+    (DuckDB's trim() keeps \\x0b and \\u2028 that Arrow's
+    utf8_trim_whitespace strips — measured), so only the explicit
+    space trim is bit-exact."""
     t = pc.utf8_lower(batch.column(text_col))
     t = pc.replace_substring_regex(t, r"\s+", " ")
-    t = pc.utf8_trim_whitespace(t)
+    t = pc.utf8_trim(t, " ")
     n = pc.cast(pc.utf8_length(t), pa.int64())
     return pa.table(
         {"doc_id": batch.column("doc_id"), "norm_text": t, "n_norm_chars": n}

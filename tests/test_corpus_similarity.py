@@ -476,3 +476,67 @@ def test_propagate_clusters_long_chain(ray_session):
     assert lab[200] == lab[201] == 200
     sizes = dict(zip(out["doc_id"], out["n_members"]))
     assert sizes[100] == 41 and sizes[3] == 3 and sizes[200] == 2
+
+
+def test_cluster_ops_on_dup_free_corpus(ray_session, tmp_path):
+    """A corpus with no near-dup pairs must label nothing and keep
+    everything (regression: empty to_pandas drops columns; empty
+    labels groupby has no count column)."""
+    import pyarrow.parquet as pq
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        corpus_neardup_keep,
+        dedup_clusters,
+        dedup_clusters_distributed,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                    "red orange yellow green blue indigo",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["src1"] * 3),
+            "n_chars": pa.array([36, 33, 35], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    assert len(dedup_clusters(sf)) == 0
+    assert dedup_clusters_distributed(sf).count() == 0
+    assert sorted(corpus_neardup_keep(sf).to_pandas()["doc_id"]) == [1, 2, 3]
+
+
+def test_normalize_text_space_only_trim():
+    """Trim is space-only on BOTH sides (explicit char list in SQL):
+    bare unicode trims diverge between DuckDB and Arrow (\\x0b,
+    \\u2028), so the kernel + oracle pin the explicit form."""
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.text import normalize_text
+
+    texts = [
+        "  Padded Text  ",
+        "\u00a0keep nbsp edges\u00a0",
+        "\x0bkeep vtab\x0b",
+        " MiXeD  CaSe\tTabs ",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    got = normalize_text(t).column("norm_text").to_pylist()
+    exp = [
+        duckdb.sql(
+            "SELECT trim(regexp_replace(lower(?), '\\s+', ' ', 'g'), ' ')",
+            params=[x],
+        ).fetchone()[0]
+        for x in texts
+    ]
+    assert got == exp
+    assert got[0] == "padded text"
+    assert got[1] == "\u00a0keep nbsp edges\u00a0"  # nbsp is not RE2 \s

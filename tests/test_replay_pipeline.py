@@ -618,3 +618,28 @@ def test_sanity_gate_poisoned_wal_fails_fast(ray_session, lake_with_base):
     validate_replay_sample(
         ray.data.from_arrow(geo_ok), geom_col="shape", expected_geom_kind="point"
     )
+
+
+def test_stream_change_log_matches_replay_semantics(ray_session, lake_with_base, tmp_path):
+    """The bounded-memory streamed WAL writer replays to the same LWW
+    semantics as the sequential oracle applied to the concatenated
+    segment contents (each bucket is a valid change stream over its
+    own lsn range)."""
+    import pyarrow.parquet as pq
+    from pyarrow import feather
+
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import stream_change_log
+
+    lake, base = lake_with_base
+    log_dir = str(tmp_path / "wal")
+    paths = stream_change_log(
+        5000, log_dir, n_files=4, format="ipc", n_convs=80,
+        delete_frac=0.1, dup_frac=0.05,
+    )
+    assert len(paths) == 4
+    changes = pa.concat_tables([feather.read_table(p) for p in paths])
+    assert len(changes) >= 5000  # dups add rows
+    assert changes.column("lsn").to_pandas().nunique() == 5000
+    replay_into_lake(lake.root, read_change_log(log_dir))
+    exp = apply_changes_reference(base, changes)
+    assert_text_equal(lake_state(lake), exp)

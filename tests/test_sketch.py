@@ -66,7 +66,9 @@ def test_misra_gries_guarantee_and_recall(ray_session):
         wal_hot_keys,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"  # thousands of distinct convs >> _MG_K,
+    # so per-batch compaction (incl. the empty-summary deduct carrier)
+    # genuinely fires
     sk = wal_heavy_hitters_sketch(sf)
     exact = wal_hot_keys(sf)  # exact top-20 with true counts
     true = dict(zip(exact["conv_id"], exact["n_events"]))
