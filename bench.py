@@ -63,9 +63,12 @@ def build_wal() -> str:
         dup_frac=0.02,
         seed=42,
     )
-    if N_EVENTS > 32_000_000:
+    if N_EVENTS > 64_000_000:
         # monolithic generation OOMs the 128 GB driver around 10^8
-        # events; the streamed writer generates one lsn bucket at a time
+        # events (129 GB RSS measured at 128M; 64M fits and is kept
+        # monolithic so the recorded BENCH_LOCAL_r5_64m input stays
+        # byte-reproducible); the streamed writer generates one lsn
+        # bucket at a time
         stream_change_log(
             N_EVENTS, wal_dir, n_files=WAL_FILES, format=WAL_FORMAT, **gen_kwargs
         )

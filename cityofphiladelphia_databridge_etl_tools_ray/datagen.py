@@ -180,6 +180,8 @@ def write_change_log(
         )
     ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz", "jsonl": "jsonl.gz"}[format]
     os.makedirs(out_dir, exist_ok=True)
+    if len(changes) == 0:  # empty log -> no segments (lsn.min() would raise)
+        return []
     lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
     lo, hi = int(lsn.min()), int(lsn.max()) + 1
     width = max(1, (hi - lo + n_files - 1) // n_files)

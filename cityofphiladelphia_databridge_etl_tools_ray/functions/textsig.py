@@ -35,7 +35,7 @@ def _flat_tokens(texts: pa.ChunkedArray | pa.Array, pattern: str = " "):
     semantics match DuckDB ``string_split(trim(text), ' ')``."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(texts)
+    trimmed = pc.utf8_trim(texts, " ")  # space-only: matches trim(text, ' ') in the oracles (bare trim() is Zs-only in DuckDB and differs from Arrow)
     lists = pc.split_pattern(trimmed, pattern)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()

@@ -1142,7 +1142,7 @@ def _trigram_table(b: pa.Table) -> pa.Table:
     ``string_split(trim(text), ' ')`` exactly."""
     import pyarrow.compute as pc
 
-    t = pc.fill_null(pc.utf8_trim_whitespace(b.column("text")), "")
+    t = pc.fill_null(pc.utf8_trim(b.column("text"), " "), "")
     toks = pc.split_pattern(t, " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()

@@ -2611,9 +2611,9 @@ def bigram_partial_counts(b: pa.Table, text_col: str = "text") -> pa.Table:
     """Batch-local bigram counts, extracted straight from the Arrow
     list offsets: token values + one boolean mask excluding row-final
     tokens — no per-row loop.  Tokenization mirrors the oracle's
-    ``string_split(trim(text), ' ')`` exactly (consecutive spaces
+    ``string_split(trim(text, ' '), ' ')`` exactly (consecutive spaces
     yield empty tokens on both sides)."""
-    t = pc.fill_null(pc.utf8_trim_whitespace(b.column(text_col)), "")
+    t = pc.fill_null(pc.utf8_trim(b.column(text_col), " "), "")
     toks = pc.split_pattern(t, " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -3224,8 +3224,8 @@ SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rank
 FROM scored WHERE rnk <= 3
 """,
     "corpus_bigram_topk": """
-WITH toks AS (SELECT CASE WHEN trim(text) = '' THEN []
-                          ELSE string_split(trim(text), ' ') END AS l
+WITH toks AS (SELECT CASE WHEN trim(text, ' ') = '' THEN []
+                          ELSE string_split(trim(text, ' '), ' ') END AS l
               FROM documents),
 grams AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
           FROM toks),
@@ -3358,8 +3358,8 @@ SELECT doc_id, source, sample_rank FROM (
 """,
     "corpus_decontaminate": """
 WITH toks AS (SELECT doc_id, source,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE string_split(trim(text), ' ') END AS l
+                     CASE WHEN trim(text, ' ') = '' THEN []
+                          ELSE string_split(trim(text, ' '), ' ') END AS l
               FROM documents),
 tg AS (SELECT doc_id, source,
               CASE WHEN len(l) < 3 THEN []
@@ -3497,8 +3497,8 @@ FROM f GROUP BY text
     # set (empty text is the exception: zero shingles)
     "dedup_ngram_jaccard": """
 WITH toks AS (SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE string_split(trim(text), ' ') END AS l
+                     CASE WHEN trim(text, ' ') = '' THEN []
+                          ELSE string_split(trim(text, ' '), ' ') END AS l
               FROM documents),
 bg AS (SELECT doc_id,
               CASE WHEN len(l) < 2 THEN list_distinct(l)

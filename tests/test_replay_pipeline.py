@@ -638,7 +638,7 @@ def test_stream_change_log_matches_replay_semantics(ray_session, lake_with_base,
     )
     assert len(paths) == 4
     changes = pa.concat_tables([feather.read_table(p) for p in paths])
-    assert len(changes) >= 5000  # dups add rows
+    assert len(changes) > 5000  # dup_frac must actually add rows (expect 5248)
     assert changes.column("lsn").to_pandas().nunique() == 5000
     replay_into_lake(lake.root, read_change_log(log_dir))
     exp = apply_changes_reference(base, changes)
