@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -152,9 +153,35 @@ def cmd_query(args) -> int:
     if args.name not in QUERIES:
         raise SystemExit(f"unknown query {args.name!r}; one of {sorted(QUERIES)}")
     res = QUERIES[args.name](args.sf_dir)
-    df = res if hasattr(res, "columns") and not hasattr(res, "to_pandas") else res.to_pandas()
-    print(df.head(args.limit).to_string())
-    print(f"... {len(df)} rows")
+    is_ds = hasattr(res, "write_parquet")  # ray Dataset
+    if args.out:
+        # scale-correct export: a Dataset streams straight to
+        # partitioned parquet (never materialized on the driver);
+        # small pandas/arrow results write one file
+        if is_ds:
+            res.write_parquet(args.out)
+            n = res.count()
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pa.Table.from_pandas(res) if hasattr(res, "columns") and not isinstance(res, pa.Table) else res
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(t, os.path.join(args.out, "part-0.parquet"))
+            n = len(t)
+        print(f"wrote {n} rows to {args.out}")
+    else:
+        if is_ds:
+            # preview via pushed-down limit; exact total via a count
+            # aggregate (no full to_pandas on the driver)
+            df = res.limit(args.limit).to_pandas()
+            total = res.count()
+        else:
+            df = res if hasattr(res, "columns") and not hasattr(res, "to_pandas") else res.to_pandas()
+            total = len(df)
+            df = df.head(args.limit)
+        print(df.to_string())
+        print(f"... {total} rows")
     ray.shutdown()
     return 0
 
@@ -226,6 +253,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("name")
     c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     c.add_argument("--limit", type=int, default=20)
+    c.add_argument("--out", default=None, help="stream the result to partitioned parquet instead of printing")
     c.set_defaults(fn=cmd_query)
     return p
 

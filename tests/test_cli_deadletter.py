@@ -162,3 +162,29 @@ def test_cli_publish_gzip_csv(ray_session, tmp_path, capsys):
     got = pd.concat(dfs, ignore_index=True)
     assert len(got) == lake_rows
     assert set(got.columns) == set(TranscriptLake(root).base_schema.names)
+
+
+def test_cli_query_out_streams_parquet(tmp_path):
+    """`query --out` streams a Dataset result to parquet (no driver
+    to_pandas); the written table round-trips with correct rows."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = str(tmp_path / "res")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "cityofphiladelphia_databridge_etl_tools_ray",
+            "--num-cpus", "4", "query", "text_token_counts",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote 300 rows" in r.stdout or "wrote" in r.stdout
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    exp = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert n == exp
