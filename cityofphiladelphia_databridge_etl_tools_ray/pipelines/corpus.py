@@ -606,9 +606,16 @@ def dedup_clusters(sf_dir: str):
         # a dup-free corpus labels nothing (Ray's empty to_pandas also
         # drops columns, so guard before indexing)
         return _CLUSTER_SCHEMA.empty_table()
-    a = pairs["doc_id_a"].to_numpy(dtype=np.int64)
-    b = pairs["doc_id_b"].to_numpy(dtype=np.int64)
+    return _unionfind_cluster_table(
+        pairs["doc_id_a"].to_numpy(dtype=np.int64),
+        pairs["doc_id_b"].to_numpy(dtype=np.int64),
+    )
 
+
+def _unionfind_cluster_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Path-compressed union-find over an edge list → (doc_id,
+    cluster_id=min id in component, n_members).  Pure kernel
+    (module-level for property tests against a BFS reference)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

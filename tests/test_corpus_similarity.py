@@ -540,3 +540,35 @@ def test_normalize_text_space_only_trim():
     assert got == exp
     assert got[0] == "padded text"
     assert got[1] == "\u00a0keep nbsp edges\u00a0"  # nbsp is not RE2 \s
+
+
+def test_propagate_clusters_random_graph_vs_unionfind(ray_session):
+    """Distributed label propagation equals union-find on a seeded
+    random graph (200 nodes, 150 edges — many components of varied
+    shape, plus self-loops and duplicate edges)."""
+    import ray
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        _propagate_clusters,
+        _unionfind_cluster_table,
+    )
+
+    rng = np.random.default_rng(1234)
+    a = rng.integers(0, 200, 150).astype(np.int64)
+    b = rng.integers(0, 200, 150).astype(np.int64)
+    t = pa.table({"doc_id_a": pa.array(a), "doc_id_b": pa.array(b)})
+    exp = (
+        _unionfind_cluster_table(a, b)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        _propagate_clusters(ray.data.from_arrow(t), max_rounds=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[["doc_id", "cluster_id", "n_members"]].astype("int64").equals(
+        exp[["doc_id", "cluster_id", "n_members"]].astype("int64")
+    )

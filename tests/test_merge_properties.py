@@ -99,3 +99,62 @@ def test_combiner_associativity(changes, cut):
     got = _canon(dedup_last_writer(parts).to_pandas())
     want = _canon(dedup_last_writer(changes).to_pandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------- connected-components properties ----------------
+
+
+def _bfs_reference(edges):
+    """Plain BFS components reference: doc -> (min-id label, size)."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label, size = {}, {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, queue = [], [start]
+        seen.add(start)
+        while queue:
+            x = queue.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    queue.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x], size[x] = m, len(comp)
+    return label, size
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_unionfind_matches_bfs_reference(edges):
+    """Union-find labels/sizes equal BFS components for arbitrary
+    edge lists — self-loops, duplicate edges, any order."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        _unionfind_cluster_table,
+    )
+
+    a = np.array([u for u, _ in edges], dtype=np.int64)
+    b = np.array([v for _, v in edges], dtype=np.int64)
+    t = _unionfind_cluster_table(a, b)
+    lab, size = _bfs_reference(edges)
+    got = {
+        d: (c, n)
+        for d, c, n in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("cluster_id").to_pylist(),
+            t.column("n_members").to_pylist(),
+        )
+    }
+    assert got == {d: (lab[d], size[d]) for d in lab}
