@@ -160,7 +160,16 @@ def cmd_query(args) -> int:
         # small pandas/arrow results write one file
         if is_ds:
             res.write_parquet(args.out)
-            n = res.count()
+            # row count from the written footers — a Dataset is lazy,
+            # so res.count() here would re-execute the whole pipeline
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(os.path.join(args.out, "*.parquet"))
+            )
         else:
             import pyarrow as pa
             import pyarrow.parquet as pq
