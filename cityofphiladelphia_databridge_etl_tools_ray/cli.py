@@ -152,9 +152,21 @@ def cmd_query(args) -> int:
 
     if args.name not in QUERIES:
         raise SystemExit(f"unknown query {args.name!r}; one of {sorted(QUERIES)}")
+
+    def to_arrow(obj):
+        # one sniff for every non-Dataset result shape (pandas / arrow)
+        import pyarrow as pa
+
+        return obj if isinstance(obj, pa.Table) else pa.Table.from_pandas(obj)
+
     res = QUERIES[args.name](args.sf_dir)
     is_ds = hasattr(res, "write_parquet")  # ray Dataset
     if args.out:
+        # refuse a non-empty target: write_parquet appends uniquely
+        # named files, so rerunning into a stale dir would silently
+        # mix (and double-count) two exports
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            raise SystemExit(f"--out {args.out!r} exists and is not empty")
         # scale-correct export: a Dataset streams straight to
         # partitioned parquet (never materialized on the driver);
         # small pandas/arrow results write one file
@@ -171,24 +183,25 @@ def cmd_query(args) -> int:
                 for f in _glob.glob(os.path.join(args.out, "*.parquet"))
             )
         else:
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            t = pa.Table.from_pandas(res) if hasattr(res, "columns") and not isinstance(res, pa.Table) else res
+            t = to_arrow(res)
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(t, os.path.join(args.out, "part-0.parquet"))
             n = len(t)
         print(f"wrote {n} rows to {args.out}")
     else:
         if is_ds:
-            # preview via pushed-down limit; exact total via a count
-            # aggregate (no full to_pandas on the driver)
+            # materialize ONCE: limit() then reads cached blocks and
+            # count() is metadata-only (lazy limit+count would execute
+            # the pipeline twice)
+            res = res.materialize()
             df = res.limit(args.limit).to_pandas()
             total = res.count()
         else:
-            df = res if hasattr(res, "columns") and not hasattr(res, "to_pandas") else res.to_pandas()
-            total = len(df)
-            df = df.head(args.limit)
+            t = to_arrow(res)
+            total = len(t)
+            df = t.slice(0, args.limit).to_pandas()
         print(df.to_string())
         print(f"... {total} rows")
     ray.shutdown()

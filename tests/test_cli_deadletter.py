@@ -182,9 +182,19 @@ def test_cli_query_out_streams_parquet(tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "wrote 300 rows" in r.stdout or "wrote" in r.stdout
-    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     exp = duckdb.sql(
         "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
+    assert f"wrote {exp} rows" in r.stdout, r.stdout[-500:]
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == exp
+    # rerun into the same non-empty dir must refuse, not silently mix
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "cityofphiladelphia_databridge_etl_tools_ray",
+            "--num-cpus", "4", "query", "text_token_counts",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode != 0 and "not empty" in (r2.stderr + r2.stdout)
