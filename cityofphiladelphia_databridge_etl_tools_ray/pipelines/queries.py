@@ -1788,6 +1788,45 @@ def paged_api_extract(sf_dir: str):
     return read_paged_api(FakePagedServer(n_records=n), page_size=250, concurrency=(2, 8))
 
 
+def unpivot_lineitem_metrics(sf_dir: str):
+    """UNPIVOT / melt (wide → long reshape): each lineitem row emits
+    one (metric, value_cents) row per measure column — the reshape
+    every metrics warehouse needs before a generic per-metric
+    aggregate.  Vectorized per METRIC (4 column-slice tables per
+    batch, no per-row work); integer cents keep the compare
+    bit-exact.  Shuffle-free and embarrassingly parallel."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+    metrics = ["quantity", "extendedprice", "discount", "tax"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        pieces = []
+        for m in metrics:
+            pieces.append(
+                pa.table(
+                    {
+                        "l_orderkey": b.column("l_orderkey"),
+                        "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+                        "metric": pa.array([m] * len(b), pa.string()),
+                        "value_cents": _cents(b.column(f"l_{m}")),
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def distinct_segment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
 
@@ -2712,6 +2751,7 @@ QUERIES = {
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "grouped_topk_orders_per_customer": grouped_topk_orders_per_customer,
     "events_value_percentiles": events_value_percentiles,
     "events_type_percentiles": events_type_percentiles,
@@ -3094,6 +3134,19 @@ SELECT n_name, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+    "unpivot_lineitem_metrics": """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'quantity' AS metric, CAST(round(l_quantity * 100) AS BIGINT) AS value_cents FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
 """,
     "distinct_segment_stats": """
 SELECT c_mktsegment, count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations
