@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.lookup import SortedIntMap, deref as _deref
+from ..functions.lookup import Int64Bloom, SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
     corpus_decontaminate,
@@ -1582,6 +1582,81 @@ def semi_join_big_parts_ordered(sf_dir: str):
     ).map_batches(in_lineitem, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+_BLOOM_LOG2_BITS = 20  # 128 KB mask; size ∝ dim-set cardinality, not fact size
+
+
+def semi_join_lineitem_bloom(sf_dir: str):
+    """Bloom-prefiltered semi-join — the two-big-sides scale path the
+    broadcast ``SortedIntMap`` joins above can't take: lineitem rows
+    whose partkey belongs to parts with p_size ≥ 40, aggregated per
+    partkey.
+
+    Phase 1 builds a 128 KB ``Int64Bloom`` over the dim keys ON THE
+    CLUSTER (per-block accumulate + OR tree-merge via a Ray
+    ``AggregateFn`` — the mask size is fixed regardless of dim
+    cardinality, so this works when the dim itself is too big to
+    broadcast as an exact key set).  Phase 2 probes the fact with the
+    broadcast mask, dropping ~(1-sel) of rows BEFORE any exchange; the
+    survivors (true matches + ≤1% false positives, rate pinned in
+    tests) then pass the exact membership check.  At this test scale
+    the exact check is the same broadcast ``SortedIntMap``; at 100 TB
+    it becomes a hash-partition shuffle join over only the bloom
+    survivors — the filter's job is shrinking that shuffle, and no
+    false negatives means the final result is exact either way."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    dim = _read(
+        sf_dir, "part", columns=["p_partkey", "p_size"],
+        filter=(pc.field("p_size") >= 40),
+    ).select_columns(["p_partkey"])
+
+    def acc_block(bloom: Int64Bloom, block: pa.Table) -> Int64Bloom:
+        return bloom.add(_np(block.column("p_partkey")))
+
+    bloom = dim.aggregate(
+        AggregateFn(
+            init=lambda k: Int64Bloom(log2_bits=_BLOOM_LOG2_BITS),
+            merge=lambda a, b: a.merge(b),
+            accumulate_block=acc_block,
+            name="bloom",
+        )
+    )["bloom"]
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(SortedIntMap(_distinct_int_keys(dim, "p_partkey")))
+
+    def probe(b: pa.Table, *, bloom_ref, exact_ref) -> pa.Table:
+        pk = _np(b.column("l_partkey"))
+        cand = _deref(bloom_ref).contains(pk)  # cheap 128 KB-mask prefilter
+        b = b.filter(pa.array(cand))
+        if len(b) == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()), "qty": pa.array([], pa.int64())})
+        # exact verify on survivors only (shuffle join at real scale)
+        keep = _deref(exact_ref).contains(_np(b.column("l_partkey")))
+        b = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    probed = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]).map_batches(
+        probe,
+        fn_kwargs={"bloom_ref": bloom_ref, "exact_ref": exact_ref},
+        batch_format="pyarrow",
+    )
+    return _sum_by_keys_bucketed(
+        probed.map_batches(
+            lambda b: b.append_column("n", pa.array(np.ones(len(b), np.int64))),
+            batch_format="pyarrow",
+        ),
+        keys=("l_partkey",),
+        sum_cols=("n", "qty"),
+        out_names=("n_li", "sum_qty"),
+    ).select_columns(["l_partkey", "n_li", "sum_qty"])
+
+
 def join_orders_customer_nation(sf_dir: str):
     """Two-hop dimension enrichment: orders → customer → nation,
     revenue per nation (broadcast both dims)."""
@@ -2749,6 +2824,7 @@ QUERIES = {
     "filter_lineitem_range": filter_lineitem_range,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
     "semi_join_big_parts_ordered": semi_join_big_parts_ordered,
+    "semi_join_lineitem_bloom": semi_join_lineitem_bloom,
     "join_orders_customer_nation": join_orders_customer_nation,
     "distinct_segment_stats": distinct_segment_stats,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -3128,6 +3204,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     "semi_join_big_parts_ordered": """
 SELECT p_partkey, p_name, p_size FROM part
 WHERE p_size >= 40 AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    "semi_join_lineitem_bloom": """
+SELECT l_partkey, count(*) AS n_li, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+GROUP BY l_partkey
 """,
     "join_orders_customer_nation": """
 SELECT n_name, count(*) AS n_orders,

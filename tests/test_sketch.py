@@ -97,3 +97,82 @@ def test_mg_compact_kernel():
     # under budget: untouched
     k3, c3, d3 = _mg_compact(keys, counts, 8)
     assert list(k3) == list(keys) and d3 == 0
+
+
+# ------------------------------------------------------------------
+# Int64Bloom — the semi-join prefilter sketch
+# ------------------------------------------------------------------
+
+from cityofphiladelphia_databridge_etl_tools_ray.functions.lookup import Int64Bloom
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(1 << 62), 1 << 62, size=40_000, dtype=np.int64)
+    b = Int64Bloom(log2_bits=20, k=4).add(keys)
+    assert b.contains(keys).all()
+
+
+def test_bloom_fp_rate_bounded():
+    # 40k keys in a 2^20-bit mask with k=4 → theoretical FP ≈ 0.24%;
+    # pin at < 1% on disjoint probes
+    rng = np.random.default_rng(8)
+    keys = rng.integers(0, 1 << 40, size=40_000, dtype=np.int64)
+    b = Int64Bloom(log2_bits=20, k=4).add(keys)
+    probes = rng.integers(1 << 41, 1 << 42, size=100_000, dtype=np.int64)
+    fp = b.contains(probes).mean()
+    assert fp < 0.01, fp
+    assert 0.0 < b.fill_ratio < 0.5
+
+
+def test_bloom_merge_equals_single_pass():
+    # OR-merge of split builds == whole build — the AggregateFn
+    # tree-merge property the distributed bloom build relies on
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 1 << 50, size=30_000, dtype=np.int64)
+    whole = Int64Bloom(log2_bits=18).add(keys)
+    merged = Int64Bloom(log2_bits=18).add(keys[:11_000]).merge(
+        Int64Bloom(log2_bits=18).add(keys[11_000:])
+    )
+    assert np.array_equal(whole.words, merged.words)
+
+
+def test_bloom_empty_and_shape_guard():
+    b = Int64Bloom(log2_bits=16)
+    assert b.contains(np.array([1, 2, 3], dtype=np.int64)).sum() == 0
+    assert len(b.contains(np.array([], dtype=np.int64))) == 0
+    b.add(np.array([], dtype=np.int64))
+    assert b.fill_ratio == 0.0
+    try:
+        Int64Bloom(log2_bits=16, words=np.zeros(4, np.uint64))
+        assert False, "expected shape guard"
+    except ValueError:
+        pass
+
+
+def test_bloom_semi_join_matches_exact_oracle():
+    import duckdb as _dd
+    import pandas as _pd
+
+    res = QUERIES["semi_join_lineitem_bloom"](SF_DIR)
+    got = (
+        res.to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    con = _dd.connect()
+    exp = con.execute(
+        f"""
+        SELECT l_partkey, count(*) AS n_li,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM read_parquet('{SF_DIR}/part.parquet') WHERE p_size >= 40)
+        GROUP BY l_partkey ORDER BY l_partkey
+        """
+    ).fetchdf()
+    con.close()
+    _pd.testing.assert_frame_equal(
+        got[["l_partkey", "n_li", "sum_qty"]].astype("int64"),
+        exp.astype("int64"),
+    )
