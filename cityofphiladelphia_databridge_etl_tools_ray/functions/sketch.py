@@ -68,3 +68,111 @@ def hll_estimate(registers: np.ndarray, rhos: np.ndarray) -> float:
     if est <= 2.5 * HLL_M and zeros > 0:
         est = HLL_M * np.log(HLL_M / zeros)  # linear counting
     return float(est)
+
+
+class QuantileSketch:
+    """Deterministic KLL-style mergeable quantile sketch (Karnin,
+    Lang & Liberty 2016 structure with the deterministic
+    every-other-item compactor of Munro-Paterson / MRL — all public
+    algorithms).
+
+    Level ``i`` holds at most ``k`` items, each standing for ``2^i``
+    original rows.  A full level is sorted and every other item is
+    promoted to level ``i+1`` (start offset alternates per level
+    between compactions, cancelling half the rank bias while staying
+    fully deterministic — same input stream → same sketch, no RNG).
+    Merging concatenates level-wise and re-compacts: the accumulator
+    shape Ray's ``AggregateFn`` tree-merge needs.
+
+    Memory is O(k · log(n/k)) items regardless of n; each compaction
+    at level i shifts any rank by at most 2^i, and level i compacts
+    at most ceil(n / (k·2^i)) times, so the worst-case rank error is
+    bounded by n·H/k with H = #levels — ``max_rank_error()`` reports
+    this bound and tests pin the observed error well inside it.
+    """
+
+    def __init__(self, k: int = 512):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _compact(self, i: int) -> None:
+        while i >= len(self.levels) - 1:
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        buf = np.sort(self.levels[i], kind="stable")
+        start = self.parity[i]
+        self.parity[i] ^= 1
+        # odd buffer: set aside one unpaired item at this level (the
+        # min/max end alternates with parity so the tail bias cancels);
+        # the even remainder promotes exactly half its items at double
+        # weight — total represented weight is conserved EXACTLY.
+        if len(buf) % 2 == 1:
+            if start == 0:
+                keep, buf = buf[-1:], buf[:-1]
+            else:
+                keep, buf = buf[:1], buf[1:]
+        else:
+            keep = buf[:0]
+        promoted = buf[start::2]
+        self.levels[i] = keep
+        self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        i = 0
+        while i < len(self.levels) and len(self.levels[i]) >= self.k:
+            self._compact(i)
+            i += 1
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.n == 0:
+            return self
+        self.n += other.n
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(0)
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) >= self.k:
+                self._compact(i)
+            i += 1
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << i, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, np.int64)
+        it = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], w[order]
+
+    def quantiles(self, phis) -> np.ndarray:
+        """Estimated values at the given quantile fractions."""
+        it, w = self._weighted()
+        if len(it) == 0:
+            return np.full(len(phis), np.nan)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        idx = np.searchsorted(cum, np.asarray(phis, dtype=np.float64) * total)
+        return it[np.clip(idx, 0, len(it) - 1)]
+
+    def max_rank_error(self) -> int:
+        """Deterministic worst-case rank error bound: n·H/k."""
+        h = max(1, len([b for b in self.levels if True]))
+        return int(np.ceil(self.n * h / self.k)) if self.n else 0

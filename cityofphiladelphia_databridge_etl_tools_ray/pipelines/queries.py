@@ -2491,6 +2491,51 @@ def sketch_distinct_users(sf_dir: str):
     )
 
 
+_QSK_PHIS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def events_value_quantile_sketch(sf_dir: str):
+    """Approximate quantiles of event value via a mergeable KLL-style
+    sketch — the unbounded-domain complement to the exact
+    bounded-domain histogram CDF of [events_value_percentiles]: at
+    100 TB the exact path needs either a known value domain or a full
+    sort, while the sketch holds O(k·log(n/k)) items per accumulator
+    and merges with an OR-free concat+recompact ``AggregateFn`` tree —
+    the driver touches only the final ~1.5k-item summary.
+
+    Deterministic per merge order; estimates move only within the
+    worst-case rank-error envelope n·H/k (reported in the
+    ``max_rank_error`` column and pinned ≤ bound in
+    tests/test_sketch.py against exact np.quantile).  Approximate by
+    design → rows-only oracle."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import QuantileSketch
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def acc_block(s: QuantileSketch, block: pa.Table) -> QuantileSketch:
+        return s.add(_np(block.column("value")))
+
+    sk = ds.aggregate(
+        AggregateFn(
+            init=lambda k: QuantileSketch(k=512),
+            merge=lambda a, b: a.merge(b),
+            accumulate_block=acc_block,
+            name="qsk",
+        )
+    )["qsk"]
+    est = sk.quantiles(_QSK_PHIS)
+    return pd.DataFrame(
+        {
+            "phi": np.asarray(_QSK_PHIS, dtype=np.float64),
+            "approx_value": est.astype(np.float64),
+            "n": np.full(len(_QSK_PHIS), sk.n, dtype=np.int64),
+            "max_rank_error": np.full(len(_QSK_PHIS), sk.max_rank_error(), dtype=np.int64),
+        }
+    )
+
+
 _LEFT_JOIN_LO = "1995-01-01"
 _LEFT_JOIN_HI = "1995-03-01"
 
@@ -2834,6 +2879,7 @@ QUERIES = {
     "events_value_tier_rangejoin": events_value_tier_rangejoin,
     "sample_events_hash": sample_events_hash,
     "sketch_distinct_users": sketch_distinct_users,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "events_user_value_rank": events_user_value_rank,

@@ -176,3 +176,77 @@ def test_bloom_semi_join_matches_exact_oracle():
         got[["l_partkey", "n_li", "sum_qty"]].astype("int64"),
         exp.astype("int64"),
     )
+
+
+# ------------------------------------------------------------------
+# QuantileSketch — KLL-style mergeable quantiles
+# ------------------------------------------------------------------
+
+from cityofphiladelphia_databridge_etl_tools_ray.functions.sketch import QuantileSketch
+
+
+def _rank_err(sorted_data, est, phi):
+    n = len(sorted_data)
+    return abs(np.searchsorted(sorted_data, est) - phi * n) / n
+
+
+def test_qsketch_weight_conservation_and_determinism():
+    rng = np.random.default_rng(21)
+    data = rng.lognormal(3, 1.5, size=200_000)
+    builds = []
+    for _ in range(2):
+        s = QuantileSketch(k=512)
+        for i in range(0, len(data), 8192):
+            s.add(data[i : i + 8192])
+        builds.append(s)
+    s, s2 = builds
+    _, w = s._weighted()
+    assert w.sum() == s.n == len(data)
+    assert all(np.array_equal(a, b) for a, b in zip(s.levels, s2.levels))
+
+
+def test_qsketch_error_within_bound_whole_and_merged():
+    rng = np.random.default_rng(22)
+    data = rng.lognormal(3, 1.5, size=500_000)
+    sd = np.sort(data)
+    phis = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+    whole = QuantileSketch(k=512)
+    for i in range(0, len(data), 8192):
+        whole.add(data[i : i + 8192])
+    parts = [QuantileSketch(k=512) for _ in range(4)]
+    for j, p in enumerate(parts):
+        p.add(data[j * 125_000 : (j + 1) * 125_000])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+
+    for s in (whole, merged):
+        _, w = s._weighted()
+        assert w.sum() == len(data)
+        bound = s.max_rank_error() / s.n
+        for phi, est in zip(phis, s.quantiles(phis)):
+            assert _rank_err(sd, est, phi) <= bound, (phi, _rank_err(sd, est, phi), bound)
+
+
+def test_qsketch_small_and_empty():
+    s = QuantileSketch(k=64)
+    assert np.isnan(s.quantiles([0.5])).all()
+    assert s.max_rank_error() == 0
+    s.add(np.array([5.0, np.nan, 1.0, 3.0]))
+    assert s.n == 3  # NaNs dropped
+    # below capacity the sketch is exact
+    assert s.quantiles([0.0])[0] == 1.0
+    assert s.quantiles([1.0])[0] == 5.0
+
+
+def test_qsketch_pipeline_vs_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    res = QUERIES["events_value_quantile_sketch"](SF_DIR)
+    vals = pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"]).column("value").to_numpy()
+    sd = np.sort(vals[~np.isnan(vals)])
+    assert (res["n"] == len(sd)).all()
+    bound = res["max_rank_error"].iloc[0] / len(sd)
+    for phi, est in zip(res["phi"], res["approx_value"]):
+        assert _rank_err(sd, est, phi) <= bound, (phi, _rank_err(sd, est, phi), bound)
