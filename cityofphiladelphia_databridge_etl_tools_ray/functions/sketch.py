@@ -174,5 +174,40 @@ class QuantileSketch:
 
     def max_rank_error(self) -> int:
         """Deterministic worst-case rank error bound: n·H/k."""
-        h = max(1, len([b for b in self.levels if True]))
+        h = max(1, len(self.levels))
         return int(np.ceil(self.n * h / self.k)) if self.n else 0
+
+
+def qsketch_state(s: QuantileSketch) -> np.ndarray:
+    """Flatten a QuantileSketch into one float64 vector — the
+    Arrow-native accumulator shape for Ray ``AggregateFn`` handoffs
+    (an object accumulator would pickle-fallback on every block).
+    Layout: [k, n, L, parity×L, len×L, items...]."""
+    L = len(s.levels)
+    head = np.array([s.k, s.n, L], dtype=np.float64)
+    par = np.asarray(s.parity, dtype=np.float64)
+    lens = np.array([len(b) for b in s.levels], dtype=np.float64)
+    items = (
+        np.concatenate([b for b in s.levels if len(b)])
+        if any(len(b) for b in s.levels)
+        else np.empty(0, np.float64)
+    )
+    return np.concatenate([head, par, lens, items])
+
+
+def qsketch_from_state(v: np.ndarray) -> QuantileSketch:
+    v = np.asarray(v, dtype=np.float64)
+    k, n, L = int(v[0]), int(v[1]), int(v[2])
+    par = v[3 : 3 + L].astype(np.int64)
+    lens = v[3 + L : 3 + 2 * L].astype(np.int64)
+    s = QuantileSketch(k=k)
+    s.n = n
+    s.parity = [int(p) for p in par]
+    s.levels = []
+    off = 3 + 2 * L
+    for ln in lens:
+        s.levels.append(v[off : off + ln].copy())
+        off += ln
+    if not s.levels:
+        s.levels, s.parity = [np.empty(0, np.float64)], [0]
+    return s

@@ -1611,18 +1611,23 @@ def semi_join_lineitem_bloom(sf_dir: str):
         filter=(pc.field("p_size") >= 40),
     ).select_columns(["p_partkey"])
 
-    def acc_block(bloom: Int64Bloom, block: pa.Table) -> Int64Bloom:
-        return bloom.add(_np(block.column("p_partkey")))
+    # the accumulator is the raw uint64 word array (Arrow-native via the
+    # tensor extension — an Int64Bloom object would pickle-fallback on
+    # every block handoff); rewrap only at the edges
+    def acc_block(words: np.ndarray, block: pa.Table) -> np.ndarray:
+        return Int64Bloom(log2_bits=_BLOOM_LOG2_BITS, words=words).add(
+            _np(block.column("p_partkey"))
+        ).words
 
-    bloom = dim.aggregate(
+    words = dim.aggregate(
         AggregateFn(
-            init=lambda k: Int64Bloom(log2_bits=_BLOOM_LOG2_BITS),
-            merge=lambda a, b: a.merge(b),
+            init=lambda k: np.zeros((1 << _BLOOM_LOG2_BITS) >> 6, dtype=np.uint64),
+            merge=lambda a, b: np.bitwise_or(a, b),
             accumulate_block=acc_block,
             name="bloom",
         )
     )["bloom"]
-    bloom_ref = ray.put(bloom)
+    bloom_ref = ray.put(Int64Bloom(log2_bits=_BLOOM_LOG2_BITS, words=np.asarray(words, dtype=np.uint64)))
     exact_ref = ray.put(SortedIntMap(_distinct_int_keys(dim, "p_partkey")))
 
     def probe(b: pa.Table, *, bloom_ref, exact_ref) -> pa.Table:
@@ -2304,6 +2309,45 @@ def events_user_running_total(sf_dir: str):
     )
 
 
+def events_user_type_seq(sf_dir: str):
+    """Ordered group concatenation — LISTAGG / ``string_agg(...  ORDER
+    BY ...)`` at scale: per user, the '|'-joined sequence of event
+    types in (ts, event_id) order.  Same shape as the other ordered
+    windows: ONE coarse user-bucket shuffle, then an all-Arrow kernel
+    per bucket — block sort, ``group_by`` list-agg (encounter order =
+    sorted order), one ``pc.binary_join`` for the whole bucket.  No
+    per-user Python, no per-row loop; the bucket fan-out keeps any
+    single concat task bounded."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def agg(g: pa.Table) -> pa.Table:
+        b = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = pa.table({"user_id": b.column("user_id"), "et": b.column("event_type")})
+        gg = t.group_by("user_id", use_threads=False).aggregate(
+            [("et", "list"), ("et", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": gg.column("user_id"),
+                "n_events": pc.cast(gg.column("et_count"), pa.int64()),
+                "type_seq": pc.binary_join(gg.column("et_list"), pa.scalar("|")),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
 def events_user_value_rank(sf_dir: str):
     """RANK + ROW_NUMBER per user over (value DESC, event_id ASC) —
     the tie-aware window pair.  Same shape as the other ordered
@@ -2510,21 +2554,26 @@ def events_value_quantile_sketch(sf_dir: str):
     design → rows-only oracle."""
     from ray.data.aggregate import AggregateFn
 
-    from ..functions.sketch import QuantileSketch
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
 
     ds = _read(sf_dir, "events", columns=["value"])
 
-    def acc_block(s: QuantileSketch, block: pa.Table) -> QuantileSketch:
-        return s.add(_np(block.column("value")))
+    # accumulator rides as a flat float64 vector (Arrow-native; an
+    # object accumulator would pickle-fallback on every block handoff)
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        return qsketch_state(qsketch_from_state(state).add(_np(block.column("value"))))
 
-    sk = ds.aggregate(
+    state = ds.aggregate(
         AggregateFn(
-            init=lambda k: QuantileSketch(k=512),
-            merge=lambda a, b: a.merge(b),
+            init=lambda k: qsketch_state(QuantileSketch(k=512)),
+            merge=lambda a, b: qsketch_state(
+                qsketch_from_state(a).merge(qsketch_from_state(b))
+            ),
             accumulate_block=acc_block,
             name="qsk",
         )
     )["qsk"]
+    sk = qsketch_from_state(np.asarray(state, dtype=np.float64))
     est = sk.quantiles(_QSK_PHIS)
     return pd.DataFrame(
         {
@@ -2883,6 +2932,7 @@ QUERIES = {
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "events_user_value_rank": events_user_value_rank,
+    "events_user_type_seq": events_user_type_seq,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3155,6 +3205,11 @@ FROM events
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    "events_user_type_seq": """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
+FROM events GROUP BY user_id
 """,
     "events_user_modal_type": """
 SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n

@@ -250,3 +250,19 @@ def test_qsketch_pipeline_vs_exact(ray_session):
     bound = res["max_rank_error"].iloc[0] / len(sd)
     for phi, est in zip(res["phi"], res["approx_value"]):
         assert _rank_err(sd, est, phi) <= bound, (phi, _rank_err(sd, est, phi), bound)
+
+
+def test_qsketch_state_roundtrip():
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.sketch import (
+        qsketch_from_state,
+        qsketch_state,
+    )
+
+    rng = np.random.default_rng(23)
+    s = QuantileSketch(k=128).add(rng.normal(size=10_000))
+    r = qsketch_from_state(qsketch_state(s))
+    assert r.k == s.k and r.n == s.n and r.parity == s.parity
+    assert all(np.array_equal(a, b) for a, b in zip(r.levels, s.levels))
+    # empty sketch round-trips too
+    e = qsketch_from_state(qsketch_state(QuantileSketch(k=64)))
+    assert e.n == 0 and np.isnan(e.quantiles([0.5])).all()
