@@ -2585,6 +2585,55 @@ def events_value_quantile_sketch(sf_dir: str):
     )
 
 
+def events_type_quantile_sketch(sf_dir: str):
+    """Per-GROUP approximate quantiles: one KLL sketch per event_type
+    via Ray's grouped ``AggregateFn`` — the unbounded-domain,
+    bounded-memory counterpart to [events_type_percentiles]'s exact
+    histogram CDF.  Each group's accumulator is the flat-vector sketch
+    state (O(k·log(n/k)) floats regardless of group size), so skewed
+    groups can't blow up a reducer the way an exact per-group sort
+    would.  Approximate by design → rows-only oracle; per-group error
+    is pinned against exact np.quantile in tests/test_sketch.py."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        return qsketch_state(qsketch_from_state(state).add(_np(block.column("value"))))
+
+    rows = (
+        ds.groupby("event_type")
+        .aggregate(
+            AggregateFn(
+                init=lambda k: qsketch_state(QuantileSketch(k=512)),
+                merge=lambda a, b: qsketch_state(
+                    qsketch_from_state(a).merge(qsketch_from_state(b))
+                ),
+                accumulate_block=acc_block,
+                name="qsk",
+            )
+        )
+        .to_pandas()  # ≤ n_types rows of sketch state — summaries, not data
+    )
+    out = []
+    for _, r in rows.iterrows():
+        sk = qsketch_from_state(np.asarray(r["qsk"], dtype=np.float64))
+        p50, p90, p99 = sk.quantiles([0.5, 0.9, 0.99])
+        out.append(
+            {
+                "event_type": r["event_type"],
+                "n": np.int64(sk.n),
+                "approx_p50": p50,
+                "approx_p90": p90,
+                "approx_p99": p99,
+                "max_rank_error": np.int64(sk.max_rank_error()),
+            }
+        )
+    return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+
+
 _LEFT_JOIN_LO = "1995-01-01"
 _LEFT_JOIN_HI = "1995-03-01"
 
@@ -2929,6 +2978,7 @@ QUERIES = {
     "sample_events_hash": sample_events_hash,
     "sketch_distinct_users": sketch_distinct_users,
     "events_value_quantile_sketch": events_value_quantile_sketch,
+    "events_type_quantile_sketch": events_type_quantile_sketch,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "events_user_value_rank": events_user_value_rank,

@@ -266,3 +266,17 @@ def test_qsketch_state_roundtrip():
     # empty sketch round-trips too
     e = qsketch_from_state(qsketch_state(QuantileSketch(k=64)))
     assert e.n == 0 and np.isnan(e.quantiles([0.5])).all()
+
+
+def test_qsketch_grouped_pipeline_vs_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    res = QUERIES["events_type_quantile_sketch"](SF_DIR)
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    assert set(res["event_type"]) == set(t["event_type"].unique())
+    for _, r in res.iterrows():
+        vals = np.sort(t.loc[t["event_type"] == r["event_type"], "value"].to_numpy())
+        assert r["n"] == len(vals)
+        bound = r["max_rank_error"] / len(vals)
+        for phi, col in [(0.5, "approx_p50"), (0.9, "approx_p90"), (0.99, "approx_p99")]:
+            assert _rank_err(vals, r[col], phi) <= bound, (r["event_type"], phi)
