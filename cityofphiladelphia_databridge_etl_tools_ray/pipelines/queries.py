@@ -2585,6 +2585,102 @@ def events_value_quantile_sketch(sf_dir: str):
     )
 
 
+def events_props_json_extract(sf_dir: str):
+    """JSON field extraction as a vectorized scalar op — the engine
+    side of the reference's JSON row handling (Knack/Airtable payloads
+    are JSON dicts normalized per row; knack/knack.py row loop):
+    pull ``$.k`` out of the props JSON with one RE2 ``extract_regex``
+    per batch (bit-exact vs DuckDB's json extract on this shape —
+    both engines parse the same integer text), then aggregate per
+    event_type.  No Python-level json.loads per row."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "k": k})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_TS_SENTINEL = np.iinfo(np.int64).max
+
+
+def events_funnel_counts(sf_dir: str):
+    """First-occurrence funnel (view → click → purchase): how many
+    users reached each step with strictly increasing first-occurrence
+    timestamps — the product-analytics staple over an event stream.
+
+    Shape: per-batch Arrow group_by MIN per (user, step) collapses
+    each block to ≤3 rows per user (epoch-µs, NULL → int64-max
+    sentinel so MIN composes associatively); one coarse-bucket shuffle
+    min-combines the partials; the per-user step flags then reduce to
+    a single 3-counter row — the driver sees one row, never the
+    events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        cols = {"user_id": b.column("user_id")}
+        for i, step in enumerate(_FUNNEL_STEPS):
+            cols[f"t{i+1}"] = pc.if_else(
+                pc.equal(b.column("event_type"), step), ts, pa.scalar(_TS_SENTINEL)
+            )
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"t{i+1}", "min") for i in range(len(_FUNNEL_STEPS))]
+        )
+        return g.rename_columns(["user_id"] + [f"t{i+1}" for i in range(len(_FUNNEL_STEPS))])
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["user_id", "t1", "t2", "t3"]).group_by("user_id").aggregate(
+            [("t1", "min"), ("t2", "min"), ("t3", "min")]
+        )
+        t1 = _np(a.column("t1_min"))
+        t2 = _np(a.column("t2_min"))
+        t3 = _np(a.column("t3_min"))
+        s1 = t1 != _TS_SENTINEL
+        s2 = s1 & (t2 != _TS_SENTINEL) & (t2 > t1)
+        s3 = s2 & (t3 != _TS_SENTINEL) & (t3 > t2)
+        return pa.table(
+            {
+                "n_view": pa.array([np.int64(s1.sum())]),
+                "n_view_click": pa.array([np.int64(s2.sum())]),
+                "n_full": pa.array([np.int64(s3.sum())]),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    per_bucket = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    out = per_bucket.aggregate(
+        Sum("n_view", alias_name="n_view"),
+        Sum("n_view_click", alias_name="n_view_click"),
+        Sum("n_full", alias_name="n_full"),
+    )
+    return pd.DataFrame([{k: np.int64(v) for k, v in out.items()}])
+
+
 def events_type_quantile_sketch(sf_dir: str):
     """Per-GROUP approximate quantiles: one KLL sketch per event_type
     via Ray's grouped ``AggregateFn`` — the unbounded-domain,
@@ -2979,6 +3075,8 @@ QUERIES = {
     "sketch_distinct_users": sketch_distinct_users,
     "events_value_quantile_sketch": events_value_quantile_sketch,
     "events_type_quantile_sketch": events_type_quantile_sketch,
+    "events_props_json_extract": events_props_json_extract,
+    "events_funnel_counts": events_funnel_counts,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,
     "events_user_value_rank": events_user_value_rank,
@@ -3260,6 +3358,24 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 SELECT user_id, count(*) AS n_events,
        string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
 FROM events GROUP BY user_id
+""",
+    "events_props_json_extract": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    "events_funnel_counts": """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t1,
+         min(ts) FILTER (WHERE event_type = 'click') AS t2,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t3
+  FROM events GROUP BY user_id)
+SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1) AS BIGINT) AS n_view_click,
+       CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2) AS BIGINT) AS n_full
+FROM f
 """,
     "events_user_modal_type": """
 SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
