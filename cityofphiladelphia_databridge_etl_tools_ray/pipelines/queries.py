@@ -2585,6 +2585,54 @@ def events_value_quantile_sketch(sf_dir: str):
     )
 
 
+def events_type_distinct_sketch(sf_dir: str):
+    """Per-GROUP approximate COUNT(DISTINCT user_id) — one HyperLogLog
+    per event_type through Ray's grouped ``AggregateFn``, completing
+    the sketch matrix (global/grouped × distinct/quantile).  The
+    accumulator is the flat 1024-slot register vector (Arrow-native,
+    element-wise max merge), so every group costs O(m) memory no
+    matter how many users it saw — the exact grouped count_distinct
+    in [events_distinct_users_per_type] needs a (type, user) shuffle
+    whose reducer state grows with cardinality.  Deterministic (fixed
+    splitmix64 hash) but approximate → rows-only oracle; accuracy is
+    pinned vs the exact per-group count in tests/test_sketch.py."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import HLL_M, hll_estimate, hll_partial
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def acc_block(reg: np.ndarray, block: pa.Table) -> np.ndarray:
+        r, rho = hll_partial(_np(block.column("user_id")).astype(np.int64))
+        out = np.asarray(reg, dtype=np.int64).copy()
+        np.maximum.at(out, r, rho)
+        return out
+
+    rows = (
+        ds.groupby("event_type")
+        .aggregate(
+            AggregateFn(
+                init=lambda k: np.zeros(HLL_M, dtype=np.int64),
+                merge=lambda a, b: np.maximum(a, b),
+                accumulate_block=acc_block,
+                name="hll",
+            )
+        )
+        .to_pandas()  # ≤ n_types rows of 1024-slot registers
+    )
+    out = []
+    for _, r in rows.iterrows():
+        reg = np.asarray(r["hll"], dtype=np.int64)
+        nz = np.flatnonzero(reg)
+        out.append(
+            {
+                "event_type": r["event_type"],
+                "approx_distinct_users": np.int64(round(hll_estimate(nz, reg[nz]))),
+            }
+        )
+    return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+
+
 def events_props_json_extract(sf_dir: str):
     """JSON field extraction as a vectorized scalar op — the engine
     side of the reference's JSON row handling (Knack/Airtable payloads
@@ -3076,6 +3124,7 @@ QUERIES = {
     "events_value_quantile_sketch": events_value_quantile_sketch,
     "events_type_quantile_sketch": events_type_quantile_sketch,
     "events_props_json_extract": events_props_json_extract,
+    "events_type_distinct_sketch": events_type_distinct_sketch,
     "events_funnel_counts": events_funnel_counts,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,

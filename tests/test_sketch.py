@@ -280,3 +280,20 @@ def test_qsketch_grouped_pipeline_vs_exact(ray_session):
         bound = r["max_rank_error"] / len(vals)
         for phi, col in [(0.5, "approx_p50"), (0.9, "approx_p90"), (0.99, "approx_p99")]:
             assert _rank_err(vals, r[col], phi) <= bound, (r["event_type"], phi)
+
+
+def test_grouped_hll_accuracy(ray_session):
+    import pyarrow.parquet as pq
+
+    res = QUERIES["events_type_distinct_sketch"](SF_DIR)
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    exact = t.groupby("event_type")["user_id"].nunique()
+    assert set(res["event_type"]) == set(exact.index)
+    for _, r in res.iterrows():
+        true = exact[r["event_type"]]
+        # 3-sigma HLL bound at m=1024 (sigma = 1.04/sqrt(m) ~ 3.25%)
+        assert abs(r["approx_distinct_users"] - true) <= max(0.098 * true, 3), (
+            r["event_type"], r["approx_distinct_users"], true,
+        )
