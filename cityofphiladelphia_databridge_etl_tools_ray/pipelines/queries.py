@@ -2348,6 +2348,99 @@ def events_user_type_seq(sf_dir: str):
     )
 
 
+_NTILES = 4
+
+
+def events_user_value_ntile(sf_dir: str):
+    """NTILE(4) per user over (value DESC, event_id) — the quantile
+    bucketing window function, exact SQL semantics: with n rows and t
+    tiles the first ``n mod t`` tiles take ``n//t + 1`` rows.  Same
+    one-bucket-shuffle + vectorized multi-user lexsort kernel as the
+    rank windows; the tile assignment is pure index arithmetic on the
+    per-group row numbers."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -val, user))
+        user_s, eid_s = user[order], eid[order]
+        n = len(user_s)
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)  # 0-based
+        gsz = np.repeat(sizes, sizes)
+        q, r = gsz // _NTILES, gsz % _NTILES
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = np.where(
+            rn0 < big,
+            rn0 // np.maximum(q + 1, 1),
+            r + (rn0 - big) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame({"event_id": eid_s, "user_id": user_s, "tile": tile.astype(np.int64)})
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        ntile, batch_format="pandas"
+    )
+
+
+_FRAME_PRECEDING = 3  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def events_user_moving_sum(sf_dir: str):
+    """Row-frame window aggregate: per-user moving sum of value_cents
+    over ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`` in (ts,
+    event_id) order.  Same ONE-bucket-shuffle shape as the other
+    ordered windows; the frame sum is a vectorized prefix-sum
+    difference (cumz[i+1] - cumz[max(i-3, group_start)]) — no per-row
+    loop, no per-user Python, frames clamped at group starts purely
+    with index arithmetic."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "cents": _cents(b.column("value")),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+            }
+        )
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, cents_s = user[order], cents[order]
+        n = len(user_s)
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        group_start = np.repeat(starts, sizes)
+        cumz = np.r_[0, np.cumsum(cents_s)]
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - _FRAME_PRECEDING, group_start)
+        return pd.DataFrame(
+            {
+                "event_id": eid[order],
+                "user_id": user_s,
+                "moving_cents": cumz[idx + 1] - cumz[lo],
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        moving, batch_format="pandas"
+    )
+
+
 def events_user_value_rank(sf_dir: str):
     """RANK + ROW_NUMBER per user over (value DESC, event_id ASC) —
     the tie-aware window pair.  Same shape as the other ordered
@@ -3130,6 +3223,8 @@ QUERIES = {
     "events_user_running_total": events_user_running_total,
     "events_user_value_rank": events_user_value_rank,
     "events_user_type_seq": events_user_type_seq,
+    "events_user_moving_sum": events_user_moving_sum,
+    "events_user_value_ntile": events_user_value_ntile,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3407,6 +3502,18 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 SELECT user_id, count(*) AS n_events,
        string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
 FROM events GROUP BY user_id
+""",
+    "events_user_value_ntile": """
+SELECT event_id, user_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS tile
+FROM events
+""",
+    "events_user_moving_sum": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
+FROM events
 """,
     "events_props_json_extract": """
 SELECT event_type, count(*) AS n,

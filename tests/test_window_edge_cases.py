@@ -37,7 +37,15 @@ def tie_sf_dir(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.parametrize("name", ["events_user_lag_gaps", "events_user_running_total"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_user_lag_gaps",
+        "events_user_running_total",
+        "events_user_moving_sum",
+        "events_user_value_ntile",
+    ],
+)
 def test_window_kernels_on_ties(ray_session, tie_sf_dir, name):
     got = (
         QUERIES[name](tie_sf_dir)
