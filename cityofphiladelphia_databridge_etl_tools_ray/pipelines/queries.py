@@ -2348,6 +2348,96 @@ def events_user_type_seq(sf_dir: str):
     )
 
 
+_RANK_RANGES = 64  # range-partition fan-out for the global sort/rank
+
+
+def lineitem_global_rank(sf_dir: str):
+    """Distributed global ORDER BY with dense output ranks — the
+    TeraSort pattern: (1) a KLL sketch over the sort key picks
+    ``_RANK_RANGES`` range boundaries (approximate splits are fine —
+    they only balance partitions, never affect correctness); (2) one
+    tiny counting pass sums rows per range and prefix-sums the global
+    offsets; (3) rows shuffle ONCE on their range id, each range sorts
+    locally by the full composite key and numbers itself from its
+    offset.  Global rank = offset[range] + local position, exact,
+    verified bit-for-bit by the ``row_number() OVER (ORDER BY ...)``
+    oracle.  No stage ever holds more than one range; the driver sees
+    only the 64-row count table and the sketch."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    # (1) sketch the sort-key distribution → range boundaries
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        days = pc.cast(block.column("l_shipdate"), pa.int64())
+        return qsketch_state(qsketch_from_state(state).add(_np(days)))
+
+    sk = qsketch_from_state(
+        np.asarray(
+            ds.aggregate(
+                AggregateFn(
+                    init=lambda k: qsketch_state(QuantileSketch(k=256)),
+                    merge=lambda a, b: qsketch_state(
+                        qsketch_from_state(a).merge(qsketch_from_state(b))
+                    ),
+                    accumulate_block=acc_block,
+                    name="qsk",
+                )
+            )["qsk"],
+            dtype=np.float64,
+        )
+    )
+    bounds = np.unique(
+        sk.quantiles(np.arange(1, _RANK_RANGES) / _RANK_RANGES).astype(np.int64)
+    )
+
+    def with_range(b: pa.Table) -> pa.Table:
+        key = _np(pc.cast(b.column("l_shipdate"), pa.int64()))
+        return b.append_column(
+            "rng", pa.array(np.searchsorted(bounds, key, side="right").astype(np.int32))
+        )
+
+    ranged = ds.map_batches(with_range, batch_format="pyarrow")
+
+    # (2) per-range counts → global prefix offsets (tiny: ≤ 64 rows)
+    def count_ranges(b: pa.Table) -> pa.Table:
+        cnt = np.bincount(_np(b.column("rng")), minlength=len(bounds) + 1).astype(np.int64)
+        return pa.table({"rng": np.arange(len(cnt), dtype=np.int32), "n": cnt})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ranged.map_batches(count_ranges, batch_format="pyarrow")
+        .groupby("rng")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("rng")
+    )
+    offsets = np.zeros(len(bounds) + 1, dtype=np.int64)
+    offsets[counts["rng"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.r_[0, np.cumsum(offsets)[:-1]]
+
+    # (3) one shuffle on range id; each range sorts + numbers itself
+    def rank_range(g: pa.Table) -> pa.Table:
+        rng = int(g.column("rng")[0].as_py())
+        key_day = _np(pc.cast(g.column("l_shipdate"), pa.int64()))
+        ok = _np(g.column("l_orderkey"))
+        ln = _np(g.column("l_linenumber")).astype(np.int64)
+        order = np.lexsort((ln, ok, key_day))
+        rnk = offsets[rng] + np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order]),
+                "l_linenumber": pa.array(ln[order].astype(np.int32)),
+                "rnk": pa.array(rnk),
+            }
+        )
+
+    return ranged.groupby("rng").map_groups(rank_range, batch_format="pyarrow")
+
+
 _NTILES = 4
 
 
@@ -3225,6 +3315,7 @@ QUERIES = {
     "events_user_type_seq": events_user_type_seq,
     "events_user_moving_sum": events_user_moving_sum,
     "events_user_value_ntile": events_user_value_ntile,
+    "lineitem_global_rank": lineitem_global_rank,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3502,6 +3593,11 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 SELECT user_id, count(*) AS n_events,
        string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
 FROM events GROUP BY user_id
+""",
+    "lineitem_global_rank": """
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rnk
+FROM lineitem
 """,
     "events_user_value_ntile": """
 SELECT event_id, user_id,
