@@ -2348,6 +2348,84 @@ def events_user_type_seq(sf_dir: str):
     )
 
 
+def cdc_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension Type-2 history from the WAL: instead
+    of the lake's LWW latest-state, emit every non-delete version of
+    every key with its validity interval — valid_from = the event's
+    ts, valid_to = the ts of the NEXT event (any op) on the same key
+    in lsn order, NULL while current.  The temporal-table complement
+    to the merge path (reference upsert keeps only latest;
+    postgres/postgres.py:497-573): same hash-partitioning on the key,
+    but the per-partition kernel is a lexsort + shifted-compare
+    instead of a last-wins gather.  One coarse-bucket shuffle; the
+    lead() is a vectorized next-row read within each sorted bucket —
+    keys never span buckets, so no boundary stitching."""
+    ds = _derive_changelog(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        # bucket on the same conv hash the replay path uses; numeric
+        # suffix of conv-<user_id> is the cheap exact key here
+        uid = pc.cast(pc.utf8_slice_codeunits(b.column("conv_id"), 5, 99), pa.int64())
+        return pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "lsn": b.column("lsn"),
+                "op": b.column("op"),
+                "role": b.column("role"),
+                "ts": b.column("ts"),
+                "bucket": pc.cast(pc.bit_wise_and(uid, _N_BUCKETS - 1), pa.int32()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("lsn", pa.int64()),
+            ("role", pa.string()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("is_current", pa.bool_()),
+        ]
+    )
+
+    def history(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        conv = np.asarray(g.column("conv_id"), dtype=object)
+        turn = _np(g.column("turn_idx")).astype(np.int64)
+        lsn = _np(g.column("lsn"))
+        ts = _np(pc.cast(g.column("ts"), pa.int64()))
+        order = np.lexsort((lsn, turn, conv))
+        conv_s, turn_s, lsn_s, ts_s = conv[order], turn[order], lsn[order], ts[order]
+        same_key = np.r_[(conv_s[1:] == conv_s[:-1]) & (turn_s[1:] == turn_s[:-1]), False]
+        valid_to = np.where(same_key, np.r_[ts_s[1:], 0], -1)
+        keep = _np(pc.not_equal(g.column("op"), pa.scalar("delete")))[order]
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv_s[keep], pa.string()),
+                "turn_idx": pa.array(turn_s[keep].astype(np.int32)),
+                "lsn": pa.array(lsn_s[keep]),
+                "role": pa.array(np.asarray(g.column("role"), dtype=object)[order][keep], pa.string()),
+                "valid_from": pa.array(ts_s[keep], pa.timestamp("us")),
+                "valid_to": pa.array(
+                    np.where(valid_to[keep] >= 0, valid_to[keep], 0), pa.timestamp("us")
+                ),
+                "is_current": pa.array(valid_to[keep] < 0),
+            }
+        )
+        # null out valid_to for current versions (Arrow: mask via if_else)
+        vt = pc.if_else(t.column("is_current"), pa.scalar(None, pa.timestamp("us")), t.column("valid_to"))
+        return t.set_column(5, "valid_to", vt)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(history, batch_format="pyarrow")
+    )
+
+
 _RANK_RANGES = 64  # range-partition fan-out for the global sort/rank
 
 
@@ -3316,6 +3394,7 @@ QUERIES = {
     "events_user_moving_sum": events_user_moving_sum,
     "events_user_value_ntile": events_user_value_ntile,
     "lineitem_global_rank": lineitem_global_rank,
+    "cdc_scd2_history": cdc_scd2_history,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3518,6 +3597,17 @@ SELECT user_id, event_id AS last_event_id, ts AS last_ts,
        event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
 WHERE rn = 1
+""",
+    "cdc_scd2_history": _CHANGES_CTE
+    + """
+, hist AS (
+  SELECT conv_id, turn_idx, lsn, op, role, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS valid_to
+  FROM changes
+)
+SELECT conv_id, turn_idx, lsn, role, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist WHERE op <> 'delete'
 """,
     "cdc_partition_watermarks": _CHANGES_CTE
     + """
