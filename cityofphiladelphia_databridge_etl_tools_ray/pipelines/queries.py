@@ -2348,6 +2348,60 @@ def events_user_type_seq(sf_dir: str):
     )
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def events_weekly_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week-offset they came back.  ONE shuffle on the user
+    bucket does everything local-to-the-bucket — a user's cohort
+    (min week) and their distinct active weeks live in the same
+    bucket, so the per-bucket kernel emits (cohort, offset, partial
+    count) rows and the global combine is a tiny groupby sum (≤
+    weeks² rows per bucket).  No user→cohort broadcast, no second
+    pass over the facts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(b.column("ts"), pa.int64()), pa.scalar(_WEEK_US))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "week": week,
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uw = g.select(["user_id", "week"]).group_by(["user_id", "week"]).aggregate([])
+        user = _np(uw.column("user_id"))
+        week = _np(uw.column("week"))
+        order = np.lexsort((week, user))
+        user_s, week_s = user[order], week[order]
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(user_s)])
+        cohort = np.repeat(week_s[starts], sizes)  # first (min) week per user
+        t = pa.table(
+            {
+                "cohort_week": pa.array(cohort),
+                "week_offset": pa.array(week_s - cohort),
+                "pn": pa.array(np.ones(len(week_s), np.int64)),
+            }
+        )
+        a = t.group_by(["cohort_week", "week_offset"]).aggregate([("pn", "sum")])
+        return a.rename_columns(["cohort_week", "week_offset", "pn"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
 def cdc_scd2_history(sf_dir: str):
     """Slowly-changing-dimension Type-2 history from the WAL: instead
     of the lake's LWW latest-state, emit every non-delete version of
@@ -3395,6 +3449,7 @@ QUERIES = {
     "events_user_value_ntile": events_user_value_ntile,
     "lineitem_global_rank": lineitem_global_rank,
     "cdc_scd2_history": cdc_scd2_history,
+    "events_weekly_retention": events_weekly_retention,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3693,6 +3748,14 @@ FROM lineitem
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS tile
 FROM events
+""",
+    "events_weekly_retention": """
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+     c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+SELECT cohort AS cohort_week, week - cohort AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY cohort, week - cohort
 """,
     "events_user_moving_sum": """
 SELECT event_id, user_id,
