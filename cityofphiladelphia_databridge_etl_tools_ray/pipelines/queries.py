@@ -1088,12 +1088,10 @@ def events_user_value_moments(sf_dir: str):
     )
 
 
-def events_rollup_day_type(sf_dir: str):
-    """GROUP BY ROLLUP((day, event_type) → (day) → ()): the fine
-    (day, type) aggregate is computed distributively (map-side
-    partials, then a small groupby — day × type cardinality is tiny);
-    the coarser rollup levels derive from that aggregate alone, so no
-    second pass over the facts."""
+def _events_day_type_fine(sf_dir: str) -> pd.DataFrame:
+    """Finest (day, event_type) aggregate — the single fact pass every
+    ROLLUP/CUBE level derives from (map-side partials, then a small
+    groupby; day × type cardinality is tiny)."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -1121,8 +1119,27 @@ def events_rollup_day_type(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["day", "event_type"])
         .aggregate(Sum("pn", alias_name="n"), Sum("pc_", alias_name="sum_value_cents"))
-        .to_pandas()  # ≤ days × types rows — rollup levels are driver-cheap
+        .to_pandas()  # ≤ days × types rows — rollup/cube levels are driver-cheap
     )
+    return fine
+
+
+def _finish_grouping_sets(parts: list) -> pd.DataFrame:
+    out = pd.concat(parts, ignore_index=True)[
+        ["day", "event_type", "n", "sum_value_cents"]
+    ]
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
+    return out
+
+
+def events_rollup_day_type(sf_dir: str):
+    """GROUP BY ROLLUP((day, event_type) → (day) → ()): the fine
+    (day, type) aggregate is computed distributively; the coarser
+    rollup levels derive from that aggregate alone, so no second pass
+    over the facts."""
+    fine = _events_day_type_fine(sf_dir)
     day = fine.groupby("day", as_index=False)[["n", "sum_value_cents"]].sum()
     day["event_type"] = None
     total = pd.DataFrame(
@@ -1133,13 +1150,30 @@ def events_rollup_day_type(sf_dir: str):
             "sum_value_cents": [fine["sum_value_cents"].sum()],
         }
     )
-    out = pd.concat([fine, day, total], ignore_index=True)[
-        ["day", "event_type", "n", "sum_value_cents"]
-    ]
-    out["day"] = out["day"].astype("datetime64[us]")
-    out["n"] = out["n"].astype("int64")
-    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
-    return out
+    return _finish_grouping_sets([fine, day, total])
+
+
+def events_cube_day_type(sf_dir: str):
+    """GROUP BY CUBE(day, event_type) — all four grouping sets.  Like
+    the ROLLUP twin, only the finest (day, type) aggregate touches the
+    facts (map-side partials + one small groupby); the day-only,
+    type-only and grand-total levels all derive from that tiny
+    aggregate, so CUBE costs exactly one fact pass regardless of how
+    many grouping sets it emits."""
+    fine = _events_day_type_fine(sf_dir)
+    day = fine.groupby("day", as_index=False)[["n", "sum_value_cents"]].sum()
+    day["event_type"] = None
+    typ = fine.groupby("event_type", as_index=False)[["n", "sum_value_cents"]].sum()
+    typ["day"] = pd.NaT
+    total = pd.DataFrame(
+        {
+            "day": [pd.NaT],
+            "event_type": [None],
+            "n": [fine["n"].sum()],
+            "sum_value_cents": [fine["sum_value_cents"].sum()],
+        }
+    )
+    return _finish_grouping_sets([fine, day, typ, total])
 
 
 def events_user_modal_type(sf_dir: str):
@@ -3450,6 +3484,7 @@ QUERIES = {
     "lineitem_global_rank": lineitem_global_rank,
     "cdc_scd2_history": cdc_scd2_history,
     "events_weekly_retention": events_weekly_retention,
+    "events_cube_day_type": events_cube_day_type,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3722,6 +3757,12 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY ROLLUP(day, event_type)
+""",
+    "events_cube_day_type": """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY CUBE(day, event_type)
 """,
     "events_user_value_rank": """
 SELECT event_id, user_id,
