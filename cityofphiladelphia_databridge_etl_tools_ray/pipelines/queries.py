@@ -2149,6 +2149,68 @@ def events_type_percentiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def events_type_percentiles_cont(sf_dir: str):
+    """EXACT interpolated percentiles (SQL ``percentile_cont``) per
+    event_type over the same grouped bounded-domain histogram as
+    [events_type_percentiles] — the continuous variant: position
+    phi·(n-1) is located in the aggregated histogram's cumulative
+    counts and linearly interpolated between the two straddling
+    values, replicating DuckDB's formula on float64 bit-for-bit.
+    Only the ≤ n_types × domain histogram leaves the cluster."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "cents", "pn"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+        .reset_index(drop=True)
+    )
+    phis = (0.5, 0.9, 0.99)
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        cnt = grp["n"].to_numpy()
+        cum = cnt.cumsum()
+        tot = int(cum[-1])
+        cents = grp["cents"].to_numpy().astype(np.float64)
+
+        def q_cont(p: float) -> float:
+            # DuckDB percentile_cont: rank = p*(n-1) (0-based), linear
+            # interpolation between the straddling order statistics
+            rank = p * (tot - 1)
+            lo_i, frac = int(np.floor(rank)), rank - np.floor(rank)
+            v_lo = cents[np.searchsorted(cum, lo_i + 1, side="left")]
+            if frac == 0.0:
+                return float(v_lo)
+            v_hi = cents[np.searchsorted(cum, lo_i + 2, side="left")]
+            return float(v_lo + (v_hi - v_lo) * frac)
+
+        rows.append(
+            {
+                "event_type": et,
+                "n": tot,
+                "p50_cont": q_cont(phis[0]),
+                "p90_cont": q_cont(phis[1]),
+                "p99_cont": q_cont(phis[2]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 _SHUF_JOIN_LO, _SHUF_JOIN_HI = "1995-01-01", "1996-01-01"
 
 
@@ -3485,6 +3547,7 @@ QUERIES = {
     "cdc_scd2_history": cdc_scd2_history,
     "events_weekly_retention": events_weekly_retention,
     "events_cube_day_type": events_cube_day_type,
+    "events_type_percentiles_cont": events_type_percentiles_cont,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3763,6 +3826,13 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "events_type_percentiles_cont": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p50_cont,
+       percentile_cont(0.9)  WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p90_cont,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p99_cont
+FROM events GROUP BY event_type
 """,
     "events_user_value_rank": """
 SELECT event_id, user_id,
