@@ -2149,6 +2149,62 @@ def events_type_percentiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def events_type_value_corr(sf_dir: str):
+    """Pearson correlation between two derived columns per group —
+    value_cents vs the JSON-extracted ``k`` — from associative int64
+    partials (n, Σx, Σy, Σxy, Σx², Σy²): order-insensitive, exact
+    integer arithmetic all the way to one final float division per
+    group.  (At 10^10-row scale the int64 partials would overflow;
+    the production variant switches the Σ columns to float64 —
+    the shape is identical.)  Map-side group_by sums per batch, one
+    tiny groupby, driver sees n_types rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _np(_cents(b.column("value")))
+        m = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = _np(pc.cast(pc.struct_field(m, "k"), pa.int64()))
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "pn": pa.array(np.ones(len(b), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("pn", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return g.rename_columns(["event_type", "pn", "sx", "sy", "sxy", "sxx", "syy"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("pn", "sx", "sy", "sxy", "sxx", "syy")])
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = agg["pn"].to_numpy().astype(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx, syy = agg["sxy"].to_numpy(), agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx.astype(np.float64) ** 2
+    vy = n * syy - sy.astype(np.float64) ** 2
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["pn"].astype("int64"),
+            "corr_vk": cov / np.sqrt(vx * vy),
+        }
+    )
+
+
 def events_type_percentiles_cont(sf_dir: str):
     """EXACT interpolated percentiles (SQL ``percentile_cont``) per
     event_type over the same grouped bounded-domain histogram as
@@ -3548,6 +3604,7 @@ QUERIES = {
     "events_weekly_retention": events_weekly_retention,
     "events_cube_day_type": events_cube_day_type,
     "events_type_percentiles_cont": events_type_percentiles_cont,
+    "events_type_value_corr": events_type_value_corr,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3826,6 +3883,12 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "events_type_value_corr": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       corr(CAST(round(value * 100) AS BIGINT),
+            CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS corr_vk
+FROM events GROUP BY event_type
 """,
     "events_type_percentiles_cont": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
