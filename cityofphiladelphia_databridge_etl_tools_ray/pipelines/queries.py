@@ -2149,6 +2149,59 @@ def events_type_percentiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def events_user_type_entropy(sf_dir: str):
+    """Shannon entropy (base 2) of each user's event-type distribution
+    — the label-diversity metric a training-data pipeline uses to
+    screen degenerate sources.  Per-batch (user, type) count partials
+    collapse each block to ≤ users×types rows; one coarse-bucket
+    shuffle combines them; the per-bucket kernel computes
+    -Σ p·log2 p vectorized over ALL users in the bucket at once
+    (group-boundary segment sums, no per-user Python)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate([("one", "sum")])
+        out = g.rename_columns(["user_id", "event_type", "pn"])
+        return out.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(out.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def entropy(g: pa.Table) -> pa.Table:
+        a = g.select(["user_id", "event_type", "pn"]).group_by(
+            ["user_id", "event_type"]
+        ).aggregate([("pn", "sum")])
+        user = _np(a.column("user_id"))
+        cnt = _np(a.column("pn_sum")).astype(np.float64)
+        order = np.argsort(user, kind="stable")
+        user_s, cnt_s = user[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(user_s)])
+        seg = np.repeat(np.arange(len(starts)), sizes)
+        tot = np.bincount(seg, weights=cnt_s)
+        p = cnt_s / tot[seg]
+        h = -np.bincount(seg, weights=p * np.log2(p))
+        return pa.table(
+            {
+                "user_id": pa.array(user_s[starts]),
+                "n_events": pa.array(tot.astype(np.int64)),
+                "type_entropy": pa.array(h),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(entropy, batch_format="pyarrow")
+    )
+
+
 def events_type_value_corr(sf_dir: str):
     """Pearson correlation between two derived columns per group —
     value_cents vs the JSON-extracted ``k`` — from associative int64
@@ -3605,6 +3658,7 @@ QUERIES = {
     "events_cube_day_type": events_cube_day_type,
     "events_type_percentiles_cont": events_type_percentiles_cont,
     "events_type_value_corr": events_type_value_corr,
+    "events_user_type_entropy": events_user_type_entropy,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3883,6 +3937,11 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "events_user_type_entropy": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       entropy(event_type) AS type_entropy
+FROM events GROUP BY user_id
 """,
     "events_type_value_corr": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
