@@ -2202,15 +2202,14 @@ def events_user_type_entropy(sf_dir: str):
     )
 
 
-def events_type_value_corr(sf_dir: str):
-    """Pearson correlation between two derived columns per group —
-    value_cents vs the JSON-extracted ``k`` — from associative int64
-    partials (n, Σx, Σy, Σxy, Σx², Σy²): order-insensitive, exact
-    integer arithmetic all the way to one final float division per
-    group.  (At 10^10-row scale the int64 partials would overflow;
-    the production variant switches the Σ columns to float64 —
-    the shape is identical.)  Map-side group_by sums per batch, one
-    tiny groupby, driver sees n_types rows."""
+def _corr_partials(sf_dir: str) -> pd.DataFrame:
+    """Associative int64 sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) per event_type for x = value_cents, y = JSON-extracted k —
+    the shared base of the correlation/regression family.  (At
+    10^10-row scale the int64 partials would overflow; the production
+    variant switches the Σ columns to float64 — the shape is
+    identical.)  Map-side group_by sums per batch, one tiny groupby,
+    driver sees n_types rows."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
@@ -2235,7 +2234,7 @@ def events_type_value_corr(sf_dir: str):
         )
         return g.rename_columns(["event_type", "pn", "sx", "sy", "sxy", "sxx", "syy"])
 
-    agg = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(*[Sum(c, alias_name=c) for c in ("pn", "sx", "sy", "sxy", "sxx", "syy")])
@@ -2243,6 +2242,39 @@ def events_type_value_corr(sf_dir: str):
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def events_type_regression(sf_dir: str):
+    """Per-group ordinary least squares of k on value_cents —
+    regr_slope / regr_intercept / regr_r2 from the SAME associative
+    sufficient statistics as the correlation twin: slope = cov/var(x),
+    intercept = ȳ - slope·x̄, r² = corr².  One fact pass, integer-
+    exact partials, three float ops per group on the driver."""
+    agg = _corr_partials(sf_dir)
+    n = agg["pn"].to_numpy().astype(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx, syy = agg["sxy"].to_numpy(), agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx.astype(np.float64) ** 2
+    vy = n * syy - sy.astype(np.float64) ** 2
+    slope = cov / vx
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["pn"].astype("int64"),
+            "slope": slope,
+            "intercept": intercept,
+            "r2": (cov * cov) / (vx * vy),
+        }
+    )
+
+
+def events_type_value_corr(sf_dir: str):
+    """Pearson correlation between two derived columns per group —
+    value_cents vs the JSON-extracted ``k`` — see [_corr_partials]
+    for the associative-sums shape."""
+    agg = _corr_partials(sf_dir)
     n = agg["pn"].to_numpy().astype(np.float64)
     sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
     sxy, sxx, syy = agg["sxy"].to_numpy(), agg["sxx"].to_numpy(), agg["syy"].to_numpy()
@@ -3659,6 +3691,7 @@ QUERIES = {
     "events_type_percentiles_cont": events_type_percentiles_cont,
     "events_type_value_corr": events_type_value_corr,
     "events_user_type_entropy": events_user_type_entropy,
+    "events_type_regression": events_type_regression,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3937,6 +3970,16 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "events_type_regression": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       regr_slope(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT),
+                  CAST(round(value * 100) AS BIGINT)) AS slope,
+       regr_intercept(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT),
+                      CAST(round(value * 100) AS BIGINT)) AS intercept,
+       regr_r2(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT),
+               CAST(round(value * 100) AS BIGINT)) AS r2
+FROM events GROUP BY event_type
 """,
     "events_user_type_entropy": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
