@@ -2202,6 +2202,64 @@ def events_user_type_entropy(sf_dir: str):
     )
 
 
+def events_type_value_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust-statistics
+    twin of the percentile family, computed EXACTLY from the same
+    aggregated bounded-domain histogram: interpolated median of the
+    cents values, then the weighted interpolated median of
+    |cents − median| over the histogram bins.  Two driver-side
+    O(domain) passes over the tiny summary; the facts are touched
+    once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "cents", "pn"])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+
+    def wmedian_cont(vals: np.ndarray, wts: np.ndarray) -> float:
+        """Interpolated (percentile_cont 0.5) median of weighted values."""
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], wts[order]
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        rank = 0.5 * (tot - 1)
+        lo_i, frac = int(np.floor(rank)), rank - np.floor(rank)
+        v_lo = v[np.searchsorted(cum, lo_i + 1, side="left")]
+        if frac == 0.0:
+            return float(v_lo)
+        v_hi = v[np.searchsorted(cum, lo_i + 2, side="left")]
+        return float(v_lo + (v_hi - v_lo) * frac)
+
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        cents = grp["cents"].to_numpy().astype(np.float64)
+        n = grp["n"].to_numpy()
+        med = wmedian_cont(cents, n)
+        mad = wmedian_cont(np.abs(cents - med), n)
+        rows.append(
+            {"event_type": et, "n": int(n.sum()), "median_cents": med, "mad_cents": mad}
+        )
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _corr_partials(sf_dir: str) -> pd.DataFrame:
     """Associative int64 sufficient statistics (n, Σx, Σy, Σxy, Σx²,
     Σy²) per event_type for x = value_cents, y = JSON-extracted k —
@@ -3692,6 +3750,7 @@ QUERIES = {
     "events_type_value_corr": events_type_value_corr,
     "events_user_type_entropy": events_user_type_entropy,
     "events_type_regression": events_type_regression,
+    "events_type_value_mad": events_type_value_mad,
     "users_click_and_purchase": users_click_and_purchase,
     "events_user_lag_gaps": events_user_lag_gaps,
     "join_lineitem_orders_shuffle": join_lineitem_orders_shuffle,
@@ -3970,6 +4029,12 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "events_type_value_mad": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       median(CAST(round(value * 100) AS BIGINT)) AS median_cents,
+       mad(CAST(round(value * 100) AS BIGINT)) AS mad_cents
+FROM events GROUP BY event_type
 """,
     "events_type_regression": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
