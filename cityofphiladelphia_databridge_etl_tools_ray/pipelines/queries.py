@@ -1431,6 +1431,89 @@ _Q5_REGION = "ASIA"
 _Q5_YEAR_LO, _Q5_YEAR_HI = "1996-01-01", "1997-01-01"
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): one predicate-pushdown read
+    and a single global sum — no shuffle at all.  Revenue is kept
+    integer-exact as cents × discount-basis-points (both sides of the
+    oracle compute the same int64 product), sidestepping the float
+    sum-order nondeterminism of the naive extendedprice*discount."""
+    from ray.data.aggregate import Count, Sum
+
+    lo = pd.Timestamp("1995-01-01").to_pydatetime()
+    hi = pd.Timestamp("1996-01-01").to_pydatetime()
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= lo)
+            & (pc.field("l_shipdate") < hi)
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        cents = _np(_cents(b.column("l_extendedprice")))
+        bp = _np(
+            pc.cast(
+                pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0)), 0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+        )
+        return pa.table({"rev_cents_bp": pa.array(cents * bp)})
+
+    out = ds.map_batches(rev, batch_format="pyarrow").aggregate(
+        Sum("rev_cents_bp", alias_name="revenue_cents_bp"),
+        Count(alias_name="n_lineitems"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "revenue_cents_bp": np.int64(out["revenue_cents_bp"]),
+                "n_lineitems": np.int64(out["n_lineitems"]),
+            }
+        ]
+    )
+
+
+def events_dow_profile(sf_dir: str):
+    """Day-of-week activity profile — temporal-function surface:
+    Arrow's Monday-0 ``day_of_week`` remapped to SQL's Sunday-0
+    ``dayofweek`` so both engines bucket identically; map-side partials
+    then a 7-row groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow_mon0 = pc.day_of_week(b.column("ts"))  # Monday = 0
+        dow = pc.cast(
+            pc.subtract(
+                pc.add(dow_mon0, pa.scalar(1)),
+                pc.multiply(pc.divide(pc.add(dow_mon0, pa.scalar(1)), pa.scalar(7)), pa.scalar(7)),
+            ),
+            pa.int64(),
+        )  # (mon0 + 1) % 7 → Sunday = 0, matching DuckDB dayofweek
+        t = pa.table(
+            {
+                "dow": dow,
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by("dow").aggregate([("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["dow", "pn", "pc_"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("pn", alias_name="n"), Sum("pc_", alias_name="sum_value_cents"))
+    )
+
+
 def q5_region_revenue(sf_dir: str):
     """q5: revenue per nation for one region/year where supplier and
     customer share the nation.
@@ -3717,6 +3800,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "events_dow_profile": events_dow_profile,
     "top_orders_by_price": top_orders_by_price,
     "filter_lineitem_range": filter_lineitem_range,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -4029,6 +4114,19 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "q6_forecast_revenue": """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents_bp,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "events_dow_profile": """
+SELECT dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY dayofweek(ts)
 """,
     "events_type_value_mad": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
