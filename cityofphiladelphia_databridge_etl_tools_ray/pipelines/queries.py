@@ -1514,6 +1514,57 @@ def events_dow_profile(sf_dir: str):
     )
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (order-priority checking): orders in a quarter with at
+    least one qualifying lineitem, counted per priority.  The EXISTS
+    semi-join is the standard distributed shape: the qualifying
+    orderkey set is distinct-reduced ON THE CLUSTER (per-batch unique
+    combiner + distributed groupby), broadcast once, then the
+    date-pruned orders stream filters against it and a 5-row groupby
+    counts."""
+    import ray
+    from ray.data.aggregate import Count
+
+    lo = pd.Timestamp("1995-01-01").to_pydatetime()
+    hi = pd.Timestamp("1995-04-01").to_pydatetime()
+    qual = _distinct_int_keys(
+        _read(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+            filter=(pc.field("l_quantity") >= 45.0),
+        ).select_columns(["l_orderkey"]),
+        "l_orderkey",
+    )
+    ref = ray.put(SortedIntMap(qual))
+
+    def has_qual(b: pa.Table, *, ref) -> pa.Table:
+        return b.filter(pa.array(_deref(ref).contains(_np(b.column("o_orderkey")))))
+
+    return (
+        _read(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+        )
+        .map_batches(has_qual, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+    )
+
+
+def users_union_distinct(sf_dir: str):
+    """UNION (distinct) of two derived key streams — completes the set-
+    operation trio (INTERSECT = [users_click_and_purchase], EXCEPT =
+    the anti-joins): signup ∪ error users, deduplicated with the same
+    per-batch-unique + distributed-groupby reduction every key-set
+    build uses.  Only the reduced distinct set reaches the driver."""
+    sides = [
+        _read(sf_dir, "events", columns=["user_id", "event_type"],
+              filter=(pc.field("event_type") == et)).select_columns(["user_id"])
+        for et in ("signup", "error")
+    ]
+    keys = _distinct_int_keys(sides[0].union(sides[1]), "user_id")
+    return pd.DataFrame({"user_id": keys.astype(np.int64)})
+
+
 def q5_region_revenue(sf_dir: str):
     """q5: revenue per nation for one region/year where supplier and
     customer share the nation.
@@ -3801,6 +3852,8 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "users_union_distinct": users_union_distinct,
     "events_dow_profile": events_dow_profile,
     "top_orders_by_price": top_orders_by_price,
     "filter_lineitem_range": filter_lineitem_range,
@@ -4114,6 +4167,18 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+""",
+    "users_union_distinct": """
+SELECT user_id FROM events WHERE event_type = 'signup'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
 """,
     "q6_forecast_revenue": """
 SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
