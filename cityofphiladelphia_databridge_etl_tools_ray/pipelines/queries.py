@@ -2777,6 +2777,48 @@ def events_user_type_seq(sf_dir: str):
     )
 
 
+def matview_conv_stats(sf_dir: str):
+    """Incrementally-maintained materialized view == direct aggregate:
+    the per-conv change-stats view is built by THREE successive
+    ``maintain_view`` runs over disjoint lsn slices of the WAL (each
+    O(delta): narrow projection, one shuffle, fold-and-commit onto the
+    stored aggregate — pipelines/matview.py), and the final view must
+    equal the oracle's one-shot groupby over the whole stream.  The
+    recompute-free maintenance is what the 10^10-event target demands
+    of any derived table the reference would fully refresh."""
+    import os
+    import shutil
+
+    from .matview import create_view, maintain_view, read_view
+
+    changes = _derive_changelog(sf_dir)
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    cuts = [max_lsn // 3, 2 * max_lsn // 3, max_lsn]
+
+    root = os.path.join(
+        "/tmp", f"dbr_matview_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    create_view(root, num_partitions=8)
+
+    lo = -1
+    for hi in cuts:
+        lo_c, hi_c = lo, hi
+
+        def sl(b: pa.Table, *, lo_c=lo_c, hi_c=hi_c) -> pa.Table:
+            return b.filter(
+                pc.and_(
+                    pc.greater(b.column("lsn"), lo_c),
+                    pc.less_equal(b.column("lsn"), hi_c),
+                )
+            )
+
+        maintain_view(root, changes.map_batches(sl, batch_format="pyarrow"))
+        lo = hi
+
+    return read_view(root).sort_by("conv_id")
+
+
 _WEEK_US = 7 * 86_400 * 1_000_000
 
 
@@ -3854,6 +3896,7 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "users_union_distinct": users_union_distinct,
+    "matview_conv_stats": matview_conv_stats,
     "events_dow_profile": events_dow_profile,
     "top_orders_by_price": top_orders_by_price,
     "filter_lineitem_range": filter_lineitem_range,
@@ -4091,6 +4134,17 @@ SELECT user_id, event_id AS last_event_id, ts AS last_ts,
        event_type AS last_event_type, value AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
 WHERE rn = 1
+""",
+    "matview_conv_stats": _CHANGES_CTE
+    + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+       max(lsn) AS high_lsn
+FROM changes GROUP BY conv_id
 """,
     "cdc_scd2_history": _CHANGES_CTE
     + """

@@ -1,0 +1,91 @@
+"""Incremental materialized-view maintenance: O(delta) folds must
+equal the one-shot aggregate, survive re-delivery (exactly-once), and
+leave untouched partitions alone."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray import datagen
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.matview import (
+    VIEW_SCHEMA,
+    create_view,
+    maintain_view,
+    read_view,
+)
+
+
+@pytest.fixture()
+def wal():
+    return datagen.generate_changes(n_events=6000, n_convs=80, seed=11)
+
+
+def _reference(changes: pa.Table) -> pd.DataFrame:
+    df = changes.to_pandas()
+    df["chars"] = df["text"].fillna("").str.len().astype("int64")
+    g = df.groupby("conv_id")
+    out = pd.DataFrame(
+        {
+            "n_changes": g.size().astype("int64"),
+            "n_inserts": g.apply(lambda x: int((x["op"] == "insert").sum()), include_groups=False),
+            "n_updates": g.apply(lambda x: int((x["op"] == "update").sum()), include_groups=False),
+            "n_deletes": g.apply(lambda x: int((x["op"] == "delete").sum()), include_groups=False),
+            "sum_text_chars": g["chars"].sum().astype("int64"),
+            "high_lsn": g["lsn"].max().astype("int64"),
+        }
+    ).reset_index()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _view_df(root: str) -> pd.DataFrame:
+    return read_view(root).to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+
+def _slices(wal: pa.Table, n: int):
+    import ray.data
+
+    lsn = wal.column("lsn").to_numpy()
+    cuts = np.quantile(lsn, np.linspace(0, 1, n + 1)[1:]).astype(np.int64)
+    lo = -1
+    for hi in cuts:
+        yield ray.data.from_arrow(
+            wal.filter(
+                (np.array(lsn > lo)) & (np.array(lsn <= hi))
+            )
+        )
+        lo = int(hi)
+
+
+def test_incremental_equals_one_shot(ray_session, wal, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "view")
+    create_view(root, num_partitions=8)
+    applied = 0
+    for sl in _slices(wal, 4):
+        applied += maintain_view(root, sl)
+    assert applied == len(wal)
+    got = _view_df(root)
+    exp = _reference(wal)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_redelivery_is_noop(ray_session, wal, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "view")
+    create_view(root, num_partitions=8)
+    assert maintain_view(root, ray.data.from_arrow(wal)) == len(wal)
+    before = _view_df(root)
+    # full re-delivery: every row is at-or-below the watermark
+    assert maintain_view(root, ray.data.from_arrow(wal)) == 0
+    pd.testing.assert_frame_equal(_view_df(root), before)
+
+
+def test_empty_view_and_schema(ray_session, tmp_path):
+    root = str(tmp_path / "view")
+    create_view(root, num_partitions=4)
+    t = read_view(root)
+    assert t.schema.equals(VIEW_SCHEMA)
+    assert len(t) == 0
