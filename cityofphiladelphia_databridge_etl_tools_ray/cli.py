@@ -102,6 +102,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_view_create(args) -> int:
+    from .pipelines.matview import create_view
+
+    create_view(args.root, num_partitions=args.partitions)
+    print(json.dumps({"root": args.root, "num_partitions": args.partitions}))
+    return 0
+
+
+def cmd_view_maintain(args) -> int:
+    """Fold new WAL segments into the materialized view — O(delta);
+    already-applied lsn ranges are no-ops (watermark-filtered), so
+    re-running after a crash or over an overlapping glob is safe."""
+    _ray_session(args.num_cpus)
+    from .pipelines.matview import maintain_view, read_view
+    from .sources.changelog import read_change_log
+
+    applied = maintain_view(args.root, read_change_log(args.wal))
+    print(json.dumps({"applied": applied, "view_keys": len(read_view(args.root))}))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .state.lake import TranscriptLake
 
@@ -262,6 +283,17 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("vacuum", help="delete orphaned data files")
     c.add_argument("root")
     c.set_defaults(fn=cmd_vacuum)
+
+    c = sub.add_parser("view-create", help="initialise an incremental materialized view")
+    c.add_argument("root")
+    c.add_argument("--partitions", type=int, default=16)
+    c.set_defaults(fn=cmd_view_create)
+
+    c = sub.add_parser("view-maintain", help="fold WAL segments into the view (O(delta), idempotent)")
+    c.add_argument("root")
+    c.add_argument("wal", help="WAL glob/dir (parquet / ipc.lz4 / csv.gz / jsonl.gz)")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_view_maintain)
 
     c = sub.add_parser("publish", help="publish lake/query as gzip-CSV parts (OpenData analog)")
     c.add_argument("--root", default=None, help="lake root to publish")

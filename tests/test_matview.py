@@ -89,3 +89,25 @@ def test_empty_view_and_schema(ray_session, tmp_path):
     t = read_view(root)
     assert t.schema.equals(VIEW_SCHEMA)
     assert len(t) == 0
+
+
+def test_view_cli_roundtrip(ray_session, wal, tmp_path):
+    """CLI surface: view-create + view-maintain (twice — second run
+    must apply 0), driven in-process via cli.main."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from cityofphiladelphia_databridge_etl_tools_ray import cli
+
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    pq.write_table(wal, str(wal_dir / "changes-0-9999.parquet"))
+    root = str(tmp_path / "view")
+
+    assert cli.main(["view-create", root, "--partitions", "4"]) == 0
+    assert cli.main(["view-maintain", root, str(wal_dir)]) == 0
+    before = _view_df(root)
+    assert cli.main(["view-maintain", root, str(wal_dir)]) == 0
+    pd.testing.assert_frame_equal(_view_df(root), before)
+    pd.testing.assert_frame_equal(before[_reference(wal).columns], _reference(wal))
