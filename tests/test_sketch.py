@@ -297,3 +297,52 @@ def test_grouped_hll_accuracy(ray_session):
         assert abs(r["approx_distinct_users"] - true) <= max(0.098 * true, 3), (
             r["event_type"], r["approx_distinct_users"], true,
         )
+
+
+# ------------------------------------------------------------------
+# property-based: QuantileSketch under random streams and splits
+# ------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=20_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    splits=st.integers(min_value=1, max_value=7),
+    dist=st.sampled_from(["uniform", "lognormal", "constant", "integers"]),
+)
+def test_qsketch_property_error_bound(n, seed, splits, dist):
+    rng = np.random.default_rng(seed)
+    if dist == "uniform":
+        data = rng.uniform(-1e6, 1e6, size=n)
+    elif dist == "lognormal":
+        data = rng.lognormal(0, 2, size=n)
+    elif dist == "constant":
+        data = np.full(n, 42.0)
+    else:
+        data = rng.integers(0, 10, size=n).astype(np.float64)
+
+    # random split points → merge tree must keep the bound
+    cuts = np.sort(rng.choice(np.arange(1, n), size=min(splits - 1, n - 1), replace=False)) if n > 1 and splits > 1 else []
+    parts = np.split(data, cuts)
+    sketches = [QuantileSketch(k=256).add(p) for p in parts]
+    s = sketches[0]
+    for p in sketches[1:]:
+        s = s.merge(p)
+
+    _, w = s._weighted()
+    assert w.sum() == s.n == n  # weight conservation under any split
+    sd = np.sort(data)
+    bound = s.max_rank_error() / n
+    for phi in (0.0, 0.25, 0.5, 0.75, 0.99, 1.0):
+        est = s.quantiles([phi])[0]
+        # rank error: distance between est's position and phi*n
+        lo = np.searchsorted(sd, est, side="left")
+        hi = np.searchsorted(sd, est, side="right")
+        # est occupies rank interval [lo, hi); error is the distance
+        # from the target rank to that interval (0 when inside — ties)
+        target = phi * n
+        err = (0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))) / n
+        assert err <= bound + 1e-12, (dist, n, phi, err, bound)
