@@ -111,3 +111,46 @@ def test_view_cli_roundtrip(ray_session, wal, tmp_path):
     assert cli.main(["view-maintain", root, str(wal_dir)]) == 0
     pd.testing.assert_frame_equal(_view_df(root), before)
     pd.testing.assert_frame_equal(before[_reference(wal).columns], _reference(wal))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    seed=st.integers(min_value=0, max_value=2**20),
+    n_slices=st.integers(min_value=1, max_value=5),
+    redeliver=st.integers(min_value=0, max_value=2),
+)
+def test_matview_property_any_slicing(ray_session, tmp_path_factory, n, seed, n_slices, redeliver):
+    """Any monotone slicing of the WAL — plus arbitrary re-delivery of
+    already-applied slices — must produce exactly the one-shot
+    aggregate (the replay contract: delivery is monotone in lsn,
+    re-delivery is a no-op)."""
+    import ray.data
+
+    wal = datagen.generate_changes(n_events=n, n_convs=max(2, n // 40), seed=seed)
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path_factory.mktemp("mv") / "view")
+    create_view(root, num_partitions=4)
+
+    lsn = wal.column("lsn").to_numpy()
+    n_cuts = min(n_slices - 1, max(0, n - 1))
+    cuts = np.sort(rng.choice(np.arange(1, n), size=n_cuts, replace=False)) if n_cuts else np.array([], int)
+    bounds = [-1] + [int(lsn[np.argsort(lsn)][c - 1]) for c in cuts] + [int(lsn.max())]
+    slices = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        m = (lsn > lo) & (lsn <= hi)
+        slices.append(wal.filter(m))
+
+    applied = 0
+    for i, sl in enumerate(slices):
+        applied += maintain_view(root, ray.data.from_arrow(sl))
+        for _ in range(redeliver):  # re-deliver a random PAST slice
+            j = int(rng.integers(0, i + 1))
+            assert maintain_view(root, ray.data.from_arrow(slices[j])) == 0
+    assert applied == n
+    got = _view_df(root)
+    exp = _reference(wal)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
