@@ -3371,6 +3371,94 @@ def events_value_quantile_sketch(sf_dir: str):
     )
 
 
+def _mg_state(keys: np.ndarray, counts: np.ndarray, deduct: int) -> np.ndarray:
+    """Flat float64 vector [deduct, n, keys..., counts...] — the
+    Arrow-native grouped-AggregateFn accumulator for an int64-keyed
+    Misra-Gries summary (user ids < 2^53, exact in float64)."""
+    n = len(keys)
+    return np.concatenate(
+        [
+            np.array([deduct, n], np.float64),
+            np.asarray(keys, np.float64),
+            np.asarray(counts, np.float64),
+        ]
+    )
+
+
+def _mg_from_state(v: np.ndarray):
+    v = np.asarray(v, dtype=np.float64)
+    deduct, n = int(v[0]), int(v[1])
+    return v[2 : 2 + n].astype(np.int64), v[2 + n : 2 + 2 * n].astype(np.int64), deduct
+
+
+def events_type_top_users_sketch(sf_dir: str):
+    """Per-GROUP heavy hitters: one Misra-Gries summary per event_type
+    through Ray's grouped ``AggregateFn`` — completing the grouped-
+    sketch matrix (HLL distinct / KLL quantiles / MG heavy hitters).
+    Each group's accumulator is ≤ 2+2k floats regardless of how many
+    users it saw; merge = counter-concat + one compaction (Agarwal et
+    al. mergeable-summaries rule, deduction tracked so the guarantee
+    est ≤ true ≤ est + max_undercount survives the tree).  Approximate
+    → rows-only oracle; the bound and hot-user recall are pinned vs
+    exact counts in tests/test_sketch.py."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        keys, counts, deduct = _mg_from_state(state)
+        u, c = np.unique(_np(block.column("user_id")), return_counts=True)
+        allk = np.concatenate([keys, u])
+        allc = np.concatenate([counts, c.astype(np.int64)])
+        # merge duplicate counters before compaction
+        uk, inv = np.unique(allk, return_inverse=True)
+        uc = np.bincount(inv, weights=allc).astype(np.int64)
+        k2, c2, d2 = _mg_compact(uk, uc, _MG_K)
+        return _mg_state(k2, c2, deduct + d2)
+
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ka, ca, da = _mg_from_state(a)
+        kb, cb, db = _mg_from_state(b)
+        allk = np.concatenate([ka, kb])
+        allc = np.concatenate([ca, cb])
+        uk, inv = np.unique(allk, return_inverse=True)
+        uc = np.bincount(inv, weights=allc).astype(np.int64)
+        k2, c2, d2 = _mg_compact(uk, uc, _MG_K)
+        return _mg_state(k2, c2, da + db + d2)
+
+    rows = (
+        ds.groupby("event_type")
+        .aggregate(
+            AggregateFn(
+                init=lambda k: _mg_state(np.empty(0, np.int64), np.empty(0, np.int64), 0),
+                merge=merge,
+                accumulate_block=acc_block,
+                name="mg",
+            )
+        )
+        .to_pandas()
+    )
+    out = []
+    for _, r in rows.iterrows():
+        keys, counts, deduct = _mg_from_state(np.asarray(r["mg"], dtype=np.float64))
+        order = np.lexsort((keys, -counts))[:10]
+        for rank, i in enumerate(order, 1):
+            out.append(
+                {
+                    "event_type": r["event_type"],
+                    "rank": np.int64(rank),
+                    "user_id": np.int64(keys[i]),
+                    "est_events": np.int64(counts[i]),
+                    "max_undercount": np.int64(deduct),
+                }
+            )
+    return (
+        pd.DataFrame(out)
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def events_type_distinct_sketch(sf_dir: str):
     """Per-GROUP approximate COUNT(DISTINCT user_id) — one HyperLogLog
     per event_type through Ray's grouped ``AggregateFn``, completing
@@ -3916,6 +4004,7 @@ QUERIES = {
     "events_type_quantile_sketch": events_type_quantile_sketch,
     "events_props_json_extract": events_props_json_extract,
     "events_type_distinct_sketch": events_type_distinct_sketch,
+    "events_type_top_users_sketch": events_type_top_users_sketch,
     "events_funnel_counts": events_funnel_counts,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_running_total": events_user_running_total,

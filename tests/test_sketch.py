@@ -346,3 +346,25 @@ def test_qsketch_property_error_bound(n, seed, splits, dist):
         target = phi * n
         err = (0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))) / n
         assert err <= bound + 1e-12, (dist, n, phi, err, bound)
+
+
+def test_grouped_mg_guarantee(ray_session):
+    import pyarrow.parquet as pq
+
+    res = QUERIES["events_type_top_users_sketch"](SF_DIR)
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    for et, grp in res.groupby("event_type"):
+        exact = t[t["event_type"] == et].groupby("user_id").size()
+        n = int(exact.sum())
+        deduct = int(grp["max_undercount"].iloc[0])
+        assert deduct <= n // (65)  # n/(k+1), k = 64
+        for _, r in grp.iterrows():
+            true = int(exact.get(r["user_id"], 0))
+            # MG guarantee: est <= true <= est + deduct
+            assert r["est_events"] <= true <= r["est_events"] + deduct, (et, r["user_id"])
+        # every user with true count > n/(k+1) must be present
+        hot = exact[exact > n / 65].index
+        present = set(grp["user_id"])
+        assert all(u in present for u in hot) or len(grp) == 10  # top-10 cut may trim
