@@ -73,3 +73,40 @@ def test_lag_gaps_values(ray_session, tie_sf_dir):
     # user 1: 11 -> 12 (tie, gap 0), 12 -> 13 (+5s); user 2 emits nothing;
     # user 3: 30 -> 31 (+90s)
     assert rows == {12: 0, 13: 5_000_000, 31: 90_000_000}
+
+
+def test_global_rank_degenerate_key_skew(ray_session, tmp_path):
+    """All rows sharing ONE sort-key value collapses every sketch
+    boundary (np.unique → empty bounds, single range): ranks must
+    still be exact via the composite tie-break."""
+    import duckdb
+
+    root = tmp_path / "skew_sf"
+    root.mkdir()
+    base = pd.Timestamp("2024-06-01").value // 1000
+    n = 5000
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(rng.permutation(n).astype(np.int64)),
+            "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+            "l_shipdate": pa.array(np.full(n, base), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(root / "lineitem.parquet"))
+
+    got = (
+        QUERIES["lineitem_global_rank"](str(root))
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{root}/lineitem.parquet'")
+    exp = (
+        con.execute(ORACLE_SQL["lineitem_global_rank"] + " ORDER BY rnk")
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
