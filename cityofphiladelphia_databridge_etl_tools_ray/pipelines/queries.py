@@ -1514,6 +1514,145 @@ def events_dow_profile(sf_dir: str):
     )
 
 
+_Q14_LO, _Q14_HI = "1995-09-01", "1995-10-01"
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO parts.  The part dimension reduces to a broadcast
+    (partkey → is_promo) bit map under column pruning; the date-pruned
+    lineitem probe computes both the promo-masked and total cents in
+    one pass, and the share itself stays a ratio of two exact int64
+    sums until the final division."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_partkey": b.column("p_partkey"),
+                    "promo": pc.cast(pc.equal(b.column("p_type"), "PROMO"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ref = ray.put(SortedIntMap(pt["p_partkey"].to_numpy(), pt["promo"].to_numpy()))
+    lo = pd.Timestamp(_Q14_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q14_HI).to_pydatetime()
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        promo, found = _deref(ref).get(_np(b.column("l_partkey")), default=0)
+        b = b.filter(pa.array(found))
+        promo = promo[found]
+        rev = _np(
+            _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+        )
+        return pa.table(
+            {"promo_cents": pa.array(rev * promo), "total_cents": pa.array(rev)}
+        )
+
+    out = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+              filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)))
+        .map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    promo_c, total_c = int(out["promo_cents"]), int(out["total_cents"])
+    return pd.DataFrame(
+        [
+            {
+                "promo_cents": np.int64(promo_c),
+                "total_cents": np.int64(total_c),
+                "promo_share_pct": 100.0 * promo_c / total_c,
+            }
+        ]
+    )
+
+
+_Q10_LO, _Q10_HI = "1995-01-01", "1995-04-01"
+
+
+def q10_returned_item_ranking(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): revenue of RETURNED
+    lineitems per customer in a quarter, top 20.  Same distributed
+    broadcast-build shape as q3/q5: the (orderkey → custkey) map is
+    reduced on the cluster under parquet date pushdown (only the
+    two-int pairs land driver-side), the probe reads it zero-copy and
+    is pre-filtered by the `l_returnflag = 'R'` pushdown; the revenue
+    combine is the bucketed map-side sum with a local top-k prune."""
+    import ray
+
+    lo = pd.Timestamp(_Q10_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q10_HI).to_pydatetime()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_custkey": b.column("o_custkey")}
+        )
+
+    ot = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+              filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)))
+        .map_batches(pairs, batch_format="pyarrow")
+        .to_pandas()  # reduced build side: date-windowed (orderkey, custkey) pairs
+    )
+    omap_ref = ray.put(
+        SortedIntMap(ot["o_orderkey"].to_numpy(), ot["o_custkey"].to_numpy())
+    )
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        cust, found = _deref(ref).get(_np(b.column("l_orderkey")), default=-1)
+        b = b.append_column("c_custkey", pa.array(cust)).filter(pa.array(found))
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        return pa.table({"c_custkey": b.column("c_custkey"), "rev": rev})
+
+    summed = _sum_by_keys_bucketed(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+              filter=(pc.field("l_returnflag") == "R"))
+        .map_batches(probe, fn_kwargs={"ref": omap_ref}, batch_format="pyarrow"),
+        keys=("c_custkey",),
+        sum_cols=("rev",),
+        out_names=("revenue_cents",),
+        local_topk=(20, [("revenue_cents", "descending"), ("c_custkey", "ascending")]),
+    ).to_pandas()
+    top = (
+        summed.sort_values(["revenue_cents", "c_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b, keys=set(top["c_custkey"]): b.filter(
+                pa.array(np.isin(_np(b.column("c_custkey")), list(keys)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = top.merge(names, on="c_custkey", how="left")
+    return out[["c_custkey", "c_name", "revenue_cents"]]
+
+
 def q4_order_priority(sf_dir: str):
     """TPC-H Q4 (order-priority checking): orders in a quarter with at
     least one qualifying lineitem, counted per priority.  The EXISTS
@@ -3983,6 +4122,8 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
+    "q10_returned_item_ranking": q10_returned_item_ranking,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
     "users_union_distinct": users_union_distinct,
     "matview_conv_stats": matview_conv_stats,
     "events_dow_profile": events_dow_profile,
@@ -4310,6 +4451,29 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "q14_promo_revenue_share": f"""
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{_Q14_LO}' AND l_shipdate < TIMESTAMP '{_Q14_HI}')
+SELECT CAST(sum(rev * promo) AS BIGINT) AS promo_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       100.0 * sum(rev * promo) / sum(rev) AS promo_share_pct
+FROM j
+""",
+    "q10_returned_item_ranking": f"""
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}' AND o_orderdate < TIMESTAMP '{_Q10_HI}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
 """,
     "q4_order_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
