@@ -1514,6 +1514,85 @@ def events_dow_profile(sf_dir: str):
     )
 
 
+_Q18_MIN_QTY = 150
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity clears a threshold — the canonical HAVING-over-a-big-
+    groupby.  The per-order quantity sum runs through the bucketed
+    map-side combine (every lineitem block pre-sums per orderkey, so
+    the shuffle moves ≤1 row per (order, block)); the HAVING filter
+    happens inside each bucket, so only qualifying orders — a tiny
+    set — leave the cluster to drive the broadcast joins back to
+    orders and customer."""
+    import ray
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    sums = _sum_by_keys_bucketed(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        keys=("l_orderkey",),
+        sum_cols=("qty",),
+        out_names=("total_qty",),
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("total_qty"), pa.scalar(_Q18_MIN_QTY)))
+
+    big = sums.map_batches(having, batch_format="pyarrow").to_pandas()
+    if big.empty:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"]
+        )
+    qmap_ref = ray.put(
+        SortedIntMap(big["l_orderkey"].to_numpy(), big["total_qty"].to_numpy())
+    )
+
+    def orders_side(b: pa.Table, *, ref) -> pa.Table:
+        qty, found = _deref(ref).get(_np(b.column("o_orderkey")), default=0)
+        b = b.append_column("total_qty", pa.array(qty)).filter(pa.array(found))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "total_qty": b.column("total_qty"),
+            }
+        )
+
+    hits = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_side, fn_kwargs={"ref": qmap_ref}, batch_format="pyarrow")
+        .to_pandas()
+    )
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b, keys=set(hits["o_custkey"]): b.filter(
+                pa.array(np.isin(_np(b.column("c_custkey")), list(keys)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = hits.merge(names, left_on="o_custkey", right_on="c_custkey", how="left")
+    out = out.sort_values(
+        ["total_qty", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    out["total_qty"] = out["total_qty"].astype("int64")
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"]]
+
+
 _Q14_LO, _Q14_HI = "1995-09-01", "1995-10-01"
 
 
@@ -4124,6 +4203,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q10_returned_item_ranking": q10_returned_item_ranking,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "users_union_distinct": users_union_distinct,
     "matview_conv_stats": matview_conv_stats,
     "events_dow_profile": events_dow_profile,
@@ -4451,6 +4531,14 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY CUBE(day, event_type)
+""",
+    "q18_large_volume_customers": f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > {_Q18_MIN_QTY}) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
 """,
     "q14_promo_revenue_share": f"""
 WITH j AS (
