@@ -3259,6 +3259,45 @@ def lineitem_global_rank(sf_dir: str):
     return ranged.groupby("rng").map_groups(rank_range, batch_format="pyarrow")
 
 
+def events_user_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over (value DESC, event_id)
+    — with the unique tie-break every row is its own peer group, so
+    percent_rank = (rn-1)/(n-1) and cume_dist = rn/n are pure index
+    arithmetic on the shared lexsort kernel (n=1 partitions pin
+    percent_rank to 0, the SQL convention)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -val, user))
+        user_s, eid_s = user[order], eid[order]
+        n = len(user_s)
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        gsz = np.repeat(sizes, sizes).astype(np.float64)
+        pr = np.where(gsz > 1, (rn - 1) / np.maximum(gsz - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": eid_s,
+                "user_id": user_s,
+                "pct_rank": pr,
+                "cume_dist": rn / gsz,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        ranks, batch_format="pandas"
+    )
+
+
 _NTILES = 4
 
 
@@ -4233,6 +4272,7 @@ QUERIES = {
     "events_user_type_seq": events_user_type_seq,
     "events_user_moving_sum": events_user_moving_sum,
     "events_user_value_ntile": events_user_value_ntile,
+    "events_user_percent_rank": events_user_percent_rank,
     "lineitem_global_rank": lineitem_global_rank,
     "cdc_scd2_history": cdc_scd2_history,
     "events_weekly_retention": events_weekly_retention,
@@ -4646,6 +4686,12 @@ FROM lineitem
     "events_user_value_ntile": """
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS tile
+FROM events
+""",
+    "events_user_percent_rank": """
+SELECT event_id, user_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS cume_dist
 FROM events
 """,
     "events_weekly_retention": """
