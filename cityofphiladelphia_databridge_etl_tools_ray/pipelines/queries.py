@@ -3259,6 +3259,51 @@ def lineitem_global_rank(sf_dir: str):
     return ranged.groupby("rng").map_groups(rank_range, batch_format="pyarrow")
 
 
+def events_user_first_last_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame — every
+    event annotated with its user's first and last value_cents in
+    (ts, event_id) order.  One lexsort per bucket; both edges are
+    group-boundary gathers repeated across the partition (no per-user
+    Python)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "cents": _cents(b.column("value")),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+            }
+        )
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, cents_s, eid_s = user[order], cents[order], eid[order]
+        n = len(user_s)
+        starts = np.flatnonzero(np.r_[True, user_s[1:] != user_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        first = np.repeat(cents_s[starts], sizes)
+        last = np.repeat(cents_s[np.r_[starts[1:] - 1, n - 1]], sizes)
+        return pd.DataFrame(
+            {
+                "event_id": eid_s,
+                "user_id": user_s,
+                "first_cents": first,
+                "last_cents": last,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        edges, batch_format="pandas"
+    )
+
+
 def events_user_percent_rank(sf_dir: str):
     """PERCENT_RANK + CUME_DIST per user over (value DESC, event_id)
     — with the unique tie-break every row is its own peer group, so
@@ -4273,6 +4318,7 @@ QUERIES = {
     "events_user_moving_sum": events_user_moving_sum,
     "events_user_value_ntile": events_user_value_ntile,
     "events_user_percent_rank": events_user_percent_rank,
+    "events_user_first_last_value": events_user_first_last_value,
     "lineitem_global_rank": lineitem_global_rank,
     "cdc_scd2_history": cdc_scd2_history,
     "events_weekly_retention": events_weekly_retention,
@@ -4687,6 +4733,14 @@ FROM lineitem
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS tile
 FROM events
+""",
+    "events_user_first_last_value": """
+SELECT event_id, user_id,
+       first_value(CAST(round(value * 100) AS BIGINT)) OVER w AS first_cents,
+       last_value(CAST(round(value * 100) AS BIGINT)) OVER w AS last_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     "events_user_percent_rank": """
 SELECT event_id, user_id,

@@ -45,6 +45,7 @@ def tie_sf_dir(tmp_path_factory):
         "events_user_moving_sum",
         "events_user_value_ntile",
         "events_user_percent_rank",
+        "events_user_first_last_value",
     ],
 )
 def test_window_kernels_on_ties(ray_session, tie_sf_dir, name):
