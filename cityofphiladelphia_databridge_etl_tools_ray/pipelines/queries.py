@@ -799,30 +799,40 @@ def conversation_role_transitions(sf_dir: str):
 
 
 def cdc_latest_event_per_user(sf_dir: str):
-    """LWW collapse keyed on user_id (upsert dedup as a query)."""
+    """LWW collapse keyed on user_id (upsert dedup as a query).
+    Batch combiner keeps ≤1 row per user per block; the finalizer is
+    the same vectorized keep-last over a coarse user bucket — one
+    Python call per bucket, not per user."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
 
-    def local(b: pa.Table) -> pa.Table:  # batch combiner
+    def _keep_last(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
         s = b.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
         uid = _np(s.column("user_id"))
         keep = np.append(uid[:-1] != uid[1:], True)
         return s.filter(pa.array(keep))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id").tail(1)
-        # rename here: Dataset.rename_columns after a pandas map_groups
-        # mis-fuses in ray 2.49 (Project UDF receives a DataFrame)
-        return g.rename(
-            columns={
-                "event_id": "last_event_id",
-                "event_type": "last_event_type",
-                "value": "last_value",
-                "ts": "last_ts",
+    def local(b: pa.Table) -> pa.Table:  # batch combiner
+        s = _keep_last(b)
+        return s.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(s.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        s = _keep_last(g)
+        return pa.table(
+            {
+                "user_id": s.column("user_id"),
+                "last_event_id": s.column("event_id"),
+                "last_ts": s.column("ts"),
+                "last_event_type": s.column("event_type"),
+                "last_value": s.column("value"),
             }
         )
 
-    return ds.map_batches(local, batch_format="pyarrow").groupby("user_id").map_groups(
-        final, batch_format="pandas"
+    return ds.map_batches(local, batch_format="pyarrow").groupby("bucket").map_groups(
+        final, batch_format="pyarrow"
     )
 
 
@@ -1228,63 +1238,165 @@ def events_user_modal_type(sf_dir: str):
     return counts.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
+_SESSION_GAP_US = _SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def _user_bucket_prep(b: pa.Table) -> pa.Table:
+    return b.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+    )
+
+
+def _session_sorted(g: pa.Table):
+    """Shared multi-user session kernel for one coarse bucket:
+    lexsort by (user, ts, event_id), then vectorized gap flags and
+    per-user 0-based session ids via cumsum with boundary reset —
+    one Python call per BUCKET (all the bucket's users at once), the
+    `events_user_running_total` pattern (queries.py:2914)."""
+    user = _np(g.column("user_id"))
+    eid = _np(g.column("event_id"))
+    ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((eid, ts, user))
+    user_s, ts_s, eid_s = user[order], ts[order], eid[order]
+    n = len(user_s)
+    new_user = np.r_[True, user_s[1:] != user_s[:-1]]
+    gap = np.r_[False, (ts_s[1:] - ts_s[:-1]) > _SESSION_GAP_US]
+    new_sess = new_user | gap
+    sess_global = np.cumsum(new_sess) - 1  # bucket-global session number
+    user_starts = np.flatnonzero(new_user)
+    sizes = np.diff(np.r_[user_starts, n])
+    session_idx = sess_global - np.repeat(sess_global[user_starts], sizes)
+    return user_s, ts_s, eid_s, session_idx, new_sess
+
+
+_SESSIONIZE_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("session_idx", pa.int64())]
+)
+
+
 def sessionize_events(sf_dir: str):
-    """Gap-based sessionization (30-min inactivity closes a session):
-    per-event session ids via groupby(user) + vectorized cumsum of
-    gap flags — the canonical streaming-window operator expressed as
-    a keyed batch transform (SURVEY.md §2.10; ray_guide 'windowed
+    """Gap-based sessionization (30-min inactivity closes a session).
+    Scale shape: ONE shuffle on the coarse user bucket (user_id % 512),
+    then a vectorized multi-user kernel per bucket (lexsort + cumsum
+    with group-boundary reset) — ≤ _N_BUCKETS Python calls total, no
+    per-user pandas map_groups (SURVEY.md §2.10; ray_guide 'windowed
     aggregates over keyed streams')."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
-        g["session_idx"] = gap.cumsum().astype("int64")
-        return g[["event_id", "user_id", "session_idx"]]
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SESSIONIZE_SCHEMA.empty_table()
+        user_s, _ts, eid_s, session_idx, _flags = _session_sorted(g)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s),
+                "user_id": pa.array(user_s),
+                "session_idx": pa.array(session_idx.astype(np.int64)),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+_SESSION_STATS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_idx", pa.int64()),
+        ("n_events", pa.int64()),
+        ("span_sec", pa.int64()),
+    ]
+)
 
 
 def session_stats(sf_dir: str):
-    """Per-session aggregate view (n events, span seconds) built on
-    the same gap rule — window aggregate after sessionization."""
+    """Per-session aggregate view (n events, span seconds) on the same
+    gap rule.  Sessions are contiguous runs of the bucket-level sorted
+    stream, so stats fall out of run-length boundaries — no per-session
+    Python, no per-user pandas group."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
-        g["session_idx"] = gap.cumsum().astype("int64")
-        out = g.groupby("session_idx").agg(
-            n_events=("event_id", "size"),
-            span_sec=("ts", lambda s: int((s.max() - s.min()).total_seconds())),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        out["span_sec"] = out["span_sec"].astype("int64")
-        return out
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SESSION_STATS_SCHEMA.empty_table()
+        user_s, ts_s, _eid, session_idx, new_sess = _session_sorted(g)
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.r_[starts, len(user_s)])
+        ends = starts + sizes - 1  # ts ascending within a session
+        return pa.table(
+            {
+                "user_id": pa.array(user_s[starts]),
+                "session_idx": pa.array(session_idx[starts].astype(np.int64)),
+                "n_events": pa.array(sizes.astype(np.int64)),
+                "span_sec": pa.array((ts_s[ends] - ts_s[starts]) // 1_000_000),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
 
 
 def asof_prior_click_per_purchase(sf_dir: str):
     """As-of join on the event stream: for each purchase, the most
     recent strictly-prior click of the same user (event_id order).
-    Custom operator: groupby(user) + per-group vectorized ffill —
-    the composition route for operators Ray Data lacks."""
+    Custom operator via composition (the route for operators Ray Data
+    lacks): pre-filter to the two relevant event types, ONE coarse
+    user-bucket shuffle, then a vectorized last-click scan
+    (np.maximum.accumulate with user-boundary invalidation) per bucket
+    — the `events_user_lag_gaps` shape (queries.py:3517), no per-user
+    pandas ffill."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        click_id = g["event_id"].where(g["event_type"] == "click")
-        # last click at-or-before previous row == last click strictly before
-        # this row.  float64 (not nullable Int64): the oracle's scalar
-        # subquery materializes as DOUBLE when NULLs are present, and the
-        # driver's value hash must see the same dtype on both sides.
-        g["prior_click_event_id"] = click_id.ffill().shift(1).astype("float64")
-        out = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "prior_click_event_id"]]
-        return out
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("prior_click_event_id", pa.float64())]
+    )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("event_type"), pa.array(["click", "purchase"])))
+        return _user_bucket_prep(b)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        user = _np(g.column("user_id"))
+        eid = _np(g.column("event_id"))
+        is_click = _np(pc.equal(g.column("event_type"), pa.scalar("click")))
+        order = np.lexsort((eid, user))
+        user_s, eid_s, click_s = user[order], eid[order], is_click[order]
+        n = len(user_s)
+        pos = np.arange(n, dtype=np.int64)
+        last_click_pos = np.maximum.accumulate(np.where(click_s, pos, -1))
+        new_user = np.r_[True, user_s[1:] != user_s[:-1]]
+        user_starts = np.flatnonzero(new_user)
+        user_start = np.repeat(user_starts, np.diff(np.r_[user_starts, n]))
+        # a purchase row is never a click, so last_click_pos already means
+        # "last click strictly before this row"; invalid when the last
+        # click belongs to a previous user.
+        valid = last_click_pos >= user_start
+        prior = np.where(valid, eid_s[np.maximum(last_click_pos, 0)].astype(np.float64), np.nan)
+        keep = ~click_s
+        # float64 with NaN→null (from_pandas): the oracle's scalar
+        # subquery materializes as DOUBLE-with-NULL and the driver's
+        # value hash must see identical columns on both sides.
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[keep]),
+                "user_id": pa.array(user_s[keep]),
+                "prior_click_event_id": pa.array(prior[keep], from_pandas=True),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------
@@ -2294,18 +2406,42 @@ def unpivot_lineitem_metrics(sf_dir: str):
 
 
 def distinct_segment_stats(sf_dir: str):
-    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_custkey"])
+    """COUNT(*) + COUNT(DISTINCT nation) per segment.  Scale shape:
+    per-batch (segment, nationkey) pair-dedup partials (the
+    `events_distinct_users_per_type` pattern, queries.py:985) → tiny
+    groupby over ≤ |segments|×|nations| rows → one vectorized finish.
+    No task ever materializes a whole market segment."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
 
-    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_mktsegment", "c_nationkey"]).aggregate([("c_nationkey", "count")])
+        return pa.table(
             {
-                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                "n_customers": [len(g)],
-                "n_nations": [g["c_nationkey"].nunique()],
+                "c_mktsegment": g.column("c_mktsegment"),
+                "c_nationkey": g.column("c_nationkey"),
+                "pn": pc.cast(g.column("c_nationkey_count"), pa.int64()),
             }
         )
 
-    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "c_nationkey"])
+        .sum("pn")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_mktsegment").aggregate([("sum(pn)", "sum"), ("c_nationkey", "count")])
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_customers": g.column("sum(pn)_sum"),
+                "n_nations": pc.cast(g.column("c_nationkey_count"), pa.int64()),
+            }
+        )
+
+    # pair cardinality is bounded (|segments| × |nations|), so the
+    # single-block finish is O(1) regardless of customer count.
+    return pairs.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 _TOPK_PER_CUST = 3
