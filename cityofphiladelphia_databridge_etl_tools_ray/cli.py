@@ -45,10 +45,34 @@ def _parse_rename(pairs: list[str]) -> dict[str, str]:
 
 
 def cmd_create_lake(args) -> int:
+    """Initialise a lake; PK and payload schema are configurable per
+    lake (the reference's per-job ``--primary_key``,
+    ago/ago_commands.py:41, and catalog-derived column list,
+    postgres/_properties.py:88-101).  ``--schema-from`` infers the
+    payload schema from an existing parquet file (e.g. a WAL segment),
+    dropping the CDC metadata columns."""
     from .state.lake import TranscriptLake
 
-    TranscriptLake.create(args.root, num_partitions=args.partitions)
-    print(json.dumps({"root": args.root, "num_partitions": args.partitions}))
+    kw = {}
+    if args.primary_key:
+        kw["primary_key"] = [c.strip() for c in args.primary_key.split(",") if c.strip()]
+    if args.schema_from:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        s = pq.read_schema(args.schema_from)
+        kw["schema"] = pa.schema([f for f in s if f.name not in ("op", "lsn", "_part")])
+    lake = TranscriptLake.create(args.root, num_partitions=args.partitions, **kw)
+    print(
+        json.dumps(
+            {
+                "root": args.root,
+                "num_partitions": args.partitions,
+                "primary_key": lake.primary_key,
+                "columns": lake.base_schema.names,
+            }
+        )
+    )
     return 0
 
 
@@ -237,6 +261,18 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("create-lake", help="initialise an empty partitioned lake")
     c.add_argument("root")
     c.add_argument("--partitions", type=int, default=32)
+    c.add_argument(
+        "--primary-key",
+        default=None,
+        metavar="COL[,COL...]",
+        help="per-lake primary key columns (default: conv_id,turn_idx)",
+    )
+    c.add_argument(
+        "--schema-from",
+        default=None,
+        metavar="PARQUET",
+        help="infer the payload schema from this parquet file (op/lsn dropped)",
+    )
     c.set_defaults(fn=cmd_create_lake)
 
     c = sub.add_parser("replay", help="replay a change log into the lake (exactly-once)")

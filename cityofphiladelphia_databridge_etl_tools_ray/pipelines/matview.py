@@ -53,7 +53,9 @@ _ADD_COLS = ("n_changes", "n_inserts", "n_updates", "n_deletes", "sum_text_chars
 def create_view(root: str, num_partitions: int = 16) -> TranscriptLake:
     """A view is a small lake: per-partition parquet + atomic
     manifests; only the payload schema differs."""
-    return TranscriptLake.create(root, num_partitions=num_partitions, schema=VIEW_SCHEMA)
+    return TranscriptLake.create(
+        root, num_partitions=num_partitions, schema=VIEW_SCHEMA, primary_key=["conv_id"]
+    )
 
 
 def _delta_aggregate(changes: pa.Table) -> pa.Table:
@@ -74,7 +76,13 @@ def _delta_aggregate(changes: pa.Table) -> pa.Table:
     g = t.group_by("conv_id").aggregate(
         [(c, "sum") for c in _ADD_COLS] + [("high_lsn", "max")]
     )
-    return g.rename_columns(["conv_id", *_ADD_COLS, "high_lsn"])
+    # select by generated aggregate names, not position — pyarrow's
+    # keys-first column ordering has differed across major versions
+    cols = {"conv_id": g.column("conv_id")}
+    for c in _ADD_COLS:
+        cols[c] = g.column(f"{c}_sum")
+    cols["high_lsn"] = g.column("high_lsn_max")
+    return pa.table(cols)
 
 
 def _fold(base: pa.Table, delta: pa.Table) -> pa.Table:

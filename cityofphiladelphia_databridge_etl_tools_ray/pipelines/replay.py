@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import partition_ids
-from ..schema import CHANGE_SCHEMA, OPS
+from ..schema import CHANGE_SCHEMA, OPS, PRIMARY_KEY
 from ..stages.merge import (
     dedup_last_writer,
     dedup_last_writer_skew_aware,
@@ -181,8 +181,10 @@ class ChangeNormalizer:
         min_lsn_exclusive: int = -1,
         assume_tz: str | None = None,
         pack: bool = True,
+        keys: list[str] | None = None,
     ):
         self.num_partitions = num_partitions
+        self.keys = list(keys) if keys else list(PRIMARY_KEY)
         self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
         self.invalid_ops = invalid_ops
         self.dead_letter_dir = dead_letter_dir
@@ -207,7 +209,9 @@ class ChangeNormalizer:
         if self.min_lsn_exclusive >= 0:
             batch = batch.filter(pc.greater(batch.column("lsn"), self.min_lsn_exclusive))
         if len(batch) == 0:
-            return _EMPTY_PACKED if self.pack else _with_part_col(CHANGE_SCHEMA.empty_table())
+            # keep the stream's own (renamed) schema so custom-PK lakes
+            # never see a stray transcripts-schema block
+            return _EMPTY_PACKED if self.pack else _with_part_col(batch, self.num_partitions, self.keys)
 
         # op enum validation
         ok = pc.is_in(batch.column("op"), value_set=self._valid_ops)
@@ -250,8 +254,10 @@ class ChangeNormalizer:
         # duplication that a global gate misses (and which otherwise
         # serializes that partition's reducer; see
         # stages/merge.dedup_last_writer_skew_aware).
-        pids = partition_ids(batch.column("conv_id"), self.num_partitions)
-        batch, pids = dedup_last_writer_skew_aware(batch, pids, self.num_partitions)
+        pids = partition_ids(batch.column(self.keys[0]), self.num_partitions)
+        batch, pids = dedup_last_writer_skew_aware(
+            batch, pids, self.num_partitions, keys=self.keys
+        )
         if self.pack:
             return pack_exchange(batch, pids)
         return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
@@ -281,8 +287,9 @@ class ChangeNormalizer:
             os.replace(tmp, path)
 
 
-def _with_part_col(batch: pa.Table, num_partitions: int = 1) -> pa.Table:
-    pids = partition_ids(batch.column("conv_id"), num_partitions) if len(batch) else np.array([], np.int32)
+def _with_part_col(batch: pa.Table, num_partitions: int = 1, keys: list[str] | None = None) -> pa.Table:
+    key0 = (keys or PRIMARY_KEY)[0]
+    pids = partition_ids(batch.column(key0), num_partitions) if len(batch) else np.array([], np.int32)
     return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
 
@@ -313,15 +320,15 @@ def _enable_push_shuffle() -> None:
         DataContext.get_current().shuffle_strategy = strategy
 
 
-def _merge_group_to_state(group: pa.Table, keep_lsn: bool) -> pa.Table:
+def _merge_group_to_state(group: pa.Table, keep_lsn: bool, keys: list[str]) -> pa.Table:
     if BLOB_COL in group.column_names:
         changes = unpack_exchange(group)
     else:
         changes = group.drop_columns([PART_COL])
-    return merge_partition(None, changes, keep_lsn=keep_lsn)
+    return merge_partition(None, changes, keys=keys, keep_lsn=keep_lsn)
 
 
-def _salted_prereduce(ds, salt: int):
+def _salted_prereduce(ds, salt: int, keys: list[str] = PRIMARY_KEY):
     """Phase-1 of the two-phase hot-key merge: shuffle on
     (partition, lsn % salt) and pre-reduce each sub-group with the
     keep-max-lsn combiner, tombstones retained.  A conv_id receiving a
@@ -349,7 +356,7 @@ def _salted_prereduce(ds, salt: int):
         as the primary packed exchange, and hot-key streams are where
         the exchange volume is highest."""
         pid = int(g.column(PART_COL)[0].as_py())
-        deduped = dedup_last_writer(g.drop_columns([PART_COL, SALT_COL]))
+        deduped = dedup_last_writer(g.drop_columns([PART_COL, SALT_COL]), keys=keys)
         return pack_exchange(deduped, np.full(len(deduped), pid, np.int32))
 
     prereduce.__name__ = "salted_prereduce"
@@ -369,6 +376,7 @@ def replay_to_table(
     concurrency: int | None = None,
     salt: int | None = None,
     assume_tz: str | None = None,
+    keys: list[str] | None = None,
 ):
     """Replay a change stream into final table state with NO base lake
     (first full load — the reference's truncate-and-load,
@@ -379,12 +387,14 @@ def replay_to_table(
     per-partition merge — for update-heavy streams where single
     conversations would otherwise serialize one reducer."""
     _enable_push_shuffle()
+    keys = list(keys) if keys else list(PRIMARY_KEY)
     ds = _normalized(
         changes_ds,
         ChangeNormalizer(
             num_partitions,
             rename_map=rename_map,
             assume_tz=assume_tz,
+            keys=keys,
             # the salted pre-reduce consumes ROWS (it re-shuffles on
             # (part, salt)), so the packed exchange only applies to the
             # single-shuffle path
@@ -393,9 +403,9 @@ def replay_to_table(
         concurrency,
     )
     if salt and salt > 1:
-        ds = _salted_prereduce(ds, salt)
+        ds = _salted_prereduce(ds, salt, keys=keys)
     return ds.groupby(PART_COL).map_groups(
-        lambda g: _merge_group_to_state(g, keep_lsn), batch_format="pyarrow"
+        lambda g: _merge_group_to_state(g, keep_lsn, keys), batch_format="pyarrow"
     )
 
 
@@ -416,6 +426,7 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
             "min_lsn_exclusive": normalizer.min_lsn_exclusive,
             "assume_tz": normalizer.assume_tz,
             "pack": normalizer.pack,
+            "keys": normalizer.keys,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -482,8 +493,9 @@ class _MergeCommit:
             "lsn_hi": high_lsn,
             "events_applied": n_events,
         }
+        keys = self.lake.primary_key
         if self.mode == "delta":
-            run = dedup_last_writer(changes)  # key-sorted, tombstones kept
+            run = dedup_last_writer(changes, keys=keys)  # key-sorted, tombstones kept
             dt = time.perf_counter() - t0
             lineage.update({"rows_after": -1, "merge_sec": round(dt, 4)})
             m = self.lake.commit_partition(
@@ -493,7 +505,7 @@ class _MergeCommit:
                 m = self.lake.compact_partition(pid)
         else:
             base = self.lake.read_partition(pid)
-            merged = merge_partition(base, changes)
+            merged = merge_partition(base, changes, keys=keys)
             if self.mode == "snapshot":
                 # delete-stale: the incoming batch is a FULL snapshot of
                 # this partition's keys, so any merged row whose PK is
@@ -502,7 +514,7 @@ class _MergeCommit:
                 # EXCEPT SELECT pk FROM staging)
                 # (postgres/postgres.py:450-495), applied per partition.
                 keep = pc.is_in(
-                    _pk_strings(merged), value_set=pc.unique(_pk_strings(changes))
+                    _pk_strings(merged, keys), value_set=pc.unique(_pk_strings(changes, keys))
                 )
                 n_stale = len(merged) - pc.sum(pc.cast(keep, pa.int64())).as_py()
                 merged = merged.filter(keep)
@@ -527,6 +539,7 @@ def validate_replay_sample(
     check_ops: bool = True,
     geom_col: str | None = None,
     expected_geom_kind: str | None = None,
+    keys: list[str] = PRIMARY_KEY,
 ) -> None:
     """Fail-fast sanity gate over the first ``sample`` rows, run on the
     driver BEFORE the shuffle — the reference's pre-append geometry
@@ -543,10 +556,10 @@ def validate_replay_sample(
     # children from a ≥3-way Union plan (plan_union_op asserts ≥2) —
     # take_batch already stops after `sample` rows with backpressure
     head = changes_ds.take_batch(sample, batch_format="pyarrow")
-    missing = [c for c in ("op", "lsn", "conv_id", "turn_idx") if c not in head.column_names]
+    missing = [c for c in ("op", "lsn", *keys) if c not in head.column_names]
     if missing:
         raise ValueError(f"replay sample missing required columns: {missing}")
-    for c in ("conv_id", "turn_idx", "lsn"):
+    for c in (*keys, "lsn"):
         n_null = pc.sum(pc.cast(pc.is_null(head.column(c)), pa.int64())).as_py() or 0
         if n_null:
             raise ValueError(f"replay sample: {n_null} null {c!r} values in first {len(head)} rows")
@@ -569,14 +582,13 @@ def validate_replay_sample(
             )
 
 
-def _pk_strings(t: pa.Table):
-    """Composite-PK membership key: conv_id ␟ turn_idx (unit separator
-    cannot appear in either side) — vectorized string join."""
-    return pc.binary_join_element_wise(
-        t.column("conv_id"),
-        pc.cast(t.column("turn_idx"), pa.string()),
-        "\x1f",
-    )
+def _pk_strings(t: pa.Table, keys: list[str] = PRIMARY_KEY):
+    """Composite-PK membership key: key columns joined with ␟ (unit
+    separator cannot appear in any side) — vectorized string join."""
+    cols = [pc.cast(t.column(k), pa.string()) for k in keys]
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, "\x1f")
 
 
 def _metrics_row(pid, wm_before, wm_after, n_events, manifest, secs) -> pa.Table:
@@ -627,12 +639,13 @@ def replay_into_lake(
     from ..state.lake import TranscriptLake
 
     lake = TranscriptLake(lake_root)
+    keys = lake.primary_key
     if validate_sample:
         # fail-fast head-N gate before any shuffle work; op-enum check
         # only when invalid ops would hard-error anyway (drop /
         # dead_letter streams legitimately carry bad ops)
         validate_replay_sample(
-            changes_ds, sample=validate_sample, check_ops=(invalid_ops == "error")
+            changes_ds, sample=validate_sample, check_ops=(invalid_ops == "error"), keys=keys
         )
     _enable_push_shuffle()
     ds = _normalized(
@@ -642,6 +655,7 @@ def replay_into_lake(
             rename_map=rename_map,
             invalid_ops=invalid_ops,
             dead_letter_dir=dead_letter_dir,
+            keys=keys,
             # snapshot mode keeps below-watermark rows through the
             # shuffle: their PRESENCE is what marks a partition as
             # covered by the snapshot (the unseen-partition sweep
@@ -654,7 +668,7 @@ def replay_into_lake(
         concurrency,
     )
     if salt and salt > 1:
-        ds = _salted_prereduce(ds, salt)
+        ds = _salted_prereduce(ds, salt, keys=keys)
     metrics = ds.groupby(PART_COL).map_groups(
         _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
         batch_format="pyarrow",

@@ -29,7 +29,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schema import TRANSCRIPT_SCHEMA
+from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA
 from .manifest import PartitionManifest, write_json_atomic
 
 
@@ -49,6 +49,10 @@ class TranscriptLake:
             meta = json.load(f)
         self.num_partitions: int = meta["num_partitions"]
         self.base_schema: pa.Schema = _schema_from_json(meta["schema"])
+        # configurable per-lake primary key (reference --primary_key,
+        # ago/ago_commands.py:41; catalog PKs _properties.py:88-101);
+        # absent in pre-existing lake.json → transcripts default.
+        self.primary_key: list[str] = list(meta.get("primary_key", PRIMARY_KEY))
 
     # -- creation ----------------------------------------------------
     @classmethod
@@ -57,6 +61,7 @@ class TranscriptLake:
         root: str,
         num_partitions: int = 32,
         schema: pa.Schema = TRANSCRIPT_SCHEMA,
+        primary_key: list[str] | None = None,
         exist_ok: bool = False,
     ) -> "TranscriptLake":
         meta_path = os.path.join(root, "lake.json")
@@ -64,9 +69,18 @@ class TranscriptLake:
             if not exist_ok:
                 raise FileExistsError(meta_path)
             return cls(root)
+        pk = list(primary_key) if primary_key else list(PRIMARY_KEY)
+        missing = [k for k in pk if k not in schema.names]
+        if missing:
+            raise ValueError(f"primary_key columns {missing} not in lake schema {schema.names}")
         os.makedirs(root, exist_ok=True)
         write_json_atomic(
-            meta_path, {"num_partitions": num_partitions, "schema": _schema_to_json(schema)}
+            meta_path,
+            {
+                "num_partitions": num_partitions,
+                "schema": _schema_to_json(schema),
+                "primary_key": pk,
+            },
         )
         return cls(root)
 
@@ -123,7 +137,7 @@ class TranscriptLake:
             )
         from ..stages.merge import merge_partition
 
-        return merge_partition(base, deltas)
+        return merge_partition(base, deltas, keys=self.primary_key)
 
     def run_count(self, pid: int) -> int:
         m = self.manifest(pid)
@@ -307,7 +321,7 @@ class TranscriptLake:
         constraint → ``{fields: [{name, type}], primaryKey}`` sidecar),
         derived here from the committed partition manifests' unified
         Arrow schema (falling back to the creation schema)."""
-        from ..schema import PRIMARY_KEY, promote_schemas
+        from ..schema import promote_schemas
 
         schema = self.base_schema
         part_schemas = [
@@ -339,7 +353,7 @@ class TranscriptLake:
             "fields": [
                 {"name": f.name, "type": friction_type(f.type)} for f in schema
             ],
-            "primaryKey": [k for k in PRIMARY_KEY if k in schema.names],
+            "primaryKey": [k for k in self.primary_key if k in schema.names],
         }
 
     def vacuum(self) -> list[str]:
