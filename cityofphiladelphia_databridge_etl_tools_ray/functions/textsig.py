@@ -49,12 +49,28 @@ def shingle_hashes(texts, k: int = 2):
     """Hashed word-``k``-gram shingles.
 
     Returns (flat shingle hashes uint64, per-doc offsets int64).
-    Docs with fewer than ``k`` tokens contribute their single
-    all-token shingle (never an empty set).
-    """
+    Short-doc rule (shared bit-exactly with every jaccard oracle SQL):
+    docs with 1 ≤ tokens < ``k`` contribute their single all-token
+    shingle; EMPTY docs (whitespace-only text) contribute ZERO shingles
+    — they can never pair.  Without the empty rule, two blank docs
+    would share the hash('') singleton and read as exact near-dups
+    while the oracle's ``trim(text,' ')='' → []`` branch drops them
+    (round-2 ADVICE divergence, closed both sides)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     tok, off = _flat_tokens(texts)
     n = len(off) - 1
     lens = off[1:] - off[:-1]
+    # split('') yields [''] — rewrite whitespace-only docs to 0 tokens
+    empty = np.asarray(
+        pc.equal(pc.utf8_trim(texts, " "), pa.scalar("")).fill_null(True)
+    )
+    if empty.any():
+        keep_tok = ~np.repeat(empty, lens)
+        tok = tok[keep_tok]
+        lens = np.where(empty, 0, lens)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
     if k <= 1:
         return tok, off
     doc_end = np.repeat(off[1:], lens)  # per-token: owning doc's end offset

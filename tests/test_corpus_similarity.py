@@ -35,6 +35,29 @@ def test_shingle_count_and_determinism():
     assert list(flat[0:3]) == list(flat[3:6])  # identical docs → identical shingles
 
 
+def test_shingles_empty_and_short_docs():
+    # the ADVICE/round-2 divergence rule, pinned on BOTH extremes:
+    # whitespace-only docs → ZERO shingles (can never pair, matching
+    # the oracle's trim='' → [] branch); 1-token docs → their single
+    # all-token shingle, equal across identical docs
+    t = pa.array(["", "   ", "a", "a", "x y"])
+    flat, off = textsig.shingle_hashes(t, k=2)
+    lens = (off[1:] - off[:-1]).tolist()
+    assert lens == [0, 0, 1, 1, 1]
+    assert flat[off[2]] == flat[off[3]]  # identical 1-token docs match
+    # two empty docs must NOT read as near-dups
+    f, o = textsig.distinct_per_doc(flat, off)
+    jac = textsig.pairwise_jaccard_dense((f, o), (f, o))
+    assert jac[0, 1] == 0.0 and jac[0, 0] == 0.0
+    assert jac[2, 3] == 1.0
+
+
+def test_shingles_null_text_is_empty():
+    t = pa.array(["a b", None, "c"])
+    flat, off = textsig.shingle_hashes(t, k=2)
+    assert (off[1:] - off[:-1]).tolist() == [1, 0, 1]
+
+
 def test_distinct_per_doc():
     flat = np.array([5, 5, 3, 9, 9, 9], dtype=np.uint64)
     off = np.array([0, 3, 6], dtype=np.int64)
