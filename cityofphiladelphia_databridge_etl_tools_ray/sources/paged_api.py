@@ -28,6 +28,8 @@ import json
 import numpy as np
 import pyarrow as pa
 
+from ..functions.retry import TransientError, retry_call
+
 DEFAULT_PAGE_SIZE = 1000  # reference page size (airtable/airtable.py:21)
 
 
@@ -62,22 +64,59 @@ class FakePagedServer:
         return out
 
 
+class FlakyPagedServer(FakePagedServer):
+    """Failure-injecting fake: the first ``fail_first`` fetches of every
+    page raise ``TransientError`` before succeeding — exercises the
+    retry budget end-to-end.  Per-actor state is fine: each page is
+    fetched by exactly one actor, so the counter sees every attempt."""
+
+    def __init__(self, n_records: int, *, fail_first: int = 2, seed: int = 7):
+        super().__init__(n_records, seed=seed)
+        self.fail_first = fail_first
+        self._attempts: dict[int, int] = {}
+
+    def fetch(self, offset: int, limit: int) -> list[dict]:
+        seen = self._attempts.get(offset, 0)
+        self._attempts[offset] = seen + 1
+        if seen < self.fail_first:
+            raise TransientError(f"injected transient failure #{seen + 1} at offset {offset}")
+        return super().fetch(offset, limit)
+
+
 class PageFetcher:
     """Actor-pool page fetcher: one 'session' per actor, one page per
     batch item.  Normalization (lowercase keys, JSON-encoded nested
     cells, synthetic objectid) happens here, vectorized per page."""
 
-    def __init__(self, server: FakePagedServer, page_size: int = DEFAULT_PAGE_SIZE):
+    def __init__(
+        self,
+        server: FakePagedServer,
+        page_size: int = DEFAULT_PAGE_SIZE,
+        *,
+        retry_tries: int = 5,
+        retry_sleep=None,
+    ):
         self.page_size = page_size
         self.session = server  # a real impl opens requests.Session here
+        # explicit retry budget mirroring the reference's 5-try
+        # exponential 1-10 s session retry (ais_request.py:6-26);
+        # retry_sleep is a test seam (defaults to time.sleep)
+        self.retry_tries = retry_tries
+        self.retry_sleep = retry_sleep
 
     def _fetch_raw(self, page: int) -> list[dict]:
         return self.session.fetch(page * self.page_size, self.page_size)
 
+    def _fetch(self, page: int) -> list[dict]:
+        kw = {"tries": self.retry_tries}
+        if self.retry_sleep is not None:
+            kw["sleep"] = self.retry_sleep
+        return retry_call(self._fetch_raw, page, **kw)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for page in batch.column("page").to_pylist():
-            records = self._fetch_raw(int(page))
+            records = self._fetch(int(page))
             if not records:
                 continue
             cols: dict[str, list] = {}
@@ -103,16 +142,32 @@ def read_paged_api(
     *,
     page_size: int = DEFAULT_PAGE_SIZE,
     concurrency=(1, 4),
+    retry_tries: int = 5,
+    retry_sleep=None,
 ):
-    """Parallel paginated extract → ``ray.data.Dataset``."""
+    """Parallel paginated extract → ``ray.data.Dataset``.
+
+    Two retry layers: the in-actor ``retry_call`` budget (5 tries,
+    exponential 1-10 s — the reference's session policy) absorbs
+    transient fetch errors without losing the actor, and Ray-level
+    ``max_task_retries`` re-runs the page task elsewhere if the whole
+    actor dies mid-page (idempotent: objectid is derived from the page
+    number, so a re-fetched page is byte-identical)."""
     import ray.data
 
     n_pages = (server.n_records + page_size - 1) // page_size
     pages = ray.data.from_items([{"page": p} for p in range(max(n_pages, 1))])
     return pages.map_batches(
         PageFetcher,
-        fn_constructor_kwargs={"server": server, "page_size": page_size},
+        fn_constructor_kwargs={
+            "server": server,
+            "page_size": page_size,
+            "retry_tries": retry_tries,
+            "retry_sleep": retry_sleep,
+        },
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency,
+        max_restarts=2,
+        max_task_retries=2,
     )

@@ -28,6 +28,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.retry import TransientError, retry_call
+
 
 class FakeGeocoder:
     """Deterministic stand-in for the AIS service: coordinates and a
@@ -46,20 +48,47 @@ class FakeGeocoder:
         return out
 
 
+class FlakyGeocoder(FakeGeocoder):
+    """Failure-injecting fake: the first ``fail_first`` lookup calls
+    raise ``TransientError`` before behaving normally — exercises the
+    in-actor retry budget."""
+
+    def __init__(self, *, fail_first: int = 2):
+        self.fail_first = fail_first
+        self._calls = 0
+
+    def lookup(self, keys):
+        self._calls += 1
+        if self._calls <= self.fail_first:
+            raise TransientError(f"injected transient failure #{self._calls}")
+        return super().lookup(keys)
+
+
 class GeocodeEnrich:
     """``map_batches`` actor: append (lon, lat, std_address,
     geocode_ok) for ``key_col``."""
 
-    def __init__(self, key_col: str, client=None):
+    def __init__(self, key_col: str, client=None, *, retry_tries: int = 5, retry_sleep=None):
         self.key_col = key_col
         self.client = client or FakeGeocoder()  # session built once per actor
+        # explicit budget mirroring the reference's retrying session
+        # (ais_request.py:6-26: 5 tries, exponential 1-10 s); transient
+        # service errors retry in-actor, permanent misses stay null-flag
+        self.retry_tries = retry_tries
+        self.retry_sleep = retry_sleep
+
+    def _lookup(self, keys: list[str]) -> dict:
+        kw = {"tries": self.retry_tries}
+        if self.retry_sleep is not None:
+            kw["sleep"] = self.retry_sleep
+        return retry_call(self.client.lookup, keys, **kw)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.key_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         keys = col.to_pylist()
-        resolved = self.client.lookup(list(dict.fromkeys(keys)))  # dedup per batch
+        resolved = self._lookup(list(dict.fromkeys(keys)))  # dedup per batch
         lon = np.full(len(keys), np.nan)
         lat = np.full(len(keys), np.nan)
         std = np.empty(len(keys), dtype=object)

@@ -26,16 +26,30 @@ import os
 import pyarrow as pa
 import pyarrow.csv as pacsv
 
+from ..functions.retry import retry_call
+
 GZIP_LEVEL = 7  # reference: opendata/opendata.py:70
 
 
 class CsvGzipWriter:
     """Per-block gzip-CSV part writer (map_batches sink stage)."""
 
-    def __init__(self, out_dir: str, *, level: int = GZIP_LEVEL):
+    def __init__(self, out_dir: str, *, level: int = GZIP_LEVEL, retry_tries: int = 5, retry_sleep=None):
         self.out_dir = out_dir
         self.level = level
+        # the put-to-bucket analog gets the reference's upload retry
+        # budget (ago/ago.py:716-931 sniffs-and-retries its edits);
+        # retrying OSError covers transient FS/object-store hiccups and
+        # the write is idempotent (content-hash name, tmp+rename)
+        self.retry_tries = retry_tries
+        self.retry_sleep = retry_sleep
         os.makedirs(out_dir, exist_ok=True)
+
+    def _put(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         buf = io.BytesIO()
@@ -45,10 +59,10 @@ class CsvGzipWriter:
         sha = hashlib.sha256(data).hexdigest()[:12]
         path = os.path.join(self.out_dir, f"part-{sha}.csv.gz")
         if not os.path.exists(path):  # idempotent under retry
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
+            kw = {"tries": self.retry_tries, "retry_on": (OSError,)}
+            if self.retry_sleep is not None:
+                kw["sleep"] = self.retry_sleep
+            retry_call(self._put, path, data, **kw)
         return pa.table(
             {
                 "path": pa.array([path], pa.string()),
