@@ -42,6 +42,7 @@ from ..stages.merge import (
 )
 
 PART_COL = "_part"
+SALT_COL = "_salt"
 BLOB_COL = "_blob"
 
 _ALLOC_TUNED = False
@@ -55,10 +56,44 @@ def _pack_codec() -> str | None:
     return None if c == "none" else c
 
 
-def pack_exchange(batch: pa.Table, pids: np.ndarray) -> pa.Table:
+def _salt_buckets(salt: int | None) -> int:
+    """Coarse bucket count for the packed phase-1 salted exchange:
+    buckets×salt ≈ 4×CPUs (computed on the DRIVER so all producers
+    agree), so the (bucket, salt) groupby has enough groups to spread
+    across reducers without blob-count blowup."""
+    from ..functions.cluster import parallelism
+
+    if not salt or salt <= 1:
+        return 1
+    return max(1, parallelism(4.0) // salt)
+
+
+def _pack_enabled() -> bool:
+    """Packed-exchange gate (GRAFT_PACK_EXCHANGE=0 disables)."""
+    import os
+
+    return os.environ.get("GRAFT_PACK_EXCHANGE", "1") != "0"
+
+
+def _pack_max_blob_bytes() -> int:
+    """Per-blob serialized-size cap (GRAFT_PACK_MAX_BLOB, default 64 MB).
+
+    One (batch, partition) slice normally compresses into one IPC blob;
+    a hot partition fed by a very large normalizer batch would otherwise
+    become a single multi-hundred-MB large_binary CELL that must
+    materialize contiguously on its reducer — re-introducing the skew
+    the salted path exists to avoid.  Slices above the cap split into
+    multiple blob rows; ``unpack_exchange`` already concatenates
+    multiple blobs per partition, so readers need no change."""
+    import os
+
+    return int(os.environ.get("GRAFT_PACK_MAX_BLOB", str(64 << 20)))
+
+
+def pack_exchange(batch: pa.Table, pids: np.ndarray, salts: np.ndarray | None = None) -> pa.Table:
     """Map-side exchange packing: group the batch's rows by partition
-    id and serialize each partition slice to ONE compressed Arrow-IPC
-    blob, emitting ``(PART_COL, BLOB_COL)`` rows.
+    id (and optionally salt) and serialize each slice to compressed
+    Arrow-IPC blobs, emitting ``(PART_COL[, SALT_COL], BLOB_COL)`` rows.
 
     Why: the replay's single all-to-all moves the full text payload.
     Shuffling raw rows makes Ray's sort shuffle order 14M+ strings and
@@ -68,33 +103,55 @@ def pack_exchange(batch: pa.Table, pids: np.ndarray) -> pa.Table:
     exchange into ≤ maps×partitions tiny rows whose payload is
     lz4-compressed columnar IPC (≈3× fewer bytes, C++ codec), so the
     sort is trivial and reducers unpack zero-copy.  The loop below is
-    over PARTITIONS in the batch (≤ num_partitions), not rows."""
+    over PARTITIONS in the batch (≤ num_partitions), not rows.
+
+    With ``salts`` (the two-phase hot-key merge), slices group on the
+    composite (pid, salt) so hot-key streams also move compressed
+    through the phase-1 (part, salt) exchange."""
     if len(batch) == 0:
-        return _EMPTY_PACKED
-    order = np.argsort(pids, kind="stable")
-    sp = pids[order]
+        return _EMPTY_PACKED_SALTED if salts is not None else _EMPTY_PACKED
+    if salts is not None:
+        n_salt = int(salts.max()) + 1
+        combined = pids.astype(np.int64) * n_salt + salts
+    else:
+        combined = pids
+    order = np.argsort(combined, kind="stable")
+    sp = combined[order]
     starts = np.r_[0, np.flatnonzero(np.diff(sp)) + 1]
     bounds = np.r_[starts, len(sp)]
     sorted_batch = batch.take(pa.array(order)).combine_chunks()
     opts = pa.ipc.IpcWriteOptions(compression=_pack_codec())
-    blobs = []
+    cap = _pack_max_blob_bytes()
+    blobs: list[bytes] = []
+    blob_key: list[int] = []
     for i in range(len(starts)):
         s, e = int(bounds[i]), int(bounds[i + 1])
         sl = sorted_batch.slice(s, e - s)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, sl.schema, options=opts) as w:
-            w.write_table(sl)
-        blobs.append(sink.getvalue())
-    return pa.table(
-        {
-            PART_COL: pa.array(sp[starts], pa.int32()),
-            BLOB_COL: pa.array([b.to_pybytes() for b in blobs], pa.large_binary()),
-        }
-    )
+        # cap check on the uncompressed in-memory size (cheap, computed
+        # from buffer lengths; the compressed blob is strictly smaller)
+        n_chunks = max(1, -(-sl.nbytes // cap)) if sl.nbytes > cap else 1
+        rows_per = -(-len(sl) // n_chunks)
+        for c0 in range(0, len(sl), rows_per):
+            chunk = sl.slice(c0, rows_per)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, chunk.schema, options=opts) as w:
+                w.write_table(chunk)
+            blobs.append(sink.getvalue().to_pybytes())
+            blob_key.append(int(sp[s]))
+    key_arr = np.asarray(blob_key, dtype=np.int64)
+    cols = {PART_COL: pa.array((key_arr // n_salt if salts is not None else key_arr).astype(np.int32))}
+    if salts is not None:
+        cols[SALT_COL] = pa.array((key_arr % n_salt).astype(np.int32))
+    cols[BLOB_COL] = pa.array(blobs, pa.large_binary())
+    return pa.table(cols)
 
 
 _EMPTY_PACKED = pa.schema(
     [(PART_COL, pa.int32()), (BLOB_COL, pa.large_binary())]
+).empty_table()
+
+_EMPTY_PACKED_SALTED = pa.schema(
+    [(PART_COL, pa.int32()), (SALT_COL, pa.int32()), (BLOB_COL, pa.large_binary())]
 ).empty_table()
 
 
@@ -181,10 +238,25 @@ class ChangeNormalizer:
         min_lsn_exclusive: int = -1,
         assume_tz: str | None = None,
         pack: bool = True,
+        salt: int | None = None,
+        salt_buckets: int | None = None,
         keys: list[str] | None = None,
     ):
         self.num_partitions = num_partitions
         self.keys = list(keys) if keys else list(PRIMARY_KEY)
+        # salt > 1 → pack on (COARSE bucket, lsn % salt) so the phase-1
+        # salted exchange also moves compressed blobs.  The bucket is
+        # part % salt_buckets, NOT the full partition id: packing on
+        # (part, salt) would emit parts×salt tiny blobs per batch whose
+        # per-blob IPC schema overhead triples pack time and adds ~60%
+        # bytes (measured); buckets×salt ≈ 4×CPUs keeps reducers busy
+        # while blobs stay batch-sized.  The prereduce re-packs on the
+        # true partition for phase 2.
+        self.salt = salt if salt and salt > 1 else None
+        if self.salt:
+            self.salt_buckets = max(1, min(num_partitions, salt_buckets or 16))
+        else:
+            self.salt_buckets = None
         self.rename_map = {k.lower(): v for k, v in (rename_map or {}).items()}
         self.invalid_ops = invalid_ops
         self.dead_letter_dir = dead_letter_dir
@@ -195,7 +267,7 @@ class ChangeNormalizer:
         self.assume_tz = assume_tz
         import os
 
-        self.pack = pack and os.environ.get("GRAFT_PACK_EXCHANGE", "1") != "0"
+        self.pack = pack and _pack_enabled()
         self._valid_ops = pa.array(list(OPS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -211,7 +283,9 @@ class ChangeNormalizer:
         if len(batch) == 0:
             # keep the stream's own (renamed) schema so custom-PK lakes
             # never see a stray transcripts-schema block
-            return _EMPTY_PACKED if self.pack else _with_part_col(batch, self.num_partitions, self.keys)
+            if self.pack:
+                return _EMPTY_PACKED_SALTED if self.salt else _EMPTY_PACKED
+            return _with_part_col(batch, self.num_partitions, self.keys)
 
         # op enum validation
         ok = pc.is_in(batch.column("op"), value_set=self._valid_ops)
@@ -259,6 +333,13 @@ class ChangeNormalizer:
             batch, pids, self.num_partitions, keys=self.keys
         )
         if self.pack:
+            if self.salt:
+                lsn = batch.column("lsn")
+                if isinstance(lsn, pa.ChunkedArray):
+                    lsn = lsn.combine_chunks()
+                salts = (lsn.to_numpy(zero_copy_only=False) % self.salt).astype(np.int32)
+                buckets = (pids % self.salt_buckets).astype(np.int32)
+                return pack_exchange(batch, buckets, salts=salts)
             return pack_exchange(batch, pids)
         return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
@@ -293,9 +374,6 @@ def _with_part_col(batch: pa.Table, num_partitions: int = 1, keys: list[str] | N
     return batch.append_column(PART_COL, pa.array(pids, pa.int32()))
 
 
-SALT_COL = "_salt"
-
-
 def _enable_push_shuffle() -> None:
     """Select Ray's push-based sort shuffle for the replay jobs.
 
@@ -328,7 +406,14 @@ def _merge_group_to_state(group: pa.Table, keep_lsn: bool, keys: list[str]) -> p
     return merge_partition(None, changes, keys=keys, keep_lsn=keep_lsn)
 
 
-def _salted_prereduce(ds, salt: int, keys: list[str] = PRIMARY_KEY):
+def _salted_prereduce(
+    ds,
+    salt: int,
+    keys: list[str] = PRIMARY_KEY,
+    *,
+    packed: bool = True,
+    num_partitions: int | None = None,
+):
     """Phase-1 of the two-phase hot-key merge: shuffle on
     (partition, lsn % salt) and pre-reduce each sub-group with the
     keep-max-lsn combiner, tombstones retained.  A conv_id receiving a
@@ -336,7 +421,12 @@ def _salted_prereduce(ds, salt: int, keys: list[str] = PRIMARY_KEY):
     parallel reducers before the final per-partition merge — the
     explicit "salted repartition of hot conv_id keys" from the north
     rule.  Correct because dedup_last_writer is associative: phase 2
-    re-merges the ≤salt survivors per key in lsn order."""
+    re-merges the ≤salt survivors per key in lsn order.
+
+    With ``packed=True`` (default) the normalizer already emitted
+    (part, salt, blob) rows, so BOTH exchanges of the two-phase merge
+    move compressed IPC blobs — phase 1 unpacks, dedups, and re-packs
+    on part alone for the final groupby."""
 
     def add_salt(b: pa.Table) -> pa.Table:
         s = pc.cast(
@@ -349,22 +439,28 @@ def _salted_prereduce(ds, salt: int, keys: list[str] = PRIMARY_KEY):
         return b.append_column(SALT_COL, s)
 
     def prereduce(g: pa.Table) -> pa.Table:
-        """Dedup the (part, salt) sub-group, then PACK the survivors
-        into one compressed blob row so the second exchange (final
-        groupby on part) moves ≤ salt blob rows per partition instead
-        of re-shuffling the full payload — the same bandwidth argument
-        as the primary packed exchange, and hot-key streams are where
-        the exchange volume is highest."""
+        """Dedup the (bucket, salt) sub-group, then PACK the survivors
+        into compressed blob rows keyed on the TRUE partition so the
+        second exchange (final groupby on part) moves ≤ salt blob rows
+        per partition instead of re-shuffling the full payload — the
+        same bandwidth argument as the primary packed exchange, and
+        hot-key streams are where the exchange volume is highest."""
+        if BLOB_COL in g.column_names:
+            # packed phase-1: PART_COL carried a coarse bucket; the true
+            # partition is recomputed from the key after dedup
+            rows = unpack_exchange(g)
+            deduped = dedup_last_writer(rows, keys=keys)
+            pids = partition_ids(deduped.column(keys[0]), num_partitions)
+            return pack_exchange(deduped, np.asarray(pids, np.int32))
         pid = int(g.column(PART_COL)[0].as_py())
-        deduped = dedup_last_writer(g.drop_columns([PART_COL, SALT_COL]), keys=keys)
+        rows = g.drop_columns([PART_COL, SALT_COL])
+        deduped = dedup_last_writer(rows, keys=keys)
         return pack_exchange(deduped, np.full(len(deduped), pid, np.int32))
 
     prereduce.__name__ = "salted_prereduce"
-    return (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([PART_COL, SALT_COL])
-        .map_groups(prereduce, batch_format="pyarrow")
-    )
+    if not packed:
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+    return ds.groupby([PART_COL, SALT_COL]).map_groups(prereduce, batch_format="pyarrow")
 
 
 def replay_to_table(
@@ -395,15 +491,17 @@ def replay_to_table(
             rename_map=rename_map,
             assume_tz=assume_tz,
             keys=keys,
-            # the salted pre-reduce consumes ROWS (it re-shuffles on
-            # (part, salt)), so the packed exchange only applies to the
-            # single-shuffle path
-            pack=not (salt and salt > 1),
+            # salt > 1 → pack on (bucket, salt) so BOTH exchanges of
+            # the two-phase merge move compressed blobs
+            salt=salt,
+            salt_buckets=_salt_buckets(salt),
         ),
         concurrency,
     )
     if salt and salt > 1:
-        ds = _salted_prereduce(ds, salt, keys=keys)
+        ds = _salted_prereduce(
+            ds, salt, keys=keys, packed=_pack_enabled(), num_partitions=num_partitions
+        )
     return ds.groupby(PART_COL).map_groups(
         lambda g: _merge_group_to_state(g, keep_lsn, keys), batch_format="pyarrow"
     )
@@ -663,12 +761,19 @@ def replay_into_lake(
             # still no-ops re-applied events.
             min_lsn_exclusive=(-1 if mode == "snapshot" else lake.min_watermark()),
             assume_tz=assume_tz,
-            pack=not (salt and salt > 1),
+            salt=salt,
+            salt_buckets=_salt_buckets(salt),
         ),
         concurrency,
     )
     if salt and salt > 1:
-        ds = _salted_prereduce(ds, salt, keys=keys)
+        ds = _salted_prereduce(
+            ds,
+            salt,
+            keys=keys,
+            packed=_pack_enabled(),
+            num_partitions=lake.num_partitions,
+        )
     metrics = ds.groupby(PART_COL).map_groups(
         _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
         batch_format="pyarrow",
