@@ -962,6 +962,18 @@ def dedup_simhash(sf_dir: str):
 # --------------------------------------------------------------------
 
 _MIX_MULT = 2654435761  # Knuth multiplicative hash constant
+# doc_id is pre-reduced mod 2^31 before the multiply so the product
+# stays < 2^62: numpy would silently wrap int64 at doc_id ≳ 3.5e9
+# while the DuckDB oracle (HUGEINT) would not — the split/mix hash
+# must stay bit-exact, leakage-safe, and oracle-checkable at the
+# 10^10-doc scale the docstrings target.  For doc_id < 2^31 the
+# pre-mod is the identity, so small-scale assignments are unchanged.
+_MIX_ID_MOD = 1 << 31
+
+
+def _mix_hash(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Overflow-safe multiplicative hash: ((id % 2^31) * M) % mod."""
+    return ((ids % _MIX_ID_MOD) * _MIX_MULT) % mod
 _QUOTA_MOD = 1_000_000_007
 _QUOTA_K = 5
 _PACK_BUDGET = 2048  # chars per packed training sequence
@@ -981,7 +993,7 @@ def split_assign(sf_dir: str):
 
     def assign(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        bucket = (ids * _MIX_MULT) % 100
+        bucket = _mix_hash(ids, 100)
         split = np.where(bucket < 96, "train", np.where(bucket < 98, "val", "test"))
         return pa.table(
             {
@@ -1017,7 +1029,7 @@ def corpus_mix_weighted(sf_dir: str):
             dtype=np.int64,
         )
         rate = 10 + (srcnum * 7) % 86
-        keep = (ids * _MIX_MULT) % 100 < rate
+        keep = _mix_hash(ids, 100) < rate
         out = b.filter(pa.array(keep))
         return out.append_column(
             "rate_pct", pa.array(rate[keep].astype(np.int64))
@@ -1042,7 +1054,7 @@ def quota_sample_per_source(sf_dir: str, k: int = _QUOTA_K):
 
     def local_prune(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        h = (ids * _MIX_MULT) % _QUOTA_MOD
+        h = _mix_hash(ids, _QUOTA_MOD)
         t = pa.table(
             {"doc_id": b.column("doc_id"), "source": b.column("source"), "h": pa.array(h)}
         )

@@ -5393,14 +5393,14 @@ FROM documents
 SELECT doc_id, source, lang, n_chars,
        CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 86 AS BIGINT) AS rate_pct
 FROM documents
-WHERE (doc_id * 2654435761) % 100 < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 86
+WHERE ((doc_id % 2147483648) * 2654435761) % 100 < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 86
 """,
     "quota_sample_per_source": """
 SELECT doc_id, source, sample_rank FROM (
   SELECT doc_id, source,
          CAST(row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS sample_rank
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 1000000007, doc_id) AS BIGINT) AS sample_rank
   FROM documents
 ) WHERE sample_rank <= 5
 """,
@@ -5455,9 +5455,9 @@ FROM c GROUP BY doc_id
     # deterministic 96/2/2 split by Knuth multiplicative hash of doc_id
     "split_assign": """
 SELECT doc_id, source,
-       (doc_id * 2654435761) % 100 AS split_bucket,
-       CASE WHEN (doc_id * 2654435761) % 100 < 96 THEN 'train'
-            WHEN (doc_id * 2654435761) % 100 < 98 THEN 'val'
+       ((doc_id % 2147483648) * 2654435761) % 100 AS split_bucket,
+       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 96 THEN 'train'
+            WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 98 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """,

@@ -110,11 +110,17 @@ def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
     from ..schema import CHANGE_SCHEMA
 
     col_types = {f.name: f.type for f in CHANGE_SCHEMA}
+    # the lsn filter needs the lsn column: force-include it at the
+    # read, filter, then apply the caller's projection LAST (otherwise
+    # columns=[...without lsn] + a watermark raises KeyError)
+    read_cols = list(columns) if columns else None
+    if read_cols is not None and min_lsn_exclusive >= 0 and "lsn" not in read_cols:
+        read_cols = read_cols + ["lsn"]
     convert = pa_csv.ConvertOptions(
         column_types=col_types,
         strings_can_be_null=True,
         quoted_strings_can_be_null=False,
-        include_columns=list(columns) if columns else None,
+        include_columns=read_cols,
     )
 
     def decode(b: pa.Table) -> pa.Table:
@@ -124,6 +130,8 @@ def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
                 t = pa_csv.read_csv(f, convert_options=convert)
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            if columns:
+                t = t.select(list(columns))
             tabs.append(t)
         return pa.concat_tables(tabs)
 
@@ -141,14 +149,22 @@ def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
     import pyarrow.compute as pc
     import ray.data
 
+    # force-include lsn at the read when the watermark filter needs it;
+    # the caller's projection applies after the filter
+    read_cols = list(columns) if columns else None
+    if read_cols is not None and min_lsn_exclusive >= 0 and "lsn" not in read_cols:
+        read_cols = read_cols + ["lsn"]
+
     def decode(b: pa.Table) -> pa.Table:
         from pyarrow import feather
 
         tabs = []
         for p in b.column("path").to_pylist():
-            t = feather.read_table(p, columns=columns)
+            t = feather.read_table(p, columns=read_cols)
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
+            if columns:
+                t = t.select(list(columns))
             tabs.append(t)
         return pa.concat_tables(tabs)
 
@@ -181,6 +197,8 @@ def _read_jsonl_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
         for p in b.column("path").to_pylist():
             with pa.input_stream(p, compression="detect") as f:
                 t = pa_json.read_json(f, parse_options=parse)
+            # order is load-bearing: filter on lsn BEFORE the caller's
+            # projection (which may drop lsn) — same rule as CSV/IPC
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
             if columns:

@@ -194,3 +194,22 @@ def test_split_assign_deterministic_and_disjoint(ray_session):
     # train dominates (96% nominal; tolerate hash variance on tiny sf)
     frac = (a["split"] == "train").mean()
     assert 0.9 <= frac <= 1.0
+
+
+def test_mix_hash_large_ids_match_duckdb_hugeint():
+    # ADVICE r2: (doc_id * M) % 100 in int64 silently wraps at
+    # doc_id >~ 3.5e9 while DuckDB's HUGEINT does not; the pre-mod
+    # 2^31 keeps both sides bit-exact across the full id range
+    # (identity below 2^31, so small-scale splits are unchanged)
+    import duckdb
+    import numpy as np
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import _mix_hash
+
+    ids = np.array([0, 7, 2**31 - 1, 2**31, 5_000_000_000, 10**10], dtype=np.int64)
+    eng = _mix_hash(ids, 100)
+    sql = duckdb.sql(
+        "SELECT ((v % 2147483648) * 2654435761) % 100 AS h FROM (SELECT unnest("
+        "[0, 7, 2147483647, 2147483648, 5000000000, 10000000000]) AS v)"
+    ).fetchnumpy()["h"]
+    assert (eng == np.asarray(sql, dtype=np.int64)).all()
