@@ -719,7 +719,15 @@ def _propagate_clusters(pairs, max_rounds: int = 16):
     import ray
     from ray.data.aggregate import Min, Sum
 
-    n_buckets = 32
+    from ..functions.cluster import cluster_cpus
+
+    # fan-out derives from the live cluster: one bucket per CPU
+    # (power of 2 for the & mask, floor 32 = the tuned single-host
+    # value), and each round's block pin keeps B small enough that the
+    # B×B exchange overhead stays linear without starving reducers
+    cpus = cluster_cpus()
+    n_buckets = 1 << (max(32, cpus) - 1).bit_length()
+    n_blocks = max(8, cpus // 4)
 
     def bidir(b: pa.Table) -> pa.Table:
         a = np.asarray(b.column("doc_id_a"), dtype=np.int64)
@@ -738,7 +746,7 @@ def _propagate_clusters(pairs, max_rounds: int = 16):
     # through a bucket shuffle, and B×B range-object overhead (not
     # byte volume) dominates exchanges over reduced streams
     edges = (
-        pairs.map_batches(bidir, batch_format="pyarrow").repartition(8).materialize()
+        pairs.map_batches(bidir, batch_format="pyarrow").repartition(n_blocks).materialize()
     )
     if edges.count() == 0:  # dup-free corpus: nothing to label
         import ray.data
@@ -818,7 +826,7 @@ def _propagate_clusters(pairs, max_rounds: int = 16):
             .map_groups(scatter_bucket, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("cand", alias_name="lbl"))
-            .repartition(8)
+            .repartition(n_blocks)
             .materialize()
         )
 
@@ -944,11 +952,13 @@ def dedup_simhash(sf_dir: str):
     # 4-rows-per-doc signature stream is a few MB, and B×B range-object
     # overhead (not data volume) dominates both all-to-alls at small
     # block counts (same analysis as join_lineitem_orders_shuffle)
+    from ..functions.cluster import cluster_cpus
+
     pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(explode, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(16)
+        .repartition(max(8, cluster_cpus() // 2))
         .groupby("bkt")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )

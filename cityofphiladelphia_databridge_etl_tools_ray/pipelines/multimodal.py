@@ -78,9 +78,11 @@ def multimodal_frame_sample(sf_dir: str):
 def multimodal_image_features(sf_dir: str):
     """binary payload → fixed-dim float32 embedding column (batched
     model-inference shape; deterministic fake model), summarized to
-    scalar columns (dim, l2 norm) so the rows-only correctness harness
-    can hash the result — the raw vector column is exercised by
-    tests/test_multimodal.py."""
+    integer scalar columns (dim, ssq_x4 = Σ(f_j·256)² — exact because
+    the fake features are half-integers over 128, see
+    FakeCodec.image_features) so the driver oracle checks every VALUE
+    against the sha256-hex reconstruction in SQL — the raw vector
+    column is exercised by tests/test_multimodal.py."""
     import numpy as np
 
     ds = _payload_ds(sf_dir).map_batches(
@@ -100,13 +102,12 @@ def multimodal_image_features(sf_dir: str):
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
         mat = np.asarray(emb.values, dtype=np.float32).reshape(len(b), -1)
+        q = np.rint(mat.astype(np.float64) * 256.0).astype(np.int64)  # exact: f·256 ∈ odd ints
         return pa.table(
             {
                 "media_id": b.column("media_id"),
                 "dim": pa.array(np.full(len(b), mat.shape[1], np.int32)),
-                "l2_norm_e3": pa.array(
-                    np.round(np.linalg.norm(mat, axis=1) * 1000).astype(np.int64)
-                ),
+                "ssq_x4": pa.array((q * q).sum(axis=1)),
             }
         )
 

@@ -91,8 +91,37 @@ def _ts(s: str):
     return pa.scalar(pd.Timestamp(s).to_pydatetime(), pa.timestamp("us"))
 
 
-_N_BUCKETS = 512  # coarse shuffle key fan-out; raise ∝ cluster size
+_N_BUCKETS = None  # resolved by _nb() from live cluster size
 
+
+def _nb() -> int:
+    """Coarse shuffle-key fan-out: power of 2 ≈ 16 groups/CPU (512 at
+    32 CPUs — the tuned single-host value), derived from the LIVE
+    cluster at execution time so the same code suits a 4-CPU test
+    session and a 256-node cluster without retuning.  Power of 2
+    because buckets are assigned ``key & (_nb() - 1)``.  Cached per
+    process; every process of a fixed-size cluster computes the same
+    value, so map-side bucket assignment and the reduce groupby always
+    agree."""
+    global _N_BUCKETS
+    if _N_BUCKETS is None:
+        from ..functions.cluster import parallelism
+
+        n = parallelism(16.0, lo=64, hi=1 << 14)
+        _N_BUCKETS = 1 << (n - 1).bit_length()
+    return _N_BUCKETS
+
+
+
+
+def _coalesce_blocks() -> int:
+    """Block count for coalescing a reduced stream before an exchange
+    (16 at 32 CPUs): B×B range-object overhead, not byte volume,
+    dominates exchanges over small streams, so B tracks cluster CPUs
+    rather than staying a tuned single-host constant."""
+    from ..functions.cluster import cluster_cpus
+
+    return max(8, cluster_cpus() // 2)
 
 
 def _agg_select(g: pa.Table, keys, renames) -> pa.Table:
@@ -142,7 +171,7 @@ def _sum_by_keys_bucketed(ds, keys, sum_cols, out_names, local_topk=None):
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(b.column(keys[0]), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(b.column(keys[0]), _nb() - 1), pa.int32())
         )
 
     def combine(g: pa.Table) -> pa.Table:
@@ -574,7 +603,7 @@ def wal_hot_keys(sf_dir: str):
         # integral bucket for the combine: numeric suffix of conv-<uid>
         uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 64), pa.int64())
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(uid, _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(uid, _nb() - 1), pa.int32())
         )
 
     def combine(g: pa.Table) -> pa.Table:
@@ -896,7 +925,7 @@ def cdc_latest_event_per_user(sf_dir: str):
     def local(b: pa.Table) -> pa.Table:  # batch combiner
         s = _keep_last(b)
         return s.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(s.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(s.column("user_id"), _nb() - 1), pa.int32())
         )
 
     def final(g: pa.Table) -> pa.Table:
@@ -1323,7 +1352,7 @@ _SESSION_GAP_US = _SESSION_GAP_MIN * 60 * 1_000_000
 
 def _user_bucket_prep(b: pa.Table) -> pa.Table:
     return b.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+        "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
     )
 
 
@@ -2754,7 +2783,7 @@ def events_user_type_entropy(sf_dir: str):
         g = t.group_by(["user_id", "event_type"]).aggregate([("one", "sum")])
         out = _agg_select(g, ["user_id", "event_type"], [("one_sum", "pn")])
         return out.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(out.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(out.column("user_id"), _nb() - 1), pa.int32())
         )
 
     def entropy(g: pa.Table) -> pa.Table:
@@ -3019,7 +3048,7 @@ def join_lineitem_orders_shuffle(sf_dir: str):
         return pa.table(
             {
                 "key": key,
-                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
                 "side": pa.array(np.zeros(len(b), np.int8)),
                 "date_i": b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
                 "part_cents": pa.array(np.zeros(len(b), np.int64)),
@@ -3040,7 +3069,7 @@ def join_lineitem_orders_shuffle(sf_dir: str):
         return pa.table(
             {
                 "key": key,
-                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
                 "side": pa.array(np.ones(len(g), np.int8)),
                 "date_i": pa.array(np.zeros(len(g), np.int64)),
                 "part_cents": g.column("cents_sum"),
@@ -3200,7 +3229,7 @@ def events_user_type_seq(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
         )
 
     def agg(g: pa.Table) -> pa.Table:
@@ -3287,7 +3316,7 @@ def events_weekly_retention(sf_dir: str):
             {
                 "user_id": b.column("user_id"),
                 "week": week,
-                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32()),
             }
         )
 
@@ -3345,7 +3374,7 @@ def cdc_scd2_history(sf_dir: str):
                 "op": b.column("op"),
                 "role": b.column("role"),
                 "ts": b.column("ts"),
-                "bucket": pc.cast(pc.bit_wise_and(uid, _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(uid, _nb() - 1), pa.int32()),
             }
         )
 
@@ -3502,7 +3531,7 @@ def events_user_first_last_value(sf_dir: str):
                 "user_id": b.column("user_id"),
                 "ts": b.column("ts"),
                 "cents": _cents(b.column("value")),
-                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32()),
             }
         )
 
@@ -3542,7 +3571,7 @@ def events_user_percent_rank(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
         )
 
     def ranks(g: pd.DataFrame) -> pd.DataFrame:
@@ -3585,7 +3614,7 @@ def events_user_value_ntile(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
         )
 
     def ntile(g: pd.DataFrame) -> pd.DataFrame:
@@ -3633,7 +3662,7 @@ def events_user_moving_sum(sf_dir: str):
                 "user_id": b.column("user_id"),
                 "ts": b.column("ts"),
                 "cents": _cents(b.column("value")),
-                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32()),
             }
         )
 
@@ -4118,7 +4147,7 @@ def events_funnel_counts(sf_dir: str):
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _N_BUCKETS - 1), pa.int32())
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
         )
 
     per_bucket = (
@@ -4211,7 +4240,7 @@ def left_join_customer_orders(sf_dir: str):
         return pa.table(
             {
                 "key": key,
-                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
                 "side": pa.array(np.zeros(len(b), np.int8)),
                 "seg": b.column("c_mktsegment").cast(pa.string()),
                 "part_cents": pa.array(np.zeros(len(b), np.int64)),
@@ -4226,7 +4255,7 @@ def left_join_customer_orders(sf_dir: str):
         return pa.table(
             {
                 "key": key,
-                "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
                 "side": pa.array(np.ones(len(g), np.int8)),
                 "seg": pa.nulls(len(g), pa.string()),
                 "part_cents": g.column("cents_sum"),
@@ -4291,7 +4320,7 @@ def left_join_customer_orders(sf_dir: str):
     # data volume, dominates this exchange at small block sizes
     return (
         cust.union(orders)
-        .repartition(16)
+        .repartition(_coalesce_blocks())
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
@@ -4327,7 +4356,7 @@ def full_outer_join_customer_windows(sf_dir: str):
             return pa.table(
                 {
                     "key": key,
-                    "bucket": pc.cast(pc.bit_wise_and(key, _N_BUCKETS - 1), pa.int32()),
+                    "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
                     "side": pa.array(np.full(len(g), tag, np.int8)),
                     "part_cents": g.column("cents_sum"),
                     "part_n": g.column("cents_count"),
@@ -4406,7 +4435,7 @@ def full_outer_join_customer_windows(sf_dir: str):
     return (
         read_window(w1lo, w1hi, 0)
         .union(read_window(w2lo, w2hi, 1))
-        .repartition(16)
+        .repartition(_coalesce_blocks())
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
@@ -4464,7 +4493,7 @@ def corpus_bigram_topk(sf_dir: str):
         h = pd.util.hash_array(
             np.asarray(b.column("gram").to_pandas(), dtype=object), categorize=False
         )
-        return b.append_column("bucket", pa.array((h & (_N_BUCKETS - 1)).astype(np.int32)))
+        return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
 
     def combine(g: pa.Table) -> pa.Table:
         a = g.select(["gram", "part_n"]).group_by(["gram"]).aggregate([("part_n", "sum")])
@@ -5379,11 +5408,19 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
 FROM customer
 """,
     # ---- corpus / training-data ops.  No oracle entries for
-    # text_language_id / text_fingerprints (engine-internal hash),
+    # text_language_id (engine-internal profile scores),
     # dedup_minhash_lsh / dedup_simhash (probabilistic candidates) and
     # ann_ivf_topk (approximate): rows-only check; their exact twins
     # (dedup_ngram_jaccard, ann_bruteforce_topk) ARE oracle-checked
     # and pytest pins the approximate ops against the exact ones.
+    # fingerprint spec: first 8 bytes (big-endian) of sha256 of the
+    # RE2-normalized text — stages/text.fingerprints docstring
+    "text_fingerprints": r"""
+SELECT doc_id,
+       CAST(('0x' || substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16))
+            AS UBIGINT) AS fingerprint
+FROM documents
+""",
     "text_token_counts": r"""
 SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
 FROM documents
@@ -5568,9 +5605,20 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
 """,
     # ---- multimodal.  The fake codec is sha256-based and DuckDB's
     # sha256 over the same UTF-8 bytes reproduces it bit-exactly, so
-    # the actor-pool decode stages are fully oracle-checked; only
-    # image_features (seeded RNG vectors) gets the rows-only check and
-    # is pinned by pytest instead.
+    # ALL four actor-pool stages are fully oracle-checked —
+    # image_features via the integer summary ssq_x4 = Σ(f_j·256)²
+    # = 2·Σ_k (2·b_k − 255)² over the 32 digest bytes (each byte
+    # appears twice in the dim-64 tiling; FakeCodec.image_features).
+    "multimodal_image_features": """
+WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+b AS (SELECT media_id, hx, unnest(generate_series(0, 31)) AS k FROM d),
+v AS (SELECT media_id,
+             CAST(('0x' || substr(hx, 2 * k + 1, 2)) AS INTEGER) AS byte
+      FROM b)
+SELECT media_id, CAST(64 AS INTEGER) AS dim,
+       CAST(2 * sum(CAST((2 * byte - 255) * (2 * byte - 255) AS BIGINT)) AS BIGINT) AS ssq_x4
+FROM v GROUP BY media_id
+""",
     "multimodal_audio_meta": """
 WITH d AS (
   SELECT doc_id AS media_id,

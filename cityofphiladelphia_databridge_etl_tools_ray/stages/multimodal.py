@@ -95,16 +95,25 @@ class FakeCodec:
         return sample_rate.astype(np.int32), channels, secs * sample_rate
 
     def image_features(self, payloads: np.ndarray, dim: int) -> np.ndarray:
-        """(n, dim) float32 embedding per payload (fake but stable)."""
+        """(n, dim) float32 embedding per payload (fake but stable).
+
+        SPEC (cross-engine reproducible so the driver oracle-checks a
+        scalar summary, not just row counts): with b_0..b_31 the bytes
+        of sha256(payload), ``f_j = (b_{j mod 32} - 127.5) / 128`` —
+        every value is exact in float32 (a half-integer divided by a
+        power of two), so integer summaries of the vector (e.g.
+        ``sum((f_j·256)²)``) reproduce bit-exactly from the hex digest
+        in SQL.  Rows depend only on their own payload → batch-size /
+        replay invariant."""
         if self.strict:
             raise NotImplementedError("real feature extraction requires a vision model")
-        d = self._digests(payloads)
-        # per-row generator seeded by digest → rows independent of
-        # batch boundaries (replay/batch-size invariant).
-        out = np.empty((len(d), dim), np.float32)
-        for i, seed in enumerate(d):
-            out[i] = np.random.default_rng(seed).standard_normal(dim, dtype=np.float32)
-        return out
+        digests = np.zeros((len(payloads), 32), np.uint8)
+        for i, p in enumerate(payloads):
+            if p is not None:
+                digests[i] = np.frombuffer(hashlib.sha256(p).digest(), np.uint8)
+        reps = -(-dim // 32)
+        tiled = np.tile(digests, (1, reps))[:, :dim]
+        return ((tiled.astype(np.float32) - 127.5) / 128.0).astype(np.float32)
 
     def frame_offsets(self, payloads: np.ndarray, every_n: int):
         """Per-payload list of fake frame byte offsets (video sampling)."""

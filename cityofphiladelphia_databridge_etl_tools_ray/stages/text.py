@@ -236,15 +236,37 @@ class LangId:
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Document fingerprint: stable 64-bit content hash of the
-    whitespace-normalized lowercase text (the exact-dedup key)."""
+    """Document fingerprint: documented 64-bit content hash of the
+    whitespace-normalized lowercase text.
+
+    SPEC (cross-engine reproducible, so the driver oracle-checks every
+    value): ``uint64 from the first 8 bytes (big-endian) of
+    sha256(utf8(lower(text) with \\s+ collapsed to ' '))`` — in DuckDB,
+    ``CAST(('0x' || substr(sha256(norm), 1, 16)) AS UBIGINT)``.  The
+    normalization is RE2 on both sides (bit-exact).  The sha256 call is
+    per row, but it is one C call per document (hashlib) on an
+    already-vectorized normalized column — there is no vectorized
+    64-bit hash two independent engines both implement, and a content
+    fingerprint's whole job is to be reproducible outside this
+    engine."""
+    import hashlib
+
     t = pc.utf8_lower(batch.column(text_col))
     norm = pc.replace_substring_regex(t, r"\s+", " ")
-    h = pd.util.hash_array(np.asarray(norm.to_pandas(), dtype=object), categorize=False)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(s).digest()[:8], "big")
+            for s in norm.cast(pa.binary()).to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(norm),
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(h.astype(np.int64)),
+            "fingerprint": pa.array(h, pa.uint64()),
         }
     )
 

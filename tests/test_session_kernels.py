@@ -13,7 +13,7 @@ import pyarrow as pa
 import pytest
 
 from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
-    _N_BUCKETS,
+    _nb,
     _session_sorted,
     asof_prior_click_per_purchase,
     cdc_latest_event_per_user,
@@ -31,7 +31,7 @@ def _one_shuffle_bounded_tasks(ds):
     # the vectorized kernel runs as a bounded task pool, not per group
     m = re.search(r"MapBatches\((?:kernel|final)\): (\d+) tasks", stats)
     assert m is not None, stats
-    assert int(m.group(1)) <= _N_BUCKETS
+    assert int(m.group(1)) <= _nb()
 
 
 @pytest.mark.parametrize(
