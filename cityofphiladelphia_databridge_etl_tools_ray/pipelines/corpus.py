@@ -391,6 +391,97 @@ def dedup_exact(sf_dir: str):
     )
 
 
+def corpus_dedup_incremental(sf_dir: str, base_source: str = "src0"):
+    """Incremental exact dedup — the CDC-flavored dedup a continuously
+    ingesting training pipeline runs: NEW documents (source ≠
+    ``base_source``) are admitted only if their content fingerprint
+    (the documented sha256-64 spec, stages/text.content_fingerprints)
+    is absent from the EXISTING corpus (source = ``base_source``) and
+    they are the first new copy (min doc_id).  Emits (doc_id,
+    fingerprint, n_new_copies) per admitted document.
+
+    Scale shape: both sides reduce per batch to ≤1 row per
+    (fingerprint, side) — the existing corpus contributes bare
+    fingerprints, never text — then ONE coarse fingerprint-bucket
+    shuffle and a vectorized reduceat kernel per bucket (any-old /
+    min-doc / copy-sum in three reduceat passes, no per-fingerprint
+    Python).  At 100 TB the existing side is the lake's fingerprint
+    column read straight from Parquet; nothing rescans old text."""
+    import pyarrow.compute as pc
+
+    from ..functions.cluster import parallelism
+    from ..stages.text import content_fingerprints
+
+    n_buckets = 1 << (parallelism(8.0, lo=64) - 1).bit_length()
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("fp", pa.uint64()),
+            ("side", pa.int8()),
+            ("doc_id", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        fp = content_fingerprints(b.column("text"))
+        is_old = np.asarray(pc.equal(b.column("source"), pa.scalar(base_source)))
+        doc = np.asarray(b.column("doc_id"), dtype=np.int64)
+        t = pa.table(
+            {
+                "fp": pa.array(fp, pa.uint64()),
+                "side": pa.array(np.where(is_old, 0, 1).astype(np.int8)),
+                "doc_id": pa.array(doc),
+            }
+        )
+        g = t.group_by(["fp", "side"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        fpv = np.asarray(g.column("fp"), dtype=np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((fpv & np.uint64(n_buckets - 1)).astype(np.int32)),
+                "fp": g.column("fp"),
+                "side": g.column("side"),
+                "doc_id": g.column("doc_id_min"),
+                "cnt": pc.cast(g.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("fingerprint", pa.uint64()), ("n_new_copies", pa.int64())]
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        fp = np.asarray(g.column("fp"), dtype=np.uint64)
+        side = np.asarray(g.column("side"), dtype=np.int8)
+        doc = np.asarray(g.column("doc_id"), dtype=np.int64)
+        cnt = np.asarray(g.column("cnt"), dtype=np.int64)
+        order = np.argsort(fp, kind="stable")
+        fp, side, doc, cnt = fp[order], side[order], doc[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        has_old = np.logical_or.reduceat(side == 0, starts)
+        new_doc = np.where(side == 1, doc, np.iinfo(np.int64).max)
+        min_new = np.minimum.reduceat(new_doc, starts)
+        n_new = np.add.reduceat(np.where(side == 1, cnt, 0), starts)
+        keep = ~has_old & (n_new > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(min_new[keep]),
+                "fingerprint": pa.array(fp[starts][keep], pa.uint64()),
+                "n_new_copies": pa.array(n_new[keep]),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 _CLEAN_MIN_TOKENS = 20
 _CLEAN_STOP_DENOM = 50  # 50·n_stopwords ≥ n_tokens ⇔ stopword_ratio ≥ 0.02
 

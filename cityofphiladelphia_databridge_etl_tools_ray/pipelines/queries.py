@@ -30,6 +30,7 @@ from .corpus import (
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
     dedup_exact,
+    corpus_dedup_incremental,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
@@ -59,6 +60,7 @@ from .replay import replay_to_table
 from .similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
+    ann_lsh_topk,
     dedup_embedding_cosine,
     dedup_embedding_cosine_bucketed,
 )
@@ -1505,6 +1507,113 @@ def asof_prior_click_per_purchase(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+_RANGE_N_CAMPAIGNS = 200
+_RANGE_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+_RANGE_BUCKET_US = 4 * 3_600_000_000  # 4h time buckets
+_RANGE_MAX_DUR_H = 7  # campaign durations are 1..7 h (< 2 buckets)
+
+
+def _campaign_intervals() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The deterministic campaign dimension: id c ∈ [0, 200) runs
+    [epoch + (c·211 mod 720) h, +(c mod 7)+1 h) — rebuilt identically
+    by the oracle SQL via generate_series."""
+    c = np.arange(_RANGE_N_CAMPAIGNS, dtype=np.int64)
+    start = _RANGE_EPOCH_US + (c * 211 % 720) * 3_600_000_000
+    end = start + (c % 7 + 1) * 3_600_000_000
+    return c, start, end
+
+
+def range_join_events_campaigns(sf_dir: str):
+    """RANGE (interval) JOIN: every (event, campaign) pair with
+    ``campaign.start ≤ event.ts < campaign.end`` — the operator Ray
+    Data lacks, built as a composition (SURVEY §2.4 custom-operator
+    route): both sides map onto a shared coarse TIME-bucket key, ONE
+    groupby co-locates each bucket's events with every interval
+    overlapping that bucket, and an in-group vectorized probe (sort
+    events by ts once, two ``np.searchsorted`` calls per interval
+    batch, pair expansion by repeat/arange — O(n log n + output), no
+    Python per row or per interval) emits the pairs.
+
+    Partitioning assumptions (documented per the custom-operator
+    rule): (a) bucket width ≥ max interval length / k bounds interval
+    replication at k+1 rows per interval — here ≤ 2.75 with 4 h
+    buckets and ≤ 7 h campaigns; (b) each output pair materializes in
+    exactly ONE bucket (the event's), so no post-join dedup; (c) the
+    campaign side here is small enough to broadcast, but it is routed
+    through the same side-tagged union shuffle a billion-interval
+    dimension needs — the broadcast fast path is what
+    ``asof_prior_click_per_purchase`` demonstrates."""
+    cid, start, end = _campaign_intervals()
+    # replicate each interval to every bucket it overlaps (vectorized)
+    b0 = start // _RANGE_BUCKET_US
+    b1 = (end - 1) // _RANGE_BUCKET_US
+    reps = (b1 - b0 + 1).astype(np.int64)
+    iv_bucket = np.repeat(b0, reps) + (
+        np.arange(reps.sum(), dtype=np.int64)
+        - np.repeat(np.r_[0, np.cumsum(reps)[:-1]], reps)
+    )
+    intervals = pa.table(
+        {
+            "bucket": pa.array(iv_bucket),
+            "side": pa.array(np.ones(len(iv_bucket), np.int8)),
+            "a": pa.array(np.repeat(cid, reps)),
+            "t0": pa.array(np.repeat(start, reps)),
+            "t1": pa.array(np.repeat(end, reps)),
+        }
+    )
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        tnp = _np(ts)
+        return pa.table(
+            {
+                "bucket": pa.array(tnp // _RANGE_BUCKET_US),
+                "side": pa.array(np.zeros(len(b), np.int8)),
+                "a": pc.cast(b.column("event_id"), pa.int64()),
+                "t0": ts,
+                "t1": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("campaign_id", pa.int64())])
+
+    def probe(g: pa.Table) -> pa.Table:
+        side = _np(g.column("side"))
+        ev, iv = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
+        if len(ev) == 0 or len(iv) == 0:
+            return out_schema.empty_table()
+        ts = _np(ev.column("t0"))
+        order = np.argsort(ts, kind="stable")
+        ts_s, eid_s = ts[order], _np(ev.column("a"))[order]
+        lo = np.searchsorted(ts_s, _np(iv.column("t0")), "left")
+        hi = np.searchsorted(ts_s, _np(iv.column("t1")), "left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        idx = np.repeat(lo, counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[idx]),
+                "campaign_id": pa.array(np.repeat(_np(iv.column("a")), counts)),
+            }
+        )
+
+    import ray.data
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts"]).map_batches(
+        ev_prep, batch_format="pyarrow"
+    )
+    return (
+        events.union(ray.data.from_arrow(intervals))
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pyarrow")
     )
 
 
@@ -4540,6 +4649,7 @@ QUERIES = {
     "events_rollup_day_type": events_rollup_day_type,
     "events_user_modal_type": events_user_modal_type,
     "asof_prior_click_per_purchase": asof_prior_click_per_purchase,
+    "range_join_events_campaigns": range_join_events_campaigns,
     "sessionize_events": sessionize_events,
     "session_stats": session_stats,
     "q1_pricing_summary": q1_pricing_summary,
@@ -4616,6 +4726,7 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "dedup_exact": dedup_exact,
+    "corpus_dedup_incremental": corpus_dedup_incremental,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_mix_weighted": corpus_mix_weighted,
     "quota_sample_per_source": quota_sample_per_source,
@@ -4630,6 +4741,7 @@ QUERIES = {
     # similarity search (embeddings table)
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_cosine_bucketed": dedup_embedding_cosine_bucketed,
     # multimodal (binary payload columns, actor-pool decode stages)
@@ -5097,6 +5209,17 @@ SELECT p.event_id, p.user_id,
        AS prior_click_event_id
 FROM events p WHERE p.event_type = 'purchase'
 """,
+    # campaign dimension rebuilt from the documented id formula
+    # (_campaign_intervals): 200 intervals over the events month
+    "range_join_events_campaigns": """
+WITH c AS (
+  SELECT c AS campaign_id,
+         TIMESTAMP '2024-01-01' + (c * 211 % 720) * INTERVAL 1 HOUR AS start_ts,
+         TIMESTAMP '2024-01-01' + (c * 211 % 720 + c % 7 + 1) * INTERVAL 1 HOUR AS end_ts
+  FROM (SELECT unnest(generate_series(0, 199)) AS c))
+SELECT e.event_id, c.campaign_id
+FROM events e JOIN c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+""",
     "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -5561,6 +5684,21 @@ WITH t AS (
 SELECT doc_id, n_chars, n_tokens, n_stopwords,
        round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
 FROM t
+""",
+    # incremental dedup: new docs admitted only when their content
+    # fingerprint (sha256-64 spec) is absent from the existing corpus
+    "corpus_dedup_incremental": r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16))
+              AS UBIGINT) AS fingerprint
+  FROM documents),
+new AS (SELECT * FROM fp WHERE source <> 'src0'),
+old AS (SELECT DISTINCT fingerprint FROM fp WHERE source = 'src0')
+SELECT min(n.doc_id) AS doc_id, n.fingerprint,
+       CAST(count(*) AS BIGINT) AS n_new_copies
+FROM new n ANTI JOIN old o USING (fingerprint)
+GROUP BY n.fingerprint
 """,
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text

@@ -220,6 +220,77 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+LSH_TABLES = 12  # L hash tables
+LSH_BITS = 8  # H hyperplane bits per table
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _lsh_planes(d: int) -> np.ndarray:
+    """Deterministic random hyperplanes (L·H, d): sign-random-projection
+    LSH for cosine (Charikar's SimHash for vectors) — collision
+    probability per bit is 1 − θ/π."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    return rng.standard_normal((LSH_TABLES * LSH_BITS, d))
+
+
+def _lsh_sigs(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, L) uint16 per-table signatures: H sign bits packed."""
+    bits = (M @ planes.T) > 0  # (n, L·H)
+    weights = (1 << np.arange(LSH_BITS, dtype=np.uint16))[None, None, :]
+    return (bits.reshape(len(M), LSH_TABLES, LSH_BITS) * weights).sum(axis=2).astype(np.uint16)
+
+
+def _lsh_topk(b: pa.Table, *, ref, k: int) -> pa.Table:
+    """LSH probe (stateless task): score only vectors that collide
+    with the query in ≥1 table at Hamming ≤ 1 (multi-probe: one
+    flipped bit extends recall without extra tables)."""
+    d = _deref(ref)
+    qids, Q, planes, qsig = d["qids"], d["Q"], d["planes"], d["qsig"]
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+    bsig = _lsh_sigs(M, planes)  # (B, L)
+    x = np.bitwise_xor(qsig[:, None, :], bsig[None, :, :])  # (Q, B, L)
+    cand = (_POPCNT8[x] <= 1).any(axis=2)  # (Q, B)
+    S = np.where(cand, Q @ M.T, -np.inf)
+    S[ids[None, :] == qids[:, None]] = -np.inf
+    rows, cols = _rows_topk(S, ids, k)
+    keep = np.isfinite(S[rows, cols])
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "qid": pa.array(qids[rows]),
+            "nid": pa.array(ids[cols]),
+            "sim": pa.array(S[rows, cols]),
+        }
+    )
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN top-k — the hyperplane-hash sibling of the IVF
+    path (the brief's "IVF or LSH-bucketed variant"; both ship).  The
+    planes and query signatures broadcast once; each batch computes
+    its own signatures (O(B·L·H·d) matmul), scores only colliding
+    candidates, and emits local winners into the tiny per-query merge.
+    Approximate → rows-only oracle; recall vs the brute-force twin is
+    pinned in tests."""
+    import ray
+
+    q_ref = _queries_ref(sf_dir)
+    q = ray.get(q_ref)
+    planes = _lsh_planes(q["Q"].shape[1])
+    ref = ray.put(
+        {"qids": q["qids"], "Q": q["Q"], "planes": planes, "qsig": _lsh_sigs(q["Q"], planes)}
+    )
+    return (
+        _read_emb(sf_dir)
+        .map_batches(
+            _lsh_topk, fn_kwargs={"ref": ref, "k": TOPK}, batch_format="pyarrow"
+        )
+        .groupby("qid")
+        .map_groups(_merge_topk, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------
 # near-dup pairs
 # --------------------------------------------------------------------

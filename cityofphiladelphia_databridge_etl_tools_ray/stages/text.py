@@ -249,25 +249,31 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     64-bit hash two independent engines both implement, and a content
     fingerprint's whole job is to be reproducible outside this
     engine."""
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(content_fingerprints(batch.column(text_col)), pa.uint64()),
+        }
+    )
+
+
+def content_fingerprints(texts) -> np.ndarray:
+    """The fingerprint SPEC as a reusable kernel: uint64 from the
+    first 8 bytes (big-endian) of sha256 of the RE2-normalized
+    (lowercase, \\s+→' ') UTF-8 text."""
     import hashlib
 
-    t = pc.utf8_lower(batch.column(text_col))
+    t = pc.utf8_lower(texts)
     norm = pc.replace_substring_regex(t, r"\s+", " ")
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
-    h = np.fromiter(
+    return np.fromiter(
         (
             int.from_bytes(hashlib.sha256(s).digest()[:8], "big")
             for s in norm.cast(pa.binary()).to_pylist()
         ),
         dtype=np.uint64,
         count=len(norm),
-    )
-    return pa.table(
-        {
-            "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(h, pa.uint64()),
-        }
     )
 
 

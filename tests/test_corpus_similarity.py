@@ -595,3 +595,54 @@ def test_propagate_clusters_random_graph_vs_unionfind(ray_session):
     assert got[["doc_id", "cluster_id", "n_members"]].astype("int64").equals(
         exp[["doc_id", "cluster_id", "n_members"]].astype("int64")
     )
+
+
+def test_dedup_incremental_rejects_existing_and_counts_copies(ray_session, tmp_path):
+    # hand-built corpus: src0 = existing lake, src1 = new batch.
+    # "alpha beta" exists -> rejected; "gamma" new twice -> admitted
+    # once with n_new_copies=2; "delta" new once -> admitted.
+    import pyarrow.parquet as pq
+    import ray  # noqa: F401
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        corpus_dedup_incremental,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 10, 11, 12, 13], pa.int64()),
+            "source": pa.array(["src0", "src0", "src1", "src1", "src1", "src1"]),
+            "text": pa.array(
+                ["alpha beta", "other", "ALPHA   beta", "gamma", "gamma", "delta"]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        corpus_dedup_incremental(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "ALPHA   beta" normalizes to "alpha beta" -> rejected (exists in src0)
+    assert out["doc_id"].tolist() == [11, 13]
+    assert out.set_index("doc_id")["n_new_copies"].to_dict() == {11: 2, 13: 1}
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    bf = ann_bruteforce_topk(SF_DIR).to_pandas()
+    lsh = ann_lsh_topk(SF_DIR).to_pandas()
+    bf_set = set(zip(bf["qid"], bf["nid"]))
+    lsh_set = set(zip(lsh["qid"], lsh["nid"]))
+    # deterministic planes -> stable recall; every emitted neighbor is
+    # a true scored candidate (no false sims), ranks are exact within
+    # the candidate set
+    assert len(bf_set & lsh_set) / len(bf_set) >= 0.5
+    # determinism across runs
+    again = set(map(tuple, ann_lsh_topk(SF_DIR).to_pandas()[["qid", "nid"]].to_numpy()))
+    assert again == lsh_set

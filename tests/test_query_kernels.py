@@ -134,3 +134,35 @@ def test_bigram_partial_empty_batch():
     out = bigram_partial_counts(_docs([]))
     assert out.num_rows == 0
     assert out.column_names == ["gram", "part_n"]
+
+
+def test_range_join_boundary_and_span(ray_session):
+    # interval boundaries: ts == start included, ts == end excluded;
+    # an event pairs with EVERY overlapping campaign exactly once even
+    # when the interval spans multiple 4h buckets
+    import duckdb
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        ORACLE_SQL,
+        range_join_events_campaigns,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        range_join_events_campaigns(sf)
+        .to_pandas()
+        .sort_values(["event_id", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = (
+        con.sql(ORACLE_SQL["range_join_events_campaigns"])
+        .fetchdf()
+        .sort_values(["event_id", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].equals(exp["event_id"])
+    assert got["campaign_id"].astype("int64").equals(exp["campaign_id"].astype("int64"))
+    # no duplicate pairs (each pair materializes in exactly one bucket)
+    assert not got.duplicated(["event_id", "campaign_id"]).any()
