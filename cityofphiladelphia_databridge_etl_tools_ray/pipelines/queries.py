@@ -63,6 +63,7 @@ from .similarity import (
     ann_lsh_topk,
     dedup_embedding_cosine,
     dedup_embedding_cosine_bucketed,
+    kmeans_embeddings,
 )
 
 # --------------------------------------------------------------------
@@ -2212,6 +2213,497 @@ def q5_region_revenue(sf_dir: str):
         li.map_batches(nation_revenue, fn_kwargs={"ref": refs}, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def _df_col(df: pd.DataFrame, name: str, dtype=np.int64) -> np.ndarray:
+    """Column as numpy, tolerating the 0-row Ray→pandas case (Ray's
+    ``to_pandas`` drops columns of an empty dataset)."""
+    if name not in df.columns:
+        return np.empty(0, dtype=dtype)
+    return df[name].to_numpy()
+
+
+# nations chosen to have customers AND suppliers at every test SF
+_Q7_NATIONS = ("NATION_3", "NATION_8")
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR per
+    shipping year — a 6-table join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation×2).  Scale shape: both dimension maps are
+    nation-filtered AT THE READ (row groups for other nations never
+    leave storage), so the driver sees ~2/25 of customers/suppliers;
+    the (orderkey → cust_nation) map is built distributively like
+    q5's, and the probe over the date-pruned lineitem stream is a
+    stateless broadcast-lookup task.  Group count is ≤ 2·2·years, so
+    a per-batch Arrow partial + tiny Ray groupby finishes it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    sel = nation[nation["n_name"].isin(_Q7_NATIONS)]
+    names = dict(zip(sel["n_nationkey"].astype(np.int64), sel["n_name"]))
+    keys = [int(k) for k in sorted(names)]
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(keys),
+    ).to_pandas()
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(keys),
+    ).to_pandas()
+    cref = ray.put(
+        SortedIntMap(_df_col(cust, "c_custkey"), _df_col(cust, "c_nationkey").astype(np.int64))
+    )
+
+    def order_build(b: pa.Table, *, ref) -> pa.Table:
+        cn, found = _deref(ref).get(_np(b.column("o_custkey")), default=-1)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").filter(pa.array(found)),
+                "cn": pa.array(cn[found]),
+            }
+        )
+
+    onat = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(order_build, fn_kwargs={"ref": cref}, batch_format="pyarrow")
+        .to_pandas()  # reduced: orders of two-nation customers only
+    )
+    refs = ray.put(
+        {
+            "order": SortedIntMap(_df_col(onat, "o_orderkey"), _df_col(onat, "cn")),
+            "supp": SortedIntMap(
+                _df_col(supp, "s_suppkey"), _df_col(supp, "s_nationkey").astype(np.int64)
+            ),
+        }
+    )
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        d = _deref(ref)
+        cn, cf = d["order"].get(_np(b.column("l_orderkey")), default=-1)
+        sn, sf_ = d["supp"].get(_np(b.column("l_suppkey")), default=-2)
+        keep = cf & sf_ & (cn != sn)  # (A,B) or (B,A): both in-pair, different
+        b2 = b.filter(pa.array(keep))
+        rev = _cents(
+            pc.multiply(
+                b2.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b2.column("l_discount")),
+            )
+        )
+        t = pa.table(
+            {
+                "supp_nat": pa.array(sn[keep]),
+                "cust_nat": pa.array(cn[keep]),
+                "l_year": pc.cast(pc.year(b2.column("l_shipdate")), pa.int64()),
+                "rev": rev,
+            }
+        )
+        # per-batch partial: ≤ 2·2·years rows leave each task
+        g = t.group_by(["supp_nat", "cust_nat", "l_year"]).aggregate([("rev", "sum")])
+        return _agg_select(g, ["supp_nat", "cust_nat", "l_year"], [("rev_sum", "rev")])
+
+    lo = pd.Timestamp(_Q7_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q7_HI).to_pydatetime()
+    out = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)),
+        )
+        .map_batches(probe, fn_kwargs={"ref": refs}, batch_format="pyarrow")
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "revenue_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["cust_nat"].map(names)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution): orders per
+    customer under a priority exclusion, INCLUDING zero-order
+    customers (LEFT JOIN), then the histogram of those counts.
+
+    Scale shape: the LEFT join is ONE bucketed exchange over the
+    union of two partial streams — orders pre-count per batch
+    (custkey, cnt, is_cust=0) and customer emits (custkey, 0,
+    is_cust=1) — summed per custkey in the shared bucketed kernel;
+    is_cust>0 restores left semantics (order rows whose custkey has
+    no customer row drop out, customers with no orders keep cnt=0).
+    The histogram is a per-batch Arrow partial + tiny Ray groupby
+    (distinct counts ≪ customers)."""
+    from ray.data.aggregate import Sum
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_custkey": b.column("o_custkey")})
+            .group_by(["c_custkey"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+                "is_cust": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_cust": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    sides = (
+        _read(
+            sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") != "1-URGENT"),
+        ).map_batches(orders_partial, batch_format="pyarrow")
+    ).union(
+        _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+            cust_partial, batch_format="pyarrow"
+        )
+    )
+    per_cust = _sum_by_keys_bucketed(
+        sides, keys=("c_custkey",), sum_cols=("cnt", "is_cust"), out_names=("c_count", "isc")
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("isc"), 0))  # LEFT semantics
+        g = b.select(["c_count"]).group_by(["c_count"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c_count": g.column("c_count"),
+                "custdist": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier): per-supplier revenue over a quarter,
+    then ALL suppliers tied at the global max (the correlated
+    MAX subquery).  Scale shape: per-supplier revenue is the bucketed
+    map-side sum (ONE shuffle), materialized cluster-side as the
+    reduced per-supplier table; the global max is a streaming
+    aggregate over it; the tie-safe filter re-reads the materialized
+    reduction (never the fact table).  Only the ≤ |ties| winners and
+    their names reach the driver."""
+    lo = pd.Timestamp(_Q15_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q15_HI).to_pydatetime()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": b.column("l_suppkey"),
+                "rev": _cents(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    )
+                ),
+            }
+        )
+
+    revenue = _sum_by_keys_bucketed(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)),
+        ).map_batches(prep, batch_format="pyarrow"),
+        keys=("s_suppkey",),
+        sum_cols=("rev",),
+        out_names=("total_revenue_cents",),
+    ).materialize()  # reduced per-supplier table, stays cluster-side
+    mx = revenue.max("total_revenue_cents")
+    top = (
+        revenue.map_batches(
+            lambda b, m=mx: b.filter(pc.equal(b.column("total_revenue_cents"), m)),
+            batch_format="pyarrow",
+        ).to_pandas()  # ties only
+    )
+    wkeys = np.unique(top["s_suppkey"].to_numpy())
+    names = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+              filter=pc.field("s_suppkey").isin([int(k) for k in wkeys]))
+        .to_pandas()
+    )
+    out = top.merge(names, on="s_suppkey", how="left").sort_values("s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]].reset_index(drop=True)
+
+
+_Q17_BRAND, _Q17_MAX_SIZE = "Brand#23", 25
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one
+    part family whose quantity is below 0.2× that part's own average
+    quantity — the correlated AVG subquery.  Scale shape: the part
+    family is a pushed-down read (tiny key set, broadcast); pass 1
+    computes per-part (Σqty, n) with the bucketed sum over the
+    family-filtered lineitem stream (the reduced per-part table is
+    what lands driver-side); pass 2 re-streams the same pruned
+    lineitem read and filters against the broadcast 0.2·avg
+    thresholds.  Quantities are integral in this corpus, so the int64
+    Σ and float division are bit-identical to the oracle's avg()."""
+    import ray
+
+    fam = pc.field("p_brand") == _Q17_BRAND
+    parts = _read(
+        sf_dir, "part", columns=["p_partkey", "p_size", "p_brand"],
+        filter=(fam & (pc.field("p_size") <= _Q17_MAX_SIZE)),
+    ).to_pandas()
+    pkeys = [int(k) for k in np.unique(parts["p_partkey"].to_numpy())]
+    in_fam = pc.field("l_partkey").isin(pkeys)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    per_part = _sum_by_keys_bucketed(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"], filter=in_fam)
+        .map_batches(qty_partial, batch_format="pyarrow"),
+        keys=("l_partkey",),
+        sum_cols=("qty", "one"),
+        out_names=("qty_sum", "n"),
+    ).to_pandas()  # ≤ |family parts| rows
+    thr = 0.2 * (per_part["qty_sum"].to_numpy(np.float64) / per_part["n"].to_numpy(np.float64))
+    tref = ray.put(SortedIntMap(per_part["l_partkey"].to_numpy(), thr))
+
+    def below_thr(b: pa.Table, *, ref) -> pa.Table:
+        t, found = _deref(ref).get(_np(b.column("l_partkey")), default=np.float64(-1.0))
+        keep = found & (_np(b.column("l_quantity")) < t)
+        return pa.table({"cents": _cents(b.column("l_extendedprice").filter(pa.array(keep)))})
+
+    total = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"],
+              filter=in_fam)
+        .map_batches(below_thr, fn_kwargs={"ref": tref}, batch_format="pyarrow")
+        .sum("cents")
+    )
+    # empty match → NULL in the oracle's sum(); mirror as NaN
+    return pd.DataFrame({"avg_yearly_cents": [np.nan if total is None else total / 7.0]})
+
+
+# (brand, size_lo..size_hi, qty_lo..qty_hi) OR-branches of the Q19
+# predicate — widened vs TPC-H spec so every test SF has matches
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 15, 1.0, 15.0),
+    ("Brand#23", 1, 20, 5.0, 25.0),
+    ("Brand#34", 1, 25, 15.0, 35.0),
+)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 (discounted revenue): disjunctive part/lineitem
+    predicate — three (brand, size-range, quantity-range) OR-branches
+    over the lineitem ⋈ part join.  Scale shape: the qualifying part
+    keys (any branch's brand+size) are a pushed-down dimension read;
+    each is broadcast with its branch id, and the probe applies the
+    branch's quantity range vectorized — the fact table is read once,
+    filtered to family keys at the parquet layer.  Brands are
+    disjoint, so each part matches at most one branch."""
+    import ray
+
+    brands = [br[0] for br in _Q19_BRANCHES]
+    parts = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pc.field("p_brand").isin(brands) & (pc.field("p_size") >= 1)),
+    ).to_pandas()
+    branch = np.full(len(parts), -1, dtype=np.int64)
+    for i, (brand, slo, shi, _, _) in enumerate(_Q19_BRANCHES):
+        m = (parts["p_brand"] == brand) & (parts["p_size"] >= slo) & (parts["p_size"] <= shi)
+        branch[m.to_numpy()] = i
+    parts = parts[branch >= 0]
+    branch = branch[branch >= 0]
+    pkeys = [int(k) for k in parts["p_partkey"].to_numpy()]
+    qlo = np.array([b[3] for b in _Q19_BRANCHES])
+    qhi = np.array([b[4] for b in _Q19_BRANCHES])
+    ref = ray.put(SortedIntMap(parts["p_partkey"].to_numpy(), branch))
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        idx, found = _deref(ref).get(_np(b.column("l_partkey")), default=0)
+        q = _np(b.column("l_quantity"))
+        keep = found & (q >= qlo[idx]) & (q <= qhi[idx])
+        b2 = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "cents": _cents(
+                    pc.multiply(
+                        b2.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b2.column("l_discount")),
+                    )
+                )
+            }
+        )
+
+    total = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+            filter=pc.field("l_partkey").isin(pkeys),
+        )
+        .map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .sum("cents")
+    )
+    # empty match → NULL in the oracle's sum(); mirror as NaN
+    return pd.DataFrame({"revenue_cents": [np.nan if total is None else int(total)]})
+
+
+_Q22_CUTOFF = "1996-01-01"  # every customer eventually orders in this
+# corpus, so the NOT EXISTS is windowed (like _ANTI_CUTOFF): "no order
+# before the cutoff"
+
+
+def q22_prospect_balance(sf_dir: str):
+    """TPC-H Q22 (global-customer-sales, adapted to this schema — no
+    phone column, grouped by nation): customers with above-average
+    positive balance and NO orders before a cutoff, counted +
+    balance-summed per nation.  Scale shape: the scalar AVG subquery
+    is one streaming
+    (Σ, n) pass; the NOT EXISTS is NOT a broadcast (the order-placing
+    custkey set is ~|customers| — too big): it is ONE bucketed
+    exchange over the union of the filtered customer stream and a
+    per-batch-deduped orders key stream, anti-joined per bucket by a
+    summed has-order flag.  Only the ≤ nations-row result leaves the
+    cluster."""
+    from ray.data.aggregate import Count, Sum
+
+    cust_pos = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal"],
+        filter=(pc.field("c_acctbal") > 0.0),
+    )
+    tot = cust_pos.aggregate(Sum("c_acctbal", alias_name="s"), Count(alias_name="n"))
+    avg = tot["s"] / tot["n"]
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "has_order": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_cust": pa.array(np.ones(n, dtype=np.int64)),
+                "nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "bal_cents": _cents(b.column("c_acctbal")),
+            }
+        )
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        k = np.unique(_np(b.column("o_custkey")))  # per-batch dedup combiner
+        n = len(k)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k),
+                "has_order": pa.array(np.ones(n, dtype=np.int64)),
+                "is_cust": pa.array(np.zeros(n, dtype=np.int64)),
+                "nat": pa.array(np.zeros(n, dtype=np.int64)),
+                "bal_cents": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    sides = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"],
+              filter=(pc.field("c_acctbal") > avg))
+        .map_batches(cust_partial, batch_format="pyarrow")
+    ).union(
+        _read(
+            sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") < pd.Timestamp(_Q22_CUTOFF).to_pydatetime()),
+        )
+        .select_columns(["o_custkey"])
+        .map_batches(orders_partial, batch_format="pyarrow")
+    )
+    merged = _sum_by_keys_bucketed(
+        sides,
+        keys=("c_custkey",),
+        sum_cols=("has_order", "is_cust", "nat", "bal_cents"),
+        out_names=("has_order", "is_cust", "nat", "bal_cents"),
+    )
+
+    def nat_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater(b.column("is_cust"), 0), pc.equal(b.column("has_order"), 0))
+        )
+        g = (
+            pa.table({"c_nationkey": b.column("nat"), "bal_cents": b.column("bal_cents")})
+            .group_by(["c_nationkey"])
+            .aggregate([([], "count_all"), ("bal_cents", "sum")])
+        )
+        return _agg_select(
+            g, ["c_nationkey"], [("count_all", "numcust"), ("bal_cents_sum", "totacctbal_cents")]
+        )
+
+    return (
+        merged.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
+    )
+
+
+_RES_N = 200
+_RES_A, _RES_M = 48271, 2147483647  # MINSTD Lehmer multiplier / modulus
+
+
+def reservoir_sample_events(sf_dir: str):
+    """Fixed-size uniform sample without replacement ('reservoir'),
+    made deterministic and oracle-checkable as a global top-N by
+    keyed hash rank: rank(id) = (id·48271) mod (2³¹−1), sample = N
+    smallest (rank, id).  Scale shape: each batch prunes locally to
+    its N smallest (the classic distributed-reservoir merge), so the
+    combine sees ≤ N·blocks candidate rows and the full stream is
+    never shuffled or collected.  Precondition (documented like
+    _SAMPLE_MULT): event_id < 2⁴⁷ so id·48271 stays in int64 —
+    matching the oracle's int64 arithmetic."""
+
+    def local(b: pa.Table) -> pa.Table:
+        ids = _np(b.column("event_id"))
+        rk = (ids * _RES_A) % _RES_M
+        order = np.lexsort((ids, rk))[: min(_RES_N, len(ids))]
+        return pa.table({"event_id": pa.array(ids[order]), "rk": pa.array(rk[order])})
+
+    cand = (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(local, batch_format="pyarrow")
+        .to_pandas()  # ≤ N·blocks rows
+    )
+    return (
+        cand.sort_values(["rk", "event_id"], kind="stable")
+        .head(_RES_N)
+        .reset_index(drop=True)
     )
 
 
@@ -4658,8 +5150,15 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "q10_returned_item_ranking": q10_returned_item_ranking,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_prospect_balance": q22_prospect_balance,
+    "reservoir_sample_events": reservoir_sample_events,
     "users_union_distinct": users_union_distinct,
     "matview_conv_stats": matview_conv_stats,
     "events_dow_profile": events_dow_profile,
@@ -4744,6 +5243,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_cosine_bucketed": dedup_embedding_cosine_bucketed,
+    "kmeans_embeddings": kmeans_embeddings,
     # multimodal (binary payload columns, actor-pool decode stages)
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_audio_meta": multimodal_audio_meta,
@@ -5031,6 +5531,78 @@ WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}' AND o_orderdate < TIMESTAMP '{_Q10_HI
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name
 ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""",
+    "q7_volume_shipping": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+    OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+  AND l_shipdate >= TIMESTAMP '{_Q7_LO}' AND l_shipdate < TIMESTAMP '{_Q7_HI}'
+GROUP BY 1, 2, 3
+""",
+    "q13_customer_distribution": """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    "q15_top_supplier": f"""
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    "q17_small_quantity_revenue": f"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0 AS avg_yearly_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{_Q17_BRAND}' AND p_size <= {_Q17_MAX_SIZE}
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    "q19_discounted_revenue": f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = '{_Q19_BRANCHES[0][0]}'
+       AND p_size BETWEEN {_Q19_BRANCHES[0][1]} AND {_Q19_BRANCHES[0][2]}
+       AND l_quantity BETWEEN {_Q19_BRANCHES[0][3]} AND {_Q19_BRANCHES[0][4]})
+   OR (p_brand = '{_Q19_BRANCHES[1][0]}'
+       AND p_size BETWEEN {_Q19_BRANCHES[1][1]} AND {_Q19_BRANCHES[1][2]}
+       AND l_quantity BETWEEN {_Q19_BRANCHES[1][3]} AND {_Q19_BRANCHES[1][4]})
+   OR (p_brand = '{_Q19_BRANCHES[2][0]}'
+       AND p_size BETWEEN {_Q19_BRANCHES[2][1]} AND {_Q19_BRANCHES[2][2]}
+       AND l_quantity BETWEEN {_Q19_BRANCHES[2][3]} AND {_Q19_BRANCHES[2][4]})
+""",
+    "q22_prospect_balance": f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate < TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_nationkey
+""",
+    "reservoir_sample_events": f"""
+SELECT event_id, (event_id * {_RES_A}) % {_RES_M} AS rk
+FROM events ORDER BY rk, event_id LIMIT {_RES_N}
 """,
     "q4_order_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -409,3 +409,92 @@ def dedup_embedding_cosine_bucketed(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+
+
+KMEANS_K = 8  # clusters for the full-corpus k-means
+KMEANS_ROUNDS = 5  # fixed Lloyd rounds (deterministic, resumable)
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the FULL embeddings table —
+    the clustering operator itself (contrast ``_train_centroids``,
+    which trains IVF's quantizer on a driver-side SAMPLE).
+
+    Scale shape: each round is ONE streaming pass; every batch assigns
+    its vectors to the nearest centroid (Euclidean, via the
+    ‖x‖²−2x·c+‖c‖² expansion — one matmul) and emits exactly k partial
+    (cluster, Σvec, n) rows, so the combine sees k·blocks tiny rows
+    and the driver only ever holds the k×d centroid state, which is
+    re-broadcast with ``ray.put`` each round.  Empty clusters keep
+    their previous centroid.  Output is the per-cluster (size,
+    inertia) summary — small and stable.  Iterative → no SQL twin;
+    pinned in tests against a sequential numpy reference at sf0.001.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    init = _read_emb(sf_dir, max_vec_id=KMEANS_K).to_pandas().sort_values("vec_id")
+    C = np.stack([np.asarray(v, np.float64) for v in init["embedding"]])
+    k, dim = C.shape
+    ds = _read_emb(sf_dir)
+
+    def partials(b: pa.Table, *, ref) -> pa.Table:
+        C = _deref(ref)
+        M = _matrix(b.column("embedding"))
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + (C * C).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(C)
+        for j in range(len(C)):  # k is small; the matmul dominates
+            sums[j] = M[assign == j].sum(axis=0)
+        counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(C), dtype=np.int64)),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            }
+        )
+
+    for _ in range(KMEANS_ROUNDS):
+        ref = ray.put(C)
+        part = (
+            ds.map_batches(partials, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+            .to_pandas()  # k rows per block — tiny
+        )
+        newC = C.copy()
+        for j, grp in part.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n > 0:
+                newC[int(j)] = (
+                    np.add.reduce(np.stack([np.asarray(v, np.float64) for v in grp["vsum"]]))
+                    / n
+                )
+        C = newC
+
+    def stats(b: pa.Table, *, ref) -> pa.Table:
+        C = _deref(ref)
+        M = _matrix(b.column("embedding"))
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + (C * C).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        best = d2[np.arange(len(M)), assign]
+        counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+        inertia = np.zeros(len(C))
+        np.add.at(inertia, assign, best)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(C), dtype=np.int64)),
+                "n": pa.array(counts),
+                "inertia": pa.array(inertia),
+            }
+        )
+
+    ref = ray.put(C)
+    out = (
+        ds.map_batches(stats, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("inertia", alias_name="inertia"))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return out

@@ -646,3 +646,40 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
     # determinism across runs
     again = set(map(tuple, ann_lsh_topk(SF_DIR).to_pandas()[["qid", "nid"]].to_numpy()))
     assert again == lsh_set
+
+
+def test_kmeans_embeddings_matches_sequential_reference(ray_session):
+    """Distributed Lloyd's (per-batch partial sums, driver combine)
+    must equal a single-process numpy Lloyd's bit-for-bit in cluster
+    SIZES and match inertia to float tolerance: same deterministic
+    init (first k vec_ids), same round count, argmin tie-break is
+    index-ordered in both."""
+    import pyarrow.parquet as pq
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        kmeans_embeddings,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    C = X[:KMEANS_K].copy()  # vec_ids are 0-based contiguous
+    for _ in range(KMEANS_ROUNDS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(KMEANS_K):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    exp_n = np.bincount(assign, minlength=KMEANS_K)
+    exp_inertia = np.zeros(KMEANS_K)
+    np.add.at(exp_inertia, assign, d2[np.arange(len(X)), assign])
+
+    got = kmeans_embeddings(SF_DIR)
+    assert got["cluster"].tolist() == list(range(KMEANS_K))
+    assert got["n"].tolist() == exp_n.tolist()
+    np.testing.assert_allclose(got["inertia"].to_numpy(), exp_inertia, rtol=1e-9)
