@@ -2333,6 +2333,234 @@ def q7_volume_shipping(sf_dir: str):
     return out[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
 
 
+_Q8_REGION = "AMERICA"
+_Q8_NATION = "NATION_8"  # target supplier nation (has suppliers at every SF)
+_Q8_TYPE = "ECONOMY"
+_Q8_LO, _Q8_HI = "1995-01-01", "1997-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share): the target nation's share of
+    revenue for one part type sold into one region, per order year —
+    an 8-table join.  Scale shape: the part family is a pushed-down
+    key-set read; customers are REGION-filtered at the read (like q5)
+    and the (orderkey → year) map is built distributively over the
+    date-pruned orders, so only in-region, in-window (orderkey, year)
+    int pairs land driver-side.  Supplier is the one full-dimension
+    broadcast: a two-int (suppkey → is-target-nation) map — supplier
+    is the smallest dimension (1/10 of customers in TPC-H), and only
+    the flag is shipped, not the row.  The probe is one pruned
+    lineitem pass; numerator/denominator reduce per batch to ≤ years
+    rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rk = int(region.loc[region["r_name"] == _Q8_REGION, "r_regionkey"].iloc[0])
+    in_region = nation.loc[nation["n_regionkey"] == rk, "n_nationkey"].astype(np.int64)
+    tgt_key = int(nation.loc[nation["n_name"] == _Q8_NATION, "n_nationkey"].iloc[0])
+
+    parts = _read(
+        sf_dir, "part", columns=["p_partkey", "p_type"],
+        filter=(pc.field("p_type") == _Q8_TYPE),
+    ).to_pandas()
+    pset = SortedIntMap(_df_col(parts, "p_partkey"))
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin([int(k) for k in in_region]),
+    ).to_pandas()
+    cref = ray.put(SortedIntMap(_df_col(cust, "c_custkey")))
+
+    def order_build(b: pa.Table, *, ref) -> pa.Table:
+        keep = _deref(ref).contains(_np(b.column("o_custkey")))
+        b2 = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": b2.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b2.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    lo = pd.Timestamp(_Q8_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q8_HI).to_pydatetime()
+    oyear = (
+        _read(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+        )
+        .map_batches(order_build, fn_kwargs={"ref": cref}, batch_format="pyarrow")
+        .to_pandas()  # reduced: in-region in-window (orderkey, year)
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    refs = ray.put(
+        {
+            "order_year": SortedIntMap(_df_col(oyear, "o_orderkey"), _df_col(oyear, "o_year")),
+            "supp_tgt": SortedIntMap(
+                _df_col(supp, "s_suppkey"),
+                (_df_col(supp, "s_nationkey").astype(np.int64) == tgt_key).astype(np.int64),
+            ),
+            "parts": pset,
+        }
+    )
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        d = _deref(ref)
+        yr, of = d["order_year"].get(_np(b.column("l_orderkey")), default=0)
+        tgt, sf_ = d["supp_tgt"].get(_np(b.column("l_suppkey")), default=0)
+        keep = of & sf_ & d["parts"].contains(_np(b.column("l_partkey")))
+        b2 = b.filter(pa.array(keep))
+        rev = _cents(
+            pc.multiply(
+                b2.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b2.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "o_year": pa.array(yr[keep]),
+                "total_cents": pa.array(rev),
+                "target_cents": pa.array(rev * tgt[keep]),
+            }
+        )
+        g = t.group_by(["o_year"]).aggregate([("total_cents", "sum"), ("target_cents", "sum")])
+        return _agg_select(
+            g, ["o_year"], [("total_cents_sum", "total_cents"), ("target_cents_sum", "target_cents")]
+        )
+
+    out = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(probe, fn_kwargs={"ref": refs}, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_cents", alias_name="target_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    out["mkt_share"] = out["target_cents"] / out["total_cents"]
+    return out[["o_year", "target_cents", "total_cents", "mkt_share"]]
+
+
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_shipping_priority_class(sf_dir: str):
+    """TPC-H Q12 (shipping modes / order priority, adapted: this
+    lineitem has no shipmode or commit/receipt dates, so the grouping
+    key is l_linestatus and the window is on l_shipdate): per
+    linestatus, how many date-windowed lineitems belong to
+    high-priority vs low-priority orders.
+
+    Scale shape: BOTH sides are facts, so this is the repartition
+    (shuffle hash) join — same side-tagged union + ONE bucket shuffle
+    as [join_lineitem_orders_shuffle]: orders carry (key, is_high),
+    the date-pruned lineitem stream pre-counts per (orderkey,
+    linestatus) per batch, each bucket joins with a vectorized
+    sorted-key probe, and per-bucket (linestatus, hi/lo) partials
+    reduce in a ≤ 2×2-row groupby.  No orders broadcast (the
+    priority map is ~|orders| — too big)."""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(_Q12_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q12_HI).to_pydatetime()
+
+    def build_side(b: pa.Table) -> pa.Table:
+        key = b.column("o_orderkey")
+        is_high = pc.cast(pc.is_in(b.column("o_orderpriority"), value_set=pa.array(_Q12_HIGH)), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
+                "side": pa.array(np.zeros(len(b), np.int8)),
+                "is_high": is_high,
+                "l_linestatus": pa.array(np.full(len(b), "", dtype=object), pa.string()),
+                "n": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    def probe_side(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b.column("l_orderkey"),
+                "l_linestatus": b.column("l_linestatus"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["key", "l_linestatus"]).aggregate([("one", "sum")])
+        key = g.column("key")
+        return pa.table(
+            {
+                "key": key,
+                "bucket": pc.cast(pc.bit_wise_and(key, _nb() - 1), pa.int32()),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "is_high": pa.array(np.zeros(len(g), np.int64)),
+                "l_linestatus": g.column("l_linestatus"),
+                "n": g.column("one_sum"),
+            }
+        )
+
+    _OUT = pa.schema(
+        [("l_linestatus", pa.string()), ("high_line_count", pa.int64()),
+         ("low_line_count", pa.int64())]
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = _np(g.column("side"))
+        build = side == 0
+        bkey = _np(g.column("key"))[build]
+        bhigh = _np(g.column("is_high"))[build]
+        p = g.filter(pa.array(~build))
+        if not len(bkey) or not len(p):
+            return _OUT.empty_table()
+        order = np.argsort(bkey)
+        bkey_s, bhigh_s = bkey[order], bhigh[order]
+        pk = _np(p.column("key"))
+        pos = np.searchsorted(bkey_s, pk)
+        pos_c = np.minimum(pos, len(bkey_s) - 1)
+        hit = bkey_s[pos_c] == pk
+        n = _np(p.column("n"))
+        high = bhigh_s[pos_c] * hit
+        t = pa.table(
+            {
+                "l_linestatus": p.column("l_linestatus").filter(pa.array(hit)),
+                "high_line_count": pa.array((n * high)[hit]),
+                "low_line_count": pa.array((n * (1 - high) * hit)[hit]),
+            }
+        )
+        g2 = t.group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return _agg_select(
+            g2, ["l_linestatus"],
+            [("high_line_count_sum", "high_line_count"), ("low_line_count_sum", "low_line_count")],
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        build_side, batch_format="pyarrow"
+    )
+    lines = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)),
+    ).map_batches(probe_side, batch_format="pyarrow")
+    return (
+        orders.union(lines)
+        .repartition(_coalesce_blocks())
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13 (customer order-count distribution): orders per
     customer under a priority exclusion, INCLUDING zero-order
@@ -5151,6 +5379,8 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q10_returned_item_ranking": q10_returned_item_ranking,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q12_shipping_priority_class": q12_shipping_priority_class,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q15_top_supplier": q15_top_supplier,
@@ -5547,6 +5777,37 @@ WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
     OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
   AND l_shipdate >= TIMESTAMP '{_Q7_LO}' AND l_shipdate < TIMESTAMP '{_Q7_HI}'
 GROUP BY 1, 2, 3
+""",
+    "q8_market_share": f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+         CASE WHEN n2.n_name = '{_Q8_NATION}' THEN 1 ELSE 0 END AS tgt
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{_Q8_LO}' AND o_orderdate < TIMESTAMP '{_Q8_HI}')
+SELECT o_year,
+       CAST(sum(rev * tgt) AS BIGINT) AS target_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       1.0 * sum(rev * tgt) / sum(rev) AS mkt_share
+FROM j GROUP BY o_year
+""",
+    "q12_shipping_priority_class": f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_LO}' AND l_shipdate < TIMESTAMP '{_Q12_HI}'
+GROUP BY l_linestatus
 """,
     "q13_customer_distribution": """
 WITH c_orders AS (
