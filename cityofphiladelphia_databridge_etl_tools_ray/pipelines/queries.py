@@ -63,6 +63,7 @@ from .similarity import (
     ann_lsh_topk,
     dedup_embedding_cosine,
     dedup_embedding_cosine_bucketed,
+    embedding_label_centroids,
     kmeans_embeddings,
 )
 
@@ -1207,6 +1208,88 @@ def events_user_value_moments(sf_dir: str):
         keys=["user_id"],
         sum_cols=["pn", "pc_", "pc2"],
         out_names=["n_events", "sum_cents", "sumsq_cents"],
+    )
+
+
+_Z_THR = 2.5
+
+
+def events_value_outliers(sf_dir: str):
+    """Statistical quality filter: per event_type, how many events sit
+    more than ``_Z_THR`` sample standard deviations from that type's
+    mean — the z-score anomaly gate a training-data pipeline runs
+    before ingestion.
+
+    Two streaming passes, no shuffle of raw rows: pass 1 reduces each
+    type to exact integer-cents moments (n, Σc, Σc²) via per-batch
+    Arrow partials + a ≤|types|-row groupby; the driver derives
+    mean/std from those EXACT integers with the textbook formula
+    (σ² = (Σc² − (Σc)²/n)/(n−1)) — the oracle SQL uses the identical
+    formula over the identical int sums, so both sides run the same
+    float ops in the same order and the z compare is bit-exact
+    (stddev_samp's Welford recurrence would NOT be).  Pass 2 re-reads
+    and counts threshold crossings per batch against the broadcast
+    per-type (mean, thr·σ) table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("value"))
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "c": cents,
+                "c2": pc.multiply(cents, cents),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("c", "sum"), ("c2", "sum")]
+        )
+        return _agg_select(
+            g, ["event_type"], [("one_sum", "pn"), ("c_sum", "ps"), ("c2_sum", "pq")]
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"), Sum("pq", alias_name="q"))
+        .to_pandas()
+    )
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    q = m["q"].to_numpy(np.float64)
+    mean = s / n
+    var = (q - s * s / n) / (n - 1.0)
+    lim = _Z_THR * np.sqrt(var)
+    types = m["event_type"].tolist()
+    ref = ray.put({t: (mean[i], lim[i]) for i, t in enumerate(types)})
+
+    def count_out(b: pa.Table, *, ref) -> pa.Table:
+        d = _deref(ref)
+        et = b.column("event_type")
+        cents = _cents(b.column("value")).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.zeros(len(b), np.int64)
+        for t, (mu, li) in d.items():  # |types| is tiny; compare is vectorized
+            sel = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            out |= sel & (np.abs(cents - mu) > li)
+        t2 = pa.table(
+            {"event_type": et, "n_outliers": pa.array(out), "one": pa.array(np.ones(len(b), np.int64))}
+        )
+        g = t2.group_by(["event_type"]).aggregate([("n_outliers", "sum"), ("one", "sum")])
+        return _agg_select(
+            g, ["event_type"], [("n_outliers_sum", "n_outliers"), ("one_sum", "n_events")]
+        )
+
+    return (
+        ds.map_batches(count_out, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_outliers", alias_name="n_outliers"),
+            Sum("n_events", alias_name="n_events"),
+        )
     )
 
 
@@ -5364,6 +5447,7 @@ QUERIES = {
     "events_type_counts": events_type_counts,
     "events_value_histogram": events_value_histogram,
     "events_distinct_users_per_type": events_distinct_users_per_type,
+    "events_value_outliers": events_value_outliers,
     "events_type_argmax": events_type_argmax,
     "events_user_value_moments": events_user_value_moments,
     "events_rollup_day_type": events_rollup_day_type,
@@ -5474,6 +5558,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_cosine_bucketed": dedup_embedding_cosine_bucketed,
     "kmeans_embeddings": kmeans_embeddings,
+    "embedding_label_centroids": embedding_label_centroids,
     # multimodal (binary payload columns, actor-pool decode stages)
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_audio_meta": multimodal_audio_meta,
@@ -5864,6 +5949,32 @@ GROUP BY c_nationkey
     "reservoir_sample_events": f"""
 SELECT event_id, (event_id * {_RES_A}) % {_RES_M} AS rk
 FROM events ORDER BY rk, event_id LIMIT {_RES_N}
+""",
+    # identical exact-int-moment formula on both sides (NOT
+    # stddev_samp, whose Welford recurrence differs in float order)
+    "events_value_outliers": f"""
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+m AS (SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS nf,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS sf,
+             CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) AS qf
+      FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(sum(CASE WHEN abs(CAST(c.c AS DOUBLE) - sf / nf)
+                          > {_Z_THR} * sqrt((qf - sf * sf / nf) / (nf - 1))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM c JOIN m ON c.event_type = m.event_type
+GROUP BY 1
+""",
+    # dim literal (64) mirrors similarity.EMB_DIM — DuckDB's range()
+    # can't take a lateral column arg (len(embedding)) here
+    "embedding_label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, avg(v) AS mean_val
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(1, 65)) AS dim
+      FROM embeddings)
+GROUP BY 1, 2
 """,
     "q4_order_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

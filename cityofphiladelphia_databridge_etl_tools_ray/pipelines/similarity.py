@@ -498,3 +498,51 @@ def kmeans_embeddings(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, LONG format
+    (label, dim, mean_val) so DuckDB can oracle-check it via unnest.
+
+    Scale shape: each batch collapses to (labels-present × d) partial
+    sums with ONE np.add.at scatter (no per-row loop), so the shuffle
+    moves ≤ |labels|·d tiny rows per block into a native Sum groupby;
+    label cardinality is bounded (a class/topic id), making the final
+    table ≤ |labels|·d rows.  The mean division happens driver-side
+    on that reduced table."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = _matrix(b.column("embedding"))
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), M.shape[1]))
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["mean_val"] = out["s"] / out["n"]
+    out["label"] = out["label"].astype(np.int64)
+    return out[["label", "dim", "mean_val"]]
