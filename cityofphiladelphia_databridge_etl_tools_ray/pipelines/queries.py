@@ -3674,6 +3674,64 @@ def events_type_percentiles(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def events_value_winsorized(sf_dir: str):
+    """Winsorized per-type aggregate — the outlier-robust cleaning
+    step (clip each value into [p01, p99] of its own type) a
+    training-data pipeline applies before computing statistics.
+
+    ONE streaming histogram pass: the same grouped bounded-domain
+    (type, cents) count reduce as [events_type_percentiles]; the
+    clip bounds (exact percentiles, ceil-CDF convention), the clipped
+    sum, and the clip count are all derived FROM the aggregated
+    histogram on the driver (rows ≤ n_types × domain) — the raw
+    stream is never re-read and no row-level clip pass exists."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("one", "sum")])
+        return _agg_select(g, ["event_type", "cents"], [("one_sum", "pn")])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        cnt = grp["n"].to_numpy()
+        cum = cnt.cumsum()
+        tot = int(cum[-1])
+        cents = grp["cents"].to_numpy()
+        lo = int(cents[np.searchsorted(cum, math.ceil(0.01 * tot), side="left")])
+        hi = int(cents[np.searchsorted(cum, math.ceil(0.99 * tot), side="left")])
+        clipped = np.clip(cents, lo, hi)
+        rows.append(
+            {
+                "event_type": et,
+                "n": tot,
+                "lo_cents": lo,
+                "hi_cents": hi,
+                "winsorized_sum_cents": int((clipped * cnt).sum()),
+                "n_clipped": int(cnt[(cents < lo) | (cents > hi)].sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def events_user_type_entropy(sf_dir: str):
     """Shannon entropy (base 2) of each user's event-type distribution
     — the label-diversity metric a training-data pipeline uses to
@@ -5448,6 +5506,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_distinct_users_per_type": events_distinct_users_per_type,
     "events_value_outliers": events_value_outliers,
+    "events_value_winsorized": events_value_winsorized,
     "events_type_argmax": events_type_argmax,
     "events_user_value_moments": events_user_value_moments,
     "events_rollup_day_type": events_rollup_day_type,
@@ -5949,6 +6008,28 @@ GROUP BY c_nationkey
     "reservoir_sample_events": f"""
 SELECT event_id, (event_id * {_RES_A}) % {_RES_M} AS rk
 FROM events ORDER BY rk, event_id LIMIT {_RES_N}
+""",
+    # same ceil-CDF exact-percentile convention as events_type_percentiles
+    "events_value_winsorized": """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+tot AS (SELECT event_type, count(*) AS tn FROM c GROUP BY event_type),
+cdf AS (SELECT event_type, cents,
+               sum(count(*)) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+        FROM c GROUP BY event_type, cents),
+b AS (SELECT tot.event_type, CAST(tot.tn AS BIGINT) AS n,
+             (SELECT min(cents) FROM cdf WHERE cdf.event_type = tot.event_type
+                AND cum >= ceil(0.01 * tot.tn)) AS lo_cents,
+             (SELECT min(cents) FROM cdf WHERE cdf.event_type = tot.event_type
+                AND cum >= ceil(0.99 * tot.tn)) AS hi_cents
+      FROM tot)
+SELECT b.event_type, b.n, b.lo_cents, b.hi_cents,
+       CAST(sum(CASE WHEN c.cents < b.lo_cents THEN b.lo_cents
+                     WHEN c.cents > b.hi_cents THEN b.hi_cents
+                     ELSE c.cents END) AS BIGINT) AS winsorized_sum_cents,
+       CAST(sum(CASE WHEN c.cents < b.lo_cents OR c.cents > b.hi_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM c JOIN b ON c.event_type = b.event_type
+GROUP BY 1, 2, 3, 4
 """,
     # identical exact-int-moment formula on both sides (NOT
     # stddev_samp, whose Welford recurrence differs in float order)
