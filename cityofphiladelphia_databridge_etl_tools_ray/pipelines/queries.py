@@ -2644,6 +2644,61 @@ def q12_shipping_priority_class(sf_dir: str):
     )
 
 
+def q21_multi_supplier_orders(sf_dir: str):
+    """TPC-H Q21-adapted (no commit/receipt dates in this lineitem:
+    the 'waiting' predicate becomes the pure self-join core) — for
+    each supplier, how many of its orders were MULTI-supplier orders.
+    A within-group self-join of the fact table on itself: no
+    broadcastable side exists (both sides are all of lineitem), so
+    the shape is per-batch (orderkey, suppkey) pair dedup → ONE
+    bucketed exchange on orderkey → per-bucket global dedup +
+    per-order distinct-supplier counts + semi-filter (vectorized
+    searchsorted; every order's pairs are co-located by the bucket
+    key) → per-supplier count partials → tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": b.column("l_orderkey"), "s": b.column("l_suppkey")})
+            .group_by(["k", "s"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "s": g.column("s"),
+                "bucket": pc.cast(pc.bit_wise_and(g.column("k"), _nb() - 1), pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # global pair dedup inside the bucket, then per-order supplier
+        # counts via sorted-run lengths — all vectorized
+        t = g.select(["k", "s"]).group_by(["k", "s"]).aggregate([])
+        k = _np(t.column("k"))
+        s = _np(t.column("s"))
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        _, cnt = np.unique(k, return_counts=True)  # runs of the SORTED k
+        multi = cnt >= 2
+        keep = np.repeat(multi, cnt)  # pair rows of multi-supplier orders
+        g2 = (
+            pa.table({"s_suppkey": pa.array(s[keep]), "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+            .group_by(["s_suppkey"])
+            .aggregate([("one", "sum")])
+        )
+        return _agg_select(g2, ["s_suppkey"], [("one_sum", "numorders")])
+
+    return (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numorders", alias_name="numorders"))
+    )
+
+
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13 (customer order-count distribution): orders per
     customer under a priority exclusion, INCLUDING zero-order
@@ -5525,6 +5580,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q12_shipping_priority_class": q12_shipping_priority_class,
     "q13_customer_distribution": q13_customer_distribution,
+    "q21_multi_supplier_orders": q21_multi_supplier_orders,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -5952,6 +6008,13 @@ SELECT l_linestatus,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{_Q12_LO}' AND l_shipdate < TIMESTAMP '{_Q12_HI}'
 GROUP BY l_linestatus
+""",
+    "q21_multi_supplier_orders": """
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+multi AS (SELECT l_orderkey FROM os GROUP BY l_orderkey HAVING count(*) >= 2)
+SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numorders
+FROM os JOIN multi USING (l_orderkey)
+GROUP BY 1
 """,
     "q13_customer_distribution": """
 WITH c_orders AS (

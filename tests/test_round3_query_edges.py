@@ -1,0 +1,160 @@
+"""Edge cases for the round-3 query kernels on crafted data:
+
+- reservoir sampling must be block-split invariant (the local top-N
+  prune in any partitioning yields the identical global sample);
+- q13's LEFT semantics: orphan orders (custkey not in customer) must
+  not create a distribution row, customers with only excluded-priority
+  orders count as zero-order customers;
+- q21's within-bucket self-join: single-supplier orders contribute
+  nothing, multi-supplier orders count once per participating
+  supplier, duplicate (order, supplier) lineitems dedup;
+- q12's fact-fact join: lineitems whose order is missing must drop.
+Each is compared against the registered DuckDB oracle on the same
+crafted tables (the same compare the driver gate runs).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+    _RES_A,
+    _RES_M,
+    _RES_N,
+)
+
+
+def _con(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _cmp(got, exp, keys):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert list(sorted(got.columns)) == list(sorted(exp.columns))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("r3_edges")
+    # events: ids crafted so MINSTD ranks collide-ish and blocks split
+    pq.write_table(
+        pa.table({"event_id": pa.array(np.arange(1, 1001, dtype=np.int64))}),
+        str(root / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "b", "c"]),
+            }
+        ),
+        str(root / "customer.parquet"),
+    )
+    # custkey 99 is an orphan; custkey 3 has only an excluded-priority order
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 3, 99], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["5-LOW", "2-HIGH", "5-LOW", "1-URGENT", "5-LOW"]
+                ),
+            }
+        ),
+        str(root / "orders.parquet"),
+    )
+    # orders 10: suppliers {7, 8} (multi, with a dup pair); 11: {7} only;
+    # 12: {8, 9, 9} (multi); order 999 in lineitem has no orders row
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 10, 11, 12, 12, 12, 999], pa.int64()),
+                "l_suppkey": pa.array([7, 8, 7, 7, 8, 9, 9, 7], pa.int64()),
+                "l_linestatus": pa.array(["O", "O", "F", "O", "F", "F", "O", "O"]),
+                "l_shipdate": pa.array(
+                    pd.to_datetime(["1996-06-01"] * 8), pa.timestamp("us")
+                ),
+            }
+        ),
+        str(root / "lineitem.parquet"),
+    )
+    return str(root)
+
+
+def test_reservoir_block_split_invariance(ray_session, crafted_dir):
+    got = QUERIES["reservoir_sample_events"](crafted_dir)
+    # sequential reference: same rank over the whole id set
+    ids = np.arange(1, 1001, dtype=np.int64)
+    rk = (ids * _RES_A) % _RES_M
+    order = np.lexsort((ids, rk))[:_RES_N]
+    exp = pd.DataFrame({"event_id": ids[order], "rk": rk[order]}).sort_values(
+        ["rk", "event_id"]
+    ).reset_index(drop=True)
+    _cmp(got, exp, ["rk", "event_id"])
+
+    # re-run over a MANY-block version of the identical rows: the
+    # per-block local prune must not change the global sample
+    tbl = pq.read_table(f"{crafted_dir}/events.parquet")
+    ds = ray.data.from_arrow(tbl).repartition(13)
+    import cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries as q
+
+    def local(b):
+        idv = b.column("event_id").to_numpy(zero_copy_only=False)
+        r = (idv * _RES_A) % _RES_M
+        o = np.lexsort((idv, r))[: min(_RES_N, len(idv))]
+        return pa.table({"event_id": pa.array(idv[o]), "rk": pa.array(r[o])})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    got13 = (
+        cand.sort_values(["rk", "event_id"], kind="stable")
+        .head(_RES_N)
+        .reset_index(drop=True)
+    )
+    _cmp(got13, exp, ["rk", "event_id"])
+
+
+def test_q13_left_semantics_crafted(ray_session, crafted_dir):
+    got = QUERIES["q13_customer_distribution"](crafted_dir).to_pandas()
+    con = _con(crafted_dir, ["customer", "orders"])
+    exp = con.execute(ORACLE_SQL["q13_customer_distribution"]).fetchdf()
+    # crafted truth: cust 1 -> 1 counted order (5-LOW; 2-HIGH excluded
+    # by <> '1-URGENT'? no — only 1-URGENT excluded, so cust 1 has 2),
+    # cust 2 -> 1, cust 3 -> 0 (only a 1-URGENT order), orphan 99 absent
+    truth = {2.0: 1, 1.0: 1, 0.0: 1}
+    got_map = dict(zip(got["c_count"].astype(float), got["custdist"]))
+    assert got_map == truth
+    _cmp(got, exp, ["c_count"])
+
+
+def test_q21_self_join_crafted(ray_session, crafted_dir):
+    got = QUERIES["q21_multi_supplier_orders"](crafted_dir).to_pandas()
+    con = _con(crafted_dir, ["lineitem"])
+    exp = con.execute(ORACLE_SQL["q21_multi_supplier_orders"]).fetchdf()
+    # truth: multi-supplier orders = {10: {7,8}, 12: {8,9}}; order 11
+    # single-supplier; order 999's pair {7} single too.
+    # supplier 7 -> 1 (order 10), 8 -> 2 (10, 12), 9 -> 1 (12)
+    got_map = dict(zip(got["s_suppkey"], got["numorders"]))
+    assert got_map == {7: 1, 8: 2, 9: 1}
+    _cmp(got, exp, ["s_suppkey"])
+
+
+def test_q12_drops_orderless_lineitems(ray_session, crafted_dir):
+    got = QUERIES["q12_shipping_priority_class"](crafted_dir).to_pandas()
+    con = _con(crafted_dir, ["lineitem", "orders"])
+    exp = con.execute(ORACLE_SQL["q12_shipping_priority_class"]).fetchdf()
+    # order 999's lineitem must not be counted anywhere
+    assert int(got["high_line_count"].sum() + got["low_line_count"].sum()) == 7
+    _cmp(got, exp, ["l_linestatus"])
