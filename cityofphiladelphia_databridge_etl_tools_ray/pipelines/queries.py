@@ -3787,6 +3787,58 @@ def events_value_winsorized(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def docs_length_percentiles_by_source(sf_dir: str):
+    """Corpus length profile: exact p25/p50/p95 of document length per
+    source — the composition diagnostic a data-mixing pipeline reads
+    before setting quotas.  Same grouped bounded-domain histogram CDF
+    as [events_type_percentiles] over the (source, n_chars) domain;
+    only the ≤ sources × length-domain histogram leaves the cluster."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["source", "n_chars"]).aggregate([("one", "sum")])
+        return _agg_select(g, ["source", "n_chars"], [("one_sum", "pn")])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "n_chars"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for src, grp in h.groupby("source", sort=True):
+        cum = grp["n"].to_numpy().cumsum()
+        tot = int(cum[-1])
+        lens = grp["n_chars"].to_numpy()
+
+        def q(p: float) -> int:
+            return int(lens[np.searchsorted(cum, math.ceil(p * tot), side="left")])
+
+        rows.append(
+            {
+                "source": src,
+                "n_docs": tot,
+                "p25_chars": q(0.25),
+                "p50_chars": q(0.50),
+                "p95_chars": q(0.95),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def events_user_type_entropy(sf_dir: str):
     """Shannon entropy (base 2) of each user's event-type distribution
     — the label-diversity metric a training-data pipeline uses to
@@ -5562,6 +5614,7 @@ QUERIES = {
     "events_distinct_users_per_type": events_distinct_users_per_type,
     "events_value_outliers": events_value_outliers,
     "events_value_winsorized": events_value_winsorized,
+    "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
     "events_type_argmax": events_type_argmax,
     "events_user_value_moments": events_user_value_moments,
     "events_rollup_day_type": events_rollup_day_type,
@@ -6071,6 +6124,20 @@ GROUP BY c_nationkey
     "reservoir_sample_events": f"""
 SELECT event_id, (event_id * {_RES_A}) % {_RES_M} AS rk
 FROM events ORDER BY rk, event_id LIMIT {_RES_N}
+""",
+    "docs_length_percentiles_by_source": """
+WITH tot AS (SELECT source, count(*) AS tn FROM documents GROUP BY source),
+cdf AS (SELECT source, n_chars,
+               sum(count(*)) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+        FROM documents GROUP BY source, n_chars)
+SELECT tot.source, CAST(tot.tn AS BIGINT) AS n_docs,
+       (SELECT min(n_chars) FROM cdf WHERE cdf.source = tot.source
+          AND cum >= ceil(0.25 * tot.tn)) AS p25_chars,
+       (SELECT min(n_chars) FROM cdf WHERE cdf.source = tot.source
+          AND cum >= ceil(0.50 * tot.tn)) AS p50_chars,
+       (SELECT min(n_chars) FROM cdf WHERE cdf.source = tot.source
+          AND cum >= ceil(0.95 * tot.tn)) AS p95_chars
+FROM tot
 """,
     # same ceil-CDF exact-percentile convention as events_type_percentiles
     "events_value_winsorized": """

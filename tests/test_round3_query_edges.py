@@ -109,7 +109,6 @@ def test_reservoir_block_split_invariance(ray_session, crafted_dir):
     # per-block local prune must not change the global sample
     tbl = pq.read_table(f"{crafted_dir}/events.parquet")
     ds = ray.data.from_arrow(tbl).repartition(13)
-    import cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries as q
 
     def local(b):
         idv = b.column("event_id").to_numpy(zero_copy_only=False)
@@ -130,9 +129,9 @@ def test_q13_left_semantics_crafted(ray_session, crafted_dir):
     got = QUERIES["q13_customer_distribution"](crafted_dir).to_pandas()
     con = _con(crafted_dir, ["customer", "orders"])
     exp = con.execute(ORACLE_SQL["q13_customer_distribution"]).fetchdf()
-    # crafted truth: cust 1 -> 1 counted order (5-LOW; 2-HIGH excluded
-    # by <> '1-URGENT'? no — only 1-URGENT excluded, so cust 1 has 2),
-    # cust 2 -> 1, cust 3 -> 0 (only a 1-URGENT order), orphan 99 absent
+    # crafted truth (only 1-URGENT is excluded): cust 1 -> 2 counted
+    # orders (5-LOW + 2-HIGH), cust 2 -> 1, cust 3 -> 0 (its only
+    # order is 1-URGENT), orphan custkey 99 contributes no row
     truth = {2.0: 1, 1.0: 1, 0.0: 1}
     got_map = dict(zip(got["c_count"].astype(float), got["custdist"]))
     assert got_map == truth
@@ -158,3 +157,49 @@ def test_q12_drops_orderless_lineitems(ray_session, crafted_dir):
     # order 999's lineitem must not be counted anywhere
     assert int(got["high_line_count"].sum() + got["low_line_count"].sum()) == 7
     _cmp(got, exp, ["l_linestatus"])
+
+
+@pytest.fixture(scope="module")
+def tie_dir(tmp_path_factory):
+    """q15 crafted data: suppliers 5 and 9 tie EXACTLY at the max
+    quarterly revenue; supplier 2 is lower; supplier 7 only ships
+    outside the window."""
+    root = tmp_path_factory.mktemp("q15_tie")
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([2, 5, 7, 9], pa.int64()),
+                "s_name": pa.array(["s2", "s5", "s7", "s9"]),
+                "s_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+                "s_acctbal": pa.array([0.0] * 4, pa.float64()),
+            }
+        ),
+        str(root / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([5, 5, 9, 2, 7], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 50.0, 150.0, 10.0, 999.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+                "l_shipdate": pa.array(
+                    pd.to_datetime(
+                        ["1996-01-10", "1996-02-10", "1996-03-10", "1996-01-20", "1995-06-01"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(root / "lineitem.parquet"),
+    )
+    return str(root)
+
+
+def test_q15_returns_all_tied_max_suppliers(ray_session, tie_dir):
+    got = QUERIES["q15_top_supplier"](tie_dir)
+    assert got["s_suppkey"].tolist() == [5, 9]  # both 15000-cent winners
+    assert got["total_revenue_cents"].tolist() == [15000, 15000]
+    assert got["s_name"].tolist() == ["s5", "s9"]
+    con = _con(tie_dir, ["supplier", "lineitem"])
+    exp = con.execute(ORACLE_SQL["q15_top_supplier"]).fetchdf()
+    _cmp(got, exp, ["s_suppkey"])
