@@ -203,3 +203,20 @@ def test_q15_returns_all_tied_max_suppliers(ray_session, tie_dir):
     con = _con(tie_dir, ["supplier", "lineitem"])
     exp = con.execute(ORACLE_SQL["q15_top_supplier"]).fetchdf()
     _cmp(got, exp, ["s_suppkey"])
+
+
+def test_q21_q13_plan_shape_one_shuffle(ray_session):
+    """The round-3 bucketed-exchange family (q13 LEFT join, q21 self-
+    join) must run exactly ONE extra all-to-all beyond the final tiny
+    groupby — the coarse bucket exchange — with bounded kernel tasks,
+    never a per-group pandas call."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        q13_customer_distribution,
+        q21_multi_supplier_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q13_customer_distribution, q21_multi_supplier_orders):
+        stats = q(sf).materialize().stats()
+        # bucket exchange + the <=|groups|-row final groupby
+        assert stats.count("SortReduce") <= 2, stats
