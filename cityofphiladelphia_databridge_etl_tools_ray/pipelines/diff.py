@@ -1,0 +1,119 @@
+"""Distributed snapshot diff — the reference's ``recorddiff``
+(tests_data / upsert verification flow; see reference
+``databridge_etl_tools`` postgres upsert + delete-stale semantics,
+``postgres/postgres.py``) re-expressed as ONE bucketed Ray Data
+exchange.
+
+``snapshot_diff(ds_a, ds_b, key, value_cols)`` classifies every key
+present in either snapshot as ``insert`` (B only), ``delete`` (A
+only) or ``update`` (both, but any value column differs); unchanged
+rows are dropped.  This is the primitive a CDC pipeline uses to
+verify a replayed replica against the source-of-truth snapshot, and
+to synthesize a change feed from two full extracts when the source
+has no WAL (the reference's full-refresh → upsert path).
+
+Scale shape: both snapshots are tagged and unioned (no
+materialization), hash-bucketed on the integral key — every
+occurrence of a key lands in the same bucket — and each bucket is
+diffed with one vectorized sort + adjacent-compare pass.  ONE
+shuffle, no driver-side data, output is O(changed rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def snapshot_diff(ds_a, ds_b, key: str, value_cols: list[str], n_buckets: int):
+    """Diff two keyed Datasets.  ``key`` must be int64 and unique per
+    snapshot; ``value_cols`` are compared for equality (null-safe).
+    Returns a Dataset with columns ``key``, ``diff_kind`` and
+    ``old_<c>`` / ``new_<c>`` for each value column."""
+
+    def tag(side: int):
+        def _t(b: pa.Table) -> pa.Table:
+            b = b.append_column("side_", pa.array(np.full(len(b), side, np.int8)))
+            return b.append_column(
+                "bucket_",
+                pc.cast(pc.bit_wise_and(b.column(key), n_buckets - 1), pa.int32()),
+            )
+
+        return _t
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        # Sort so a key's A row (side 0) immediately precedes its B
+        # row (side 1); adjacent-compare classifies every key without
+        # a per-row loop.
+        s = g.sort_by([(key, "ascending"), ("side_", "ascending")])
+        k = s.column(key).to_numpy(zero_copy_only=False)
+        side = s.column("side_").to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return _empty(key, value_cols)
+        same_next = np.zeros(n, bool)
+        same_next[:-1] = k[:-1] == k[1:]
+        same_prev = np.zeros(n, bool)
+        same_prev[1:] = same_next[:-1]
+        # paired keys: A row with a following B row
+        a_paired = same_next & (side == 0)
+        b_paired = same_prev & (side == 1)
+        a_only = (~same_next) & (side == 0)
+        b_only = (~same_prev) & (side == 1)
+
+        changed = np.zeros(n, bool)
+        if a_paired.any():
+            diff_any = np.zeros(int(a_paired.sum()), bool)
+            for c in value_cols:
+                col = s.column(c)
+                av = col.take(pa.array(np.nonzero(a_paired)[0]))
+                bv = col.take(pa.array(np.nonzero(b_paired)[0]))
+                eq = pc.fill_null(pc.equal(av, bv), False)
+                both_null = pc.and_(pc.is_null(av), pc.is_null(bv))
+                same = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+                diff_any |= ~same
+            upd_a = np.nonzero(a_paired)[0][diff_any]
+            upd_b = np.nonzero(b_paired)[0][diff_any]
+        else:
+            upd_a = upd_b = np.empty(0, np.int64)
+
+        parts = []
+        del_idx = np.nonzero(a_only)[0]
+        if len(del_idx):
+            parts.append(_rows(s, key, value_cols, del_idx, None, "delete"))
+        ins_idx = np.nonzero(b_only)[0]
+        if len(ins_idx):
+            parts.append(_rows(s, key, value_cols, None, ins_idx, "insert"))
+        if len(upd_a):
+            parts.append(_rows(s, key, value_cols, upd_a, upd_b, "update"))
+        if not parts:
+            return _empty(key, value_cols)
+        return pa.concat_tables(parts)
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return both.groupby("bucket_").map_groups(diff_bucket, batch_format="pyarrow")
+
+
+def _rows(s: pa.Table, key, value_cols, a_idx, b_idx, kind: str) -> pa.Table:
+    n = len(a_idx) if a_idx is not None else len(b_idx)
+    idx = pa.array(a_idx if a_idx is not None else b_idx)
+    cols = {key: s.column(key).take(idx), "diff_kind": pa.array([kind] * n, pa.string())}
+    for c in value_cols:
+        col = s.column(c)
+        cols[f"old_{c}"] = (
+            col.take(pa.array(a_idx)) if a_idx is not None else pa.nulls(n, col.type)
+        )
+        cols[f"new_{c}"] = (
+            col.take(pa.array(b_idx)) if b_idx is not None else pa.nulls(n, col.type)
+        )
+    return pa.table(cols)
+
+
+def _empty(key, value_cols) -> pa.Table:
+    fields = [pa.field(key, pa.int64()), pa.field("diff_kind", pa.string())]
+    for c in value_cols:
+        fields += [pa.field(f"old_{c}", pa.int64()), pa.field(f"new_{c}", pa.int64())]
+    return pa.schema(fields).empty_table()

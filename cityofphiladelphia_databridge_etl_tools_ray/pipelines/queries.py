@@ -5587,6 +5587,328 @@ def corpus_bigram_topk(sf_dir: str):
 
 
 # --------------------------------------------------------------------
+# snapshot diff / replication checksum / segment dedup / OHLC
+# --------------------------------------------------------------------
+
+
+def cdc_snapshot_diff(sf_dir: str):
+    """recorddiff: classify every key of two table snapshots as
+    insert / delete / update (reference's upsert-verification and
+    no-WAL change-feed synthesis; see ``pipelines/diff.py``).
+
+    Snapshots derive deterministically from ``orders``: A drops keys
+    ≡0 (mod 89) (→ inserts), B drops keys ≡0 (mod 97) (→ deletes)
+    and bumps price by $1 for keys ≡0 (mod 13) (→ updates).  ONE
+    bucketed exchange; output is O(changed rows)."""
+    from .diff import snapshot_diff
+
+    def snap(drop_mod: int, bump_mod: int | None):
+        def _s(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey")
+            kn = _np(k)
+            keep = pa.array(kn % drop_mod != 0)
+            cents = _cents(b.column("o_totalprice"))
+            if bump_mod is not None:
+                cents = pc.add(
+                    cents,
+                    pa.array(np.where(kn % bump_mod == 0, 100, 0).astype(np.int64)),
+                )
+            return pa.table({"o_orderkey": k, "cents": cents}).filter(keep)
+
+        return _s
+
+    a = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        snap(89, None), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        snap(97, 13), batch_format="pyarrow"
+    )
+    return snapshot_diff(a, b, key="o_orderkey", value_cols=["cents"], n_buckets=_nb())
+
+
+_CK_MULT = 1000003  # checksum mixer; needs doc_id < 2^63 / 1000003 ≈ 9.2e12 (cf. _SAMPLE_MULT)
+_CK_MOD = 2147483647
+
+
+def table_checksum_by_source(sf_dir: str):
+    """Replication-verify checksum: per source, row count plus an
+    order-insensitive additive checksum (sum mod 2^31-1) and an xor
+    checksum of ``(doc_id*1000003 + n_chars) mod 2^31-1`` — the
+    stronger form of the reference's post-load row-count asserts
+    (oracle.py extract count / postgres load verification).  Batch
+    partials collapse every block to ≤ n_sources rows (partial sums
+    are taken mod p, so the final sum fits int64 for up to ~4e9
+    blocks); the reduce sees partials only."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            _np(b.column("doc_id")) * _CK_MULT + _np(b.column("n_chars"))
+        ) % _CK_MOD
+        df = pd.DataFrame({"source": _np(b.column("source")), "h": h})
+        g = df.groupby("source", sort=False)["h"]
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "s": g.sum() % _CK_MOD,
+                "x": g.agg(lambda v: np.bitwise_xor.reduce(v.values)),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_rows": [int(g["n"].sum())],
+                "sum_ck": [int(g["s"].sum() % _CK_MOD)],
+                "xor_ck": [int(np.bitwise_xor.reduce(g["x"].values))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+_SEG_WORDS = 10
+
+
+def _segment_table(b: pa.Table) -> pa.Table:
+    """Explode documents into contiguous 10-word segments — straight
+    from the Arrow split-list offsets (binary_join over a rebuilt
+    ListArray; no per-row loop)."""
+    words = pc.split_pattern(b.column("text"), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    lens = np.diff(off)
+    nseg = np.maximum((lens + _SEG_WORDS - 1) // _SEG_WORDS, 1)
+    total = int(nseg.sum())
+    if total == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("seg_idx", pa.int64()), ("seg", pa.string())]
+        ).empty_table()
+    seg_doc = np.repeat(np.arange(len(b)), nseg)
+    within = np.arange(total) - np.repeat(np.cumsum(nseg) - nseg, nseg)
+    seg_starts = off[:-1][seg_doc] + within * _SEG_WORDS
+    offsets = np.append(seg_starts, off[-1]).astype(np.int32)
+    seg = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat), " "
+    )
+    return pa.table(
+        {
+            "doc_id": b.column("doc_id").take(pa.array(seg_doc)),
+            "seg_idx": pa.array(within),
+            "seg": seg,
+        }
+    )
+
+
+def corpus_paragraph_dedup(sf_dir: str):
+    """Paragraph-level (here: 10-word-segment) exact dedup with
+    document reassembly — the RefinedWeb/CCNet-style sub-document
+    dedup an LLM corpus pipeline runs before whole-doc near-dedup.
+    A segment occurrence survives iff it is the globally FIRST
+    occurrence of that text (min (doc_id, seg_idx)); surviving
+    segments are re-joined per document in order.
+
+    Shape: vectorized explode → shuffle 1 on a hash bucket of the
+    segment text (winner pick = per-bucket sort + adjacent-first, no
+    Python loop) → shuffle 2 on doc_id bucket for ordered
+    reassembly (ListArray rebuild + binary_join).  Both exchanges
+    carry only segment rows; nothing materializes on the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    segs = ds.map_batches(_segment_table, batch_format="pyarrow")
+
+    def add_seg_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b.column("seg").to_pandas(), dtype=object), categorize=False
+        )
+        return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+    def winners(g: pa.Table) -> pa.Table:
+        s = g.sort_by(
+            [("seg", "ascending"), ("doc_id", "ascending"), ("seg_idx", "ascending")]
+        )
+        sv = s.column("seg").combine_chunks()
+        n = len(s)
+        diff = pc.not_equal(sv.slice(1), sv.slice(0, n - 1))
+        if isinstance(diff, pa.ChunkedArray):
+            diff = diff.combine_chunks()
+        first = pa.concat_arrays([pa.array([True]), diff])
+        return s.select(["doc_id", "seg_idx", "seg"]).filter(first)
+
+    kept = (
+        segs.map_batches(add_seg_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+
+    def add_doc_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket2",
+            pc.cast(pc.bit_wise_and(b.column("doc_id"), _nb() - 1), pa.int32()),
+        )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("doc_id", "ascending"), ("seg_idx", "ascending")])
+        d = s.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(d)
+        starts = np.nonzero(np.concatenate(([True], d[1:] != d[:-1])))[0]
+        offsets = np.append(starts, n).astype(np.int32)
+        segv = s.column("seg").combine_chunks()
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), segv), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n_segments_kept": pa.array(np.diff(offsets).astype(np.int64)),
+                "text_dedup": text,
+            }
+        )
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )
+
+
+def events_ohlc_hourly(sf_dir: str):
+    """Time-bucketed OHLC: per (hour, event_type) the open (earliest
+    by (ts, event_id)) / high / low / close value in cents plus the
+    event count — the time-series rollup shape (first/last are
+    order-statistics, not sums, so partials carry their own ordering
+    keys).  Batch-local partials collapse each block to ≤ n_groups
+    rows via one sort + ``np.reduceat`` (no Python loop); ONE
+    bucketed exchange on the epoch hour."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "hour": hour,
+                "event_type": b.column("event_type"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "cents": _cents(b.column("value")),
+            }
+        ).sort_by(
+            [
+                ("hour", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        n = len(t)
+        if n == 0:
+            return _OHLC_PARTIAL_SCHEMA.empty_table()
+        hv = t.column("hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev = t.column("event_type").to_numpy(zero_copy_only=False)
+        newg = np.concatenate(([True], (hv[1:] != hv[:-1]) | (ev[1:] != ev[:-1])))
+        starts = np.nonzero(newg)[0]
+        ends = np.append(starts[1:], n) - 1
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": t.column("hour").take(pa.array(starts)),
+                "event_type": t.column("event_type").take(pa.array(starts)),
+                "pn": pa.array(np.diff(np.append(starts, n)).astype(np.int64)),
+                "lo": pa.array(np.minimum.reduceat(cents, starts)),
+                "hi": pa.array(np.maximum.reduceat(cents, starts)),
+                "o_ts": t.column("ts").take(pa.array(starts)),
+                "o_eid": t.column("event_id").take(pa.array(starts)),
+                "o_cents": pa.array(cents[starts]),
+                "c_ts": t.column("ts").take(pa.array(ends)),
+                "c_eid": t.column("event_id").take(pa.array(ends)),
+                "c_cents": pa.array(cents[ends]),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        hv = b.column("hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(((hv // 3600000000) & (_nb() - 1)).astype(np.int32))
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["hour", "event_type", "pn", "lo", "hi"])
+            .group_by(["hour", "event_type"])
+            .aggregate([("pn", "sum"), ("lo", "min"), ("hi", "max")])
+        )
+        base = _agg_select(
+            agg,
+            ["hour", "event_type"],
+            [("pn_sum", "n"), ("lo_min", "low_cents"), ("hi_max", "high_cents")],
+        )
+
+        def first_rows(tbl, order):
+            s = tbl.sort_by(order)
+            hv = s.column("hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ev = s.column("event_type").to_numpy(zero_copy_only=False)
+            first = np.concatenate(([True], (hv[1:] != hv[:-1]) | (ev[1:] != ev[:-1])))
+            return s.filter(pa.array(first))
+
+        op = first_rows(
+            g.select(["hour", "event_type", "o_ts", "o_eid", "o_cents"]),
+            [
+                ("hour", "ascending"),
+                ("event_type", "ascending"),
+                ("o_ts", "ascending"),
+                ("o_eid", "ascending"),
+            ],
+        )
+        cl = first_rows(
+            g.select(["hour", "event_type", "c_ts", "c_eid", "c_cents"]),
+            [
+                ("hour", "ascending"),
+                ("event_type", "ascending"),
+                ("c_ts", "descending"),
+                ("c_eid", "descending"),
+            ],
+        )
+        out = base.join(
+            op.select(["hour", "event_type", "o_cents"]), keys=["hour", "event_type"]
+        ).join(cl.select(["hour", "event_type", "c_cents"]), keys=["hour", "event_type"])
+        cols = {n: out.column(n) for n in ("hour", "event_type", "n", "low_cents", "high_cents")}
+        cols["open_cents"] = out.column("o_cents")
+        cols["close_cents"] = out.column("c_cents")
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+_OHLC_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("hour", pa.timestamp("us")),
+        ("event_type", pa.string()),
+        ("pn", pa.int64()),
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+        ("o_ts", pa.timestamp("us")),
+        ("o_eid", pa.int64()),
+        ("o_cents", pa.int64()),
+        ("c_ts", pa.timestamp("us")),
+        ("c_eid", pa.int64()),
+        ("c_cents", pa.int64()),
+    ]
+)
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -5732,6 +6054,11 @@ QUERIES = {
     "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
+    # snapshot diff / replication checksum / segment dedup / OHLC
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "table_checksum_by_source": table_checksum_by_source,
+    "corpus_paragraph_dedup": corpus_paragraph_dedup,
+    "events_ohlc_hourly": events_ohlc_hourly,
 }
 
 _CHANGES_CTE = """
@@ -7011,3 +7338,69 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
 """
 )
+
+# recorddiff: the FULL OUTER JOIN of the two modular-rule snapshots,
+# keeping only changed keys
+ORACLE_SQL["cdc_snapshot_diff"] = """
+WITH a AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 89 <> 0),
+b AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS diff_kind,
+       a.cents AS old_cents, b.cents AS new_cents
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.cents <> b.cents
+"""
+
+# order-insensitive replication checksums (sum mod p + bit_xor)
+ORACLE_SQL["table_checksum_by_source"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((doc_id * 1000003 + n_chars) % 2147483647) % 2147483647 AS BIGINT)
+         AS sum_ck,
+       CAST(bit_xor((doc_id * 1000003 + n_chars) % 2147483647) AS BIGINT) AS xor_ck
+FROM documents GROUP BY source
+"""
+
+# 10-word-segment global first-occurrence dedup + ordered reassembly
+ORACLE_SQL["corpus_paragraph_dedup"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+s AS (SELECT doc_id, i AS seg_idx,
+             array_to_string(parts[(i * 10 + 1):(i * 10 + 10)], ' ') AS seg
+      FROM w, unnest(generate_series(
+               0, CAST(ceil(greatest(len(parts), 1) / 10.0) AS BIGINT) - 1)) AS t(i)),
+k AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments_kept,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+# OHLC per (hour, type): open/close via deterministic (ts, event_id)
+# row_number frames, high/low/count as plain aggregates
+ORACLE_SQL["events_ohlc_hourly"] = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT hour, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+FROM r GROUP BY hour, event_type
+"""

@@ -1,0 +1,165 @@
+"""Edge cases for the round-3 snapshot-diff / checksum / segment-dedup
+/ OHLC operators on crafted data:
+
+- snapshot_diff: null-vs-value and null-vs-null payloads, keys split
+  across blocks, identical snapshots (empty diff), one-sided
+  snapshots (all inserts / all deletes);
+- corpus_paragraph_dedup: a doc that is entirely duplicate segments
+  of an earlier doc must drop; a 1-word doc survives as its own
+  segment; intra-document repeated segments keep only the first;
+- events_ohlc_hourly: open/close ties on ts broken by event_id;
+  single-event groups give open=close=low=high.
+Compared against the registered DuckDB oracles (same compare as the
+driver gate) where applicable.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.diff import snapshot_diff
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+)
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame, keys):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert sorted(got.columns) == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_snapshot_diff_nulls_and_splits(ray_session):
+    # key 1: value→null (update); key 2: null→null (unchanged);
+    # key 3: equal (unchanged); key 4: A-only (delete); key 5: B-only
+    # (insert); key 6: value change (update).  Two blocks per side so
+    # pairs must meet through the exchange, not block locality.
+    a = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([10, None, 30], pa.int64())})
+    a2 = pa.table({"k": pa.array([4, 6], pa.int64()), "v": pa.array([40, 60], pa.int64())})
+    b = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([None, None], pa.int64())})
+    b2 = pa.table({"k": pa.array([3, 5, 6], pa.int64()), "v": pa.array([30, 50, 61], pa.int64())})
+    ds_a = ray.data.from_arrow([a, a2])
+    ds_b = ray.data.from_arrow([b, b2])
+    got = snapshot_diff(ds_a, ds_b, key="k", value_cols=["v"], n_buckets=4).to_pandas()
+    exp = pd.DataFrame(
+        {
+            "k": [1, 4, 5, 6],
+            "diff_kind": ["update", "delete", "insert", "update"],
+            "old_v": [10.0, 40.0, np.nan, 60.0],
+            "new_v": [np.nan, np.nan, 50.0, 61.0],
+        }
+    )
+    _cmp(got, exp, ["k"])
+
+
+def test_snapshot_diff_identical_and_one_sided(ray_session):
+    t = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+    empty = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    same = snapshot_diff(
+        ray.data.from_arrow(t), ray.data.from_arrow(t), key="k", value_cols=["v"], n_buckets=4
+    ).to_pandas()
+    assert len(same) == 0
+    ins = snapshot_diff(
+        ray.data.from_arrow(empty), ray.data.from_arrow(t), key="k", value_cols=["v"], n_buckets=4
+    ).to_pandas()
+    assert list(ins["diff_kind"]) == ["insert", "insert"]
+    dele = snapshot_diff(
+        ray.data.from_arrow(t), ray.data.from_arrow(empty), key="k", value_cols=["v"], n_buckets=4
+    ).to_pandas()
+    assert list(dele["diff_kind"]) == ["delete", "delete"]
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("diff_ops")
+    words = lambda n, w: " ".join([w] * n)  # noqa: E731
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    words(10, "a") + " " + words(10, "b"),  # segs: a*10, b*10
+                    words(10, "a") + " " + words(10, "b"),  # fully duplicate → drops
+                    "solo",  # 1-word doc, unique segment
+                    words(10, "c") + " " + words(10, "c"),  # intra-doc repeat → keep 1st
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s1", "s1", "s2", "s2"]),
+            "n_chars": pa.array([39, 39, 4, 39], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(root / "documents.parquet"))
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:00:05",
+            "2024-01-01 10:00:05",  # same ts as above → event_id breaks tie
+            "2024-01-01 10:30:00",
+            "2024-01-01 11:00:00",  # single-event hour
+        ]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3, 4], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([2.0, 1.0, 3.0, 9.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(ev, str(root / "events.parquet"))
+    return str(root)
+
+
+def _oracle(crafted_dir, name, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{crafted_dir}/{t}.parquet'")
+    return con.execute(ORACLE_SQL[name]).fetchdf()
+
+
+def test_paragraph_dedup_crafted(ray_session, crafted_dir):
+    got = QUERIES["corpus_paragraph_dedup"](crafted_dir).to_pandas()
+    exp = _oracle(crafted_dir, "corpus_paragraph_dedup", ["documents"])
+    _cmp(got, exp, ["doc_id"])
+    by_id = got.set_index("doc_id")
+    assert 2 not in by_id.index  # fully-duplicate doc dropped
+    assert by_id.loc[3, "text_dedup"] == "solo"
+    assert by_id.loc[4, "n_segments_kept"] == 1  # intra-doc repeat
+
+
+def test_ohlc_ties_and_singletons(ray_session, crafted_dir):
+    got = QUERIES["events_ohlc_hourly"](crafted_dir).to_pandas()
+    exp = _oracle(crafted_dir, "events_ohlc_hourly", ["events"])
+    _cmp(got, exp, ["hour", "event_type"])
+    got = got.set_index(got["hour"].astype(str))
+    h10 = got.loc["2024-01-01 10:00:00"]
+    assert h10["open_cents"] == 100  # event_id 1 wins the ts tie
+    assert h10["close_cents"] == 300
+    assert h10["low_cents"] == 100 and h10["high_cents"] == 300
+    h11 = got.loc["2024-01-01 11:00:00"]
+    assert (
+        h11["open_cents"] == h11["close_cents"] == h11["low_cents"] == h11["high_cents"] == 900
+    )
+
+
+def test_checksum_is_order_insensitive(ray_session, crafted_dir):
+    # permuting input rows must not change any checksum column
+    base = QUERIES["table_checksum_by_source"](crafted_dir).to_pandas()
+    t = pq.read_table(f"{crafted_dir}/documents.parquet")
+    perm = t.take(pa.array([3, 1, 0, 2]))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(perm, os.path.join(d, "documents.parquet"))
+        shuffled = QUERIES["table_checksum_by_source"](d).to_pandas()
+    _cmp(base, shuffled, ["source"])
