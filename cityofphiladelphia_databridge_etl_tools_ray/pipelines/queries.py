@@ -5891,6 +5891,112 @@ def events_ohlc_hourly(sf_dir: str):
     )
 
 
+def events_dedup_window(sf_dir: str):
+    """Streaming windowed dedup: within each (user, event_type, hour)
+    keep only the EARLIEST event ((ts, event_id) order) — the at-least
+    -once-delivery dedup a CDC consumer runs before aggregation.
+
+    Shape: batch-local first-per-group partials (one sort + adjacent
+    -compare, no Python loop) collapse every block to ≤ n_groups rows;
+    ONE bucketed exchange on user_id (all copies of a group share it)
+    re-runs the identical kernel per bucket."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def first_per_group(t: pa.Table) -> pa.Table:
+        s = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("hour", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        n = len(s)
+        if n == 0:
+            return s
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        e = s.column("event_type").to_numpy(zero_copy_only=False)
+        h = s.column("hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        first = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (e[1:] != e[:-1]) | (h[1:] != h[:-1]))
+        )
+        return s.filter(pa.array(first))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.append_column("hour", pc.floor_temporal(b.column("ts"), unit="hour"))
+        return first_per_group(t)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        return first_per_group(g).select(["event_id", "user_id", "event_type", "ts"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def events_sliding_distinct_users(sf_dir: str):
+    """Exact DISTINCT users per sliding 1h/15-min window — the
+    overlapping-window uniques counter (hopping-window DAU).  Distinct
+    is an order-statistic, not a sum, so the op is two REDUCED
+    exchanges: per-batch (user, window) pair dedup (set semantics make
+    re-dedup idempotent) → bucketed exchange on user_id for global
+    pair dedup + per-bucket window partial counts → tiny second
+    exchange summing partials per window (≤ n_buckets rows/window)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode_dedup(b: pa.Table) -> pa.Table:
+        n = len(b)
+        slide = (
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // (_SLIDE_SEC * 1_000_000)
+        )
+        rep = np.repeat(np.arange(n, dtype=np.int64), _WIN_SLIDES)
+        k = np.tile(np.arange(_WIN_SLIDES, dtype=np.int64), n)
+        t = pa.table(
+            {
+                "user_id": b.column("user_id").take(pa.array(rep)),
+                "window_start_s": pa.array((slide[rep] - k) * _SLIDE_SEC),
+            }
+        )
+        g = t.group_by(["user_id", "window_start_s"]).aggregate([])
+        return g
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
+        )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        d = g.select(["user_id", "window_start_s"]).group_by(
+            ["user_id", "window_start_s"]
+        ).aggregate([])
+        w = d.append_column("one", pa.array(np.ones(len(d), np.int64))).group_by(
+            ["window_start_s"]
+        ).aggregate([("one", "sum")])
+        return pa.table(
+            {"window_start_s": w.column("window_start_s"), "pn": w.column("one_sum")}
+        )
+
+    partials = (
+        ds.map_batches(explode_dedup, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+    )
+    return _sum_by_keys_bucketed(
+        partials, keys=["window_start_s"], sum_cols=["pn"], out_names=["n_users"]
+    )
+
+
 _OHLC_PARTIAL_SCHEMA = pa.schema(
     [
         ("hour", pa.timestamp("us")),
@@ -6059,6 +6165,8 @@ QUERIES = {
     "table_checksum_by_source": table_checksum_by_source,
     "corpus_paragraph_dedup": corpus_paragraph_dedup,
     "events_ohlc_hourly": events_ohlc_hourly,
+    "events_dedup_window": events_dedup_window,
+    "events_sliding_distinct_users": events_sliding_distinct_users,
 }
 
 _CHANGES_CTE = """
@@ -7403,4 +7511,28 @@ SELECT hour, event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
        CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
 FROM r GROUP BY hour, event_type
+"""
+
+# windowed at-least-once dedup: earliest event per (user, type, hour)
+ORACLE_SQL["events_dedup_window"] = """
+SELECT event_id, user_id, event_type, ts
+FROM (SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# hopping-window DAU: exact distinct users per sliding 1h/15-min window
+ORACLE_SQL["events_sliding_distinct_users"] = """
+WITH k AS (SELECT unnest(range(0, 4)) AS k),
+e AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 1000000 // 900 - k.k) * 900 AS window_start_s
+  FROM events CROSS JOIN k
+)
+SELECT CAST(window_start_s AS BIGINT) AS window_start_s,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM e GROUP BY window_start_s
 """

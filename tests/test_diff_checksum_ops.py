@@ -163,3 +163,53 @@ def test_checksum_is_order_insensitive(ray_session, crafted_dir):
         pq.write_table(perm, os.path.join(d, "documents.parquet"))
         shuffled = QUERIES["table_checksum_by_source"](d).to_pandas()
     _cmp(base, shuffled, ["source"])
+
+
+def test_dedup_window_cross_block_ties(ray_session, tmp_path):
+    # Same (user, type, hour) spread across parquet row groups with a
+    # ts tie: event_id must break it; later-hour copy survives alone.
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00:00", "2024-01-01 10:00:00", "2024-01-01 10:59:59",
+         "2024-01-01 11:00:00"]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array([7, 3, 9, 11], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([1.0] * 4),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=1)
+    got = QUERIES["events_dedup_window"](str(tmp_path)).to_pandas()
+    exp = _oracle(str(tmp_path), "events_dedup_window", ["events"])
+    _cmp(got, exp, ["event_id"])
+    assert sorted(got["event_id"]) == [3, 11]  # id 3 wins the tie; hour 11 separate
+
+
+def test_sliding_distinct_cross_block(ray_session, tmp_path):
+    # One user hits the same window from two different row groups →
+    # must count once; two users in one window count twice.
+    ts = pd.to_datetime(
+        ["2024-01-01 10:01:00", "2024-01-01 10:14:00", "2024-01-01 10:01:00"]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 6], pa.int64()),
+            "event_type": pa.array(["click"] * 3),
+            "value": pa.array([1.0] * 3),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=1)
+    got = QUERIES["events_sliding_distinct_users"](str(tmp_path)).to_pandas()
+    exp = _oracle(str(tmp_path), "events_sliding_distinct_users", ["events"])
+    _cmp(got, exp, ["window_start_s"])
+    # the 10:00 window start contains both users exactly once
+    w = got.set_index("window_start_s")["n_users"]
+    start_10 = int(pd.Timestamp("2024-01-01 10:00:00").timestamp())
+    assert w[start_10] == 2
