@@ -5997,6 +5997,144 @@ def events_sliding_distinct_users(sf_dir: str):
     )
 
 
+_PATH_K = 20
+
+
+def events_path_topk(sf_dir: str):
+    """Sequence mining: the global top-20 3-step event-type paths
+    (consecutive triples in each user's (ts, event_id)-ordered
+    stream) — the funnel-discovery primitive (what paths exist)
+    complementing the fixed-funnel counter [events_funnel_counts].
+
+    Shape: ONE user-bucket shuffle co-locates each user's full
+    stream; per bucket a sorted shifted-array kernel emits every
+    triple whose 3 rows share a user (no Python loop) collapsed to
+    bucket-local counts; the tiny top-k exchange on a path bucket
+    prunes exactly (all partials of a path share its bucket)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
+        )
+
+    def triples(g: pa.Table) -> pa.Table:
+        s = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = len(s)
+        if n < 3:
+            return pa.table({"path": pa.array([], pa.string()), "part_n": pa.array([], pa.int64())})
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        idx = np.nonzero(same3)[0]
+        if not len(idx):
+            return pa.table({"path": pa.array([], pa.string()), "part_n": pa.array([], pa.int64())})
+        et = s.column("event_type").combine_chunks()
+        path = pc.binary_join_element_wise(
+            et.take(pa.array(idx)),
+            et.take(pa.array(idx + 1)),
+            et.take(pa.array(idx + 2)),
+            ">",
+        )
+        t = pa.table({"path": path, "one": pa.array(np.ones(len(idx), np.int64))})
+        a = t.group_by("path").aggregate([("one", "sum")])
+        return pa.table({"path": a.column("path"), "part_n": a.column("one_sum")})
+
+    def add_path_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b.column("path").to_pandas(), dtype=object), categorize=False
+        )
+        return b.append_column("pbucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["path", "part_n"]).group_by("path").aggregate([("part_n", "sum")])
+        out = pa.table({"path": a.column("path"), "n": a.column("part_n_sum")})
+        return out.sort_by([("n", "descending"), ("path", "ascending")]).slice(0, _PATH_K)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(triples, batch_format="pyarrow")
+        .map_batches(add_path_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return agg.sort(["n", "path"], descending=[True, False]).limit(_PATH_K)
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def profile_events_columns(sf_dir: str):
+    """Data-quality profile of every events column: row count, null
+    count, exact distinct count — the pre-ingest audit the reference
+    runs as row-count asserts, widened to per-column stats.
+
+    Shape: pass A is shuffle-free (per-batch per-column n/null
+    partials, 6 rows per block); pass B tags each column's values
+    into ONE union stream of (col, value-string) pairs, dedups
+    per batch, then ONE bucketed exchange dedups globally and
+    counts per column (string cast is shortest-roundtrip, hence
+    injective — distinct-on-string == distinct-on-value).  Results
+    are ≤ 6 rows per side; the final join happens driver-side."""
+    ds = _read(sf_dir, "events", columns=_PROFILE_COLS)
+
+    def counts(b: pa.Table) -> pa.Table:
+        rows = []
+        for i, c in enumerate(_PROFILE_COLS):
+            col = b.column(c)
+            rows.append((i, len(col), col.null_count))
+        t = pa.table(
+            {
+                "col_idx": pa.array([r[0] for r in rows], pa.int64()),
+                "pn": pa.array([r[1] for r in rows], pa.int64()),
+                "pnull": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        return t
+
+    base = _sum_by_keys_bucketed(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        keys=["col_idx"],
+        sum_cols=["pn", "pnull"],
+        out_names=["n_rows", "n_nulls"],
+    )
+
+    def tagged_values(b: pa.Table) -> pa.Table:
+        parts = []
+        for i, c in enumerate(_PROFILE_COLS):
+            v = pc.cast(b.column(c), pa.string())
+            t = pa.table({"col_idx": pa.array(np.full(len(b), i, np.int64)), "v": v})
+            parts.append(t.filter(pc.is_valid(t.column("v"))).group_by(["col_idx", "v"]).aggregate([]))
+        u = pa.concat_tables(parts)
+        h = pd.util.hash_array(np.asarray(u.column("v").to_pandas(), dtype=object), categorize=False)
+        tag = u.column("col_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((h ^ (tag * np.uint64(0x9E3779B97F4A7C15))) & np.uint64(_nb() - 1)).astype(np.int32)
+        return u.append_column("vbucket", pa.array(bucket))
+
+    def distinct_counts(g: pa.Table) -> pa.Table:
+        d = g.select(["col_idx", "v"]).group_by(["col_idx", "v"]).aggregate([])
+        t = d.append_column("one", pa.array(np.ones(len(d), np.int64)))
+        a = t.group_by("col_idx").aggregate([("one", "sum")])
+        return pa.table({"col_idx": a.column("col_idx"), "pd_": a.column("one_sum")})
+
+    dist = _sum_by_keys_bucketed(
+        ds.map_batches(tagged_values, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(distinct_counts, batch_format="pyarrow"),
+        keys=["col_idx"],
+        sum_cols=["pd_"],
+        out_names=["n_distinct"],
+    )
+
+    bdf = base.to_pandas()
+    ddf = dist.to_pandas()
+    out = bdf.merge(ddf, on="col_idx").sort_values("col_idx")
+    out["column_name"] = [_PROFILE_COLS[i] for i in out["col_idx"]]
+    return out[["column_name", "n_rows", "n_nulls", "n_distinct"]].reset_index(drop=True)
+
+
 _OHLC_PARTIAL_SCHEMA = pa.schema(
     [
         ("hour", pa.timestamp("us")),
@@ -6167,6 +6305,8 @@ QUERIES = {
     "events_ohlc_hourly": events_ohlc_hourly,
     "events_dedup_window": events_dedup_window,
     "events_sliding_distinct_users": events_sliding_distinct_users,
+    "events_path_topk": events_path_topk,
+    "profile_events_columns": profile_events_columns,
 }
 
 _CHANGES_CTE = """
@@ -7535,4 +7675,42 @@ e AS (
 SELECT CAST(window_start_s AS BIGINT) AS window_start_s,
        CAST(count(*) AS BIGINT) AS n_users
 FROM e GROUP BY window_start_s
+"""
+
+# top-20 3-step event-type paths; ties broken by path ascending
+ORACLE_SQL["events_path_topk"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3,
+         lead(user_id, 2) OVER (ORDER BY user_id, ts, event_id) AS u3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+
+# per-column profile: rows / nulls / exact distinct
+ORACLE_SQL["profile_events_columns"] = """
+SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT), CAST(count(*) - count(ts) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
 """

@@ -213,3 +213,49 @@ def test_sliding_distinct_cross_block(ray_session, tmp_path):
     w = got.set_index("window_start_s")["n_users"]
     start_10 = int(pd.Timestamp("2024-01-01 10:00:00").timestamp())
     assert w[start_10] == 2
+
+
+def test_path_topk_user_boundaries(ray_session, tmp_path):
+    # u1: a,b,c,d → paths a>b>c, b>c>d; u2: only 2 events → no path;
+    # triples never cross users even when streams interleave in ts.
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+         "2024-01-01 10:03", "2024-01-01 10:00", "2024-01-01 10:01"]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d", "x", "y"]),
+            "value": pa.array([1.0] * 6),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=2)
+    got = QUERIES["events_path_topk"](str(tmp_path)).to_pandas()
+    exp = _oracle(str(tmp_path), "events_path_topk", ["events"])
+    _cmp(got, exp, ["path"])
+    assert set(got["path"]) == {"a>b>c", "b>c>d"}
+
+
+def test_profile_counts_nulls_and_distinct(ray_session, tmp_path):
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01", "2024-01-01", None]), pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, None], pa.int64()),
+            "event_type": pa.array(["a", "a", "b"]),
+            "value": pa.array([1.5, 1.5, None]),
+            "props": pa.array(["{}", None, None]),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=1)
+    got = QUERIES["profile_events_columns"](str(tmp_path))
+    exp = _oracle(str(tmp_path), "profile_events_columns", ["events"])
+    _cmp(got, exp, ["column_name"])
+    r = got.set_index("column_name")
+    assert r.loc["props", "n_nulls"] == 2 and r.loc["props", "n_distinct"] == 1
+    assert r.loc["value", "n_distinct"] == 1
