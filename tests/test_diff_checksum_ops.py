@@ -259,3 +259,26 @@ def test_profile_counts_nulls_and_distinct(ray_session, tmp_path):
     r = got.set_index("column_name")
     assert r.loc["props", "n_nulls"] == 2 and r.loc["props", "n_distinct"] == 1
     assert r.loc["value", "n_distinct"] == 1
+
+
+def test_new_ops_plan_shapes(ray_session):
+    """Exchange budget for the late round-3 family at sf0.001:
+    - snapshot diff: exactly ONE all-to-all (the key bucket);
+    - windowed dedup / OHLC: one bucket exchange;
+    - paragraph dedup: two (segment winners, doc reassembly);
+    - sliding distinct: two reduced exchanges (pair-dedup, count sum);
+    - path top-k: two (user co-location, path-bucket top-k) + the
+      final global sort of <= k*n_buckets rows;
+    - profile: counts + tagged distinct + final sums."""
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "cdc_snapshot_diff": 1,
+        "events_dedup_window": 1,
+        "events_ohlc_hourly": 1,
+        "corpus_paragraph_dedup": 2,
+        "events_sliding_distinct_users": 2,
+        "events_path_topk": 3,
+    }
+    for name, budget in budgets.items():
+        stats = QUERIES[name](sf).materialize().stats()
+        assert stats.count("SortReduce") <= budget, (name, stats)
