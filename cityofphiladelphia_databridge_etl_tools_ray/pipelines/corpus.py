@@ -1330,3 +1330,89 @@ def corpus_decontaminate(sf_dir: str, eval_source: str = _DECON_EVAL_SOURCE):
     return docs.filter(expr=f"source != '{eval_source}'").map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+_OOV_VOCAB_K = 16
+
+
+def corpus_oov_rate(sf_dir: str, vocab_k: int = _OOV_VOCAB_K):
+    """Vocabulary-coverage scoring — the train-then-score shape of a
+    tokenizer-fit audit: build the global top-K token vocabulary
+    (count desc, token asc ties), broadcast it once via ``ray.put``,
+    then stream the corpus a second time scoring each document's
+    out-of-vocabulary token count and rate.
+
+    Scale shape: pass 1 is the exact bigram-top-k machinery on
+    unigrams (batch partials → ONE bucketed exchange with exact
+    per-bucket prune → ≤ k·buckets-row global sort); the vocab is
+    O(K), collected once, broadcast, probed per batch with a sorted
+    ``np.searchsorted`` membership test (zero-copy from plasma).
+    Counts are exact int64; the rate is one IEEE division, identical
+    on both sides."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .queries import _nb  # late import: queries imports corpus
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = _tf_table(b)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return pa.table({"term": g.column("term"), "pn": g.column("tf_sum")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(b.column("term").to_pandas(), dtype=object), categorize=False
+        )
+        return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["term", "pn"]).group_by("term").aggregate([("pn", "sum")])
+        out = pa.table({"term": a.column("term"), "n": a.column("pn_sum")})
+        return out.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, vocab_k)
+
+    vocab_df = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .sort(["n", "term"], descending=[True, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    vocab_sorted = np.sort(vocab_df["term"].to_numpy(str))
+    ref = ray.put(vocab_sorted)
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        words = toks.values.to_numpy(zero_copy_only=False).astype(str)
+        keep = words != ""
+        vocab = ray.get(ref)
+        if len(vocab):
+            pos = np.minimum(np.searchsorted(vocab, words), len(vocab) - 1)
+            oov_flag = (vocab[pos] != words) & keep
+        else:
+            oov_flag = keep.copy()
+        doc_seg = np.repeat(np.arange(len(b)), np.diff(off))
+        n_tok = np.bincount(doc_seg, weights=keep.astype(np.float64), minlength=len(b)).astype(np.int64)
+        n_oov = np.bincount(doc_seg, weights=oov_flag.astype(np.float64), minlength=len(b)).astype(np.int64)
+        # docs with zero non-empty tokens drop (the oracle's GROUP BY
+        # over the exploded token stream never sees them)
+        nz = n_tok > 0
+        rate = n_oov[nz] / n_tok[nz]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(pa.array(nz)),
+                "n_tokens": pa.array(n_tok[nz]),
+                "n_oov": pa.array(n_oov[nz]),
+                "oov_rate": pa.array(rate),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 from ..functions.lookup import Int64Bloom, SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
+    corpus_oov_rate,
     corpus_decontaminate,
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
@@ -6307,6 +6308,7 @@ QUERIES = {
     "events_sliding_distinct_users": events_sliding_distinct_users,
     "events_path_topk": events_path_topk,
     "profile_events_columns": profile_events_columns,
+    "corpus_oov_rate": corpus_oov_rate,
 }
 
 _CHANGES_CTE = """
@@ -7713,4 +7715,22 @@ SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(*) - count(value) AS BIGINT
 UNION ALL
 SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(*) - count(props) AS BIGINT),
        CAST(count(DISTINCT props) AS BIGINT) FROM events
+"""
+
+# vocabulary coverage: top-16 global vocab (count desc, token asc),
+# per-doc OOV counts; empty tokens excluded on both sides
+ORACLE_SQL["corpus_oov_rate"] = """
+WITH tok AS (
+  SELECT doc_id, t.w
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       unnest(parts) AS t(w)
+  WHERE t.w <> ''),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 16)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS oov_rate
+FROM tok LEFT JOIN vocab v ON tok.w = v.w
+GROUP BY tok.doc_id
 """

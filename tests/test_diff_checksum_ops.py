@@ -282,3 +282,30 @@ def test_new_ops_plan_shapes(ray_session):
     for name, budget in budgets.items():
         stats = QUERIES[name](sf).materialize().stats()
         assert stats.count("SortReduce") <= budget, (name, stats)
+
+
+def test_oov_rate_vocab_ties_and_empty_docs(ray_session, tmp_path):
+    # 20 distinct tokens, vocab = top-16 (count desc, token asc ties);
+    # an all-empty-token doc must drop on both sides.
+    rows = []
+    # tokens t00..t19: token t_i appears (20 - i) times across docs
+    for i in range(20):
+        rows.append((100 + i, " ".join([f"t{i:02d}"] * (20 - i))))
+    rows.append((200, ""))  # splits to one empty token -> drops
+    rows.append((201, "t00 zz t01 zz"))  # zz is rare -> OOV
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"), row_group_size=3)
+    got = QUERIES["corpus_oov_rate"](str(tmp_path)).to_pandas()
+    exp = _oracle(str(tmp_path), "corpus_oov_rate", ["documents"])
+    _cmp(got, exp, ["doc_id"])
+    r = got.set_index("doc_id")
+    assert 200 not in r.index
+    assert r.loc[201, "n_oov"] == 2 and r.loc[201, "n_tokens"] == 4
