@@ -253,6 +253,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Keyed snapshot diff of two parquet tables (the reference's
+    recorddiff / upsert-verification flow): classify every key as
+    insert / delete / update and stream the changed rows to
+    partitioned parquet or print a summary."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.cluster import parallelism
+    from .pipelines.diff import snapshot_diff
+
+    a = rd.read_parquet(args.a)
+    b = rd.read_parquet(args.b)
+    value_cols = args.columns.split(",") if args.columns else [
+        c for c in a.schema().names if c != args.key
+    ]
+    n_buckets = 1 << (parallelism(4.0, lo=16) - 1).bit_length()
+    out = snapshot_diff(a, b, key=args.key, value_cols=value_cols, n_buckets=n_buckets)
+    if args.out:
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            raise SystemExit(f"--out {args.out!r} exists and is not empty")
+        out.write_parquet(args.out)
+        print(f"diff written to {args.out}")
+    else:
+        m = out.materialize()
+        counts = (
+            m.groupby("diff_kind").count().to_pandas().set_index("diff_kind")["count()"]
+        )
+        print(
+            json.dumps(
+                {k: int(counts.get(k, 0)) for k in ("insert", "update", "delete")}
+            )
+        )
+    ray.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cityofphiladelphia_databridge_etl_tools_ray")
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
@@ -338,6 +375,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True)
     c.add_argument("--gzip-level", type=int, default=7)
     c.set_defaults(fn=cmd_publish)
+
+    c = sub.add_parser("diff", help="keyed snapshot diff of two parquet tables (recorddiff)")
+    c.add_argument("a", help="parquet path of snapshot A (old)")
+    c.add_argument("b", help="parquet path of snapshot B (new)")
+    c.add_argument("--key", required=True, help="int64 primary-key column")
+    c.add_argument("--columns", default=None, help="comma-separated value columns (default: all non-key)")
+    c.add_argument("--out", default=None, help="write changed rows to partitioned parquet")
+    c.set_defaults(fn=cmd_diff)
 
     c = sub.add_parser("query", help="run a registered analytic pipeline")
     c.add_argument("name")

@@ -51,7 +51,7 @@ def snapshot_diff(ds_a, ds_b, key: str, value_cols: list[str], n_buckets: int):
         side = s.column("side_").to_numpy(zero_copy_only=False)
         n = len(k)
         if n == 0:
-            return _empty(key, value_cols)
+            return _empty(s, key, value_cols)
         same_next = np.zeros(n, bool)
         same_next[:-1] = k[:-1] == k[1:]
         same_prev = np.zeros(n, bool)
@@ -88,7 +88,7 @@ def snapshot_diff(ds_a, ds_b, key: str, value_cols: list[str], n_buckets: int):
         if len(upd_a):
             parts.append(_rows(s, key, value_cols, upd_a, upd_b, "update"))
         if not parts:
-            return _empty(key, value_cols)
+            return _empty(s, key, value_cols)
         return pa.concat_tables(parts)
 
     both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
@@ -112,8 +112,12 @@ def _rows(s: pa.Table, key, value_cols, a_idx, b_idx, kind: str) -> pa.Table:
     return pa.table(cols)
 
 
-def _empty(key, value_cols) -> pa.Table:
+def _empty(s: pa.Table, key, value_cols) -> pa.Table:
+    """Empty result with the REAL value-column types (an int64-only
+    assumption would make empty buckets schema-mismatch non-int64
+    payloads at the groupby concat)."""
     fields = [pa.field(key, pa.int64()), pa.field("diff_kind", pa.string())]
     for c in value_cols:
-        fields += [pa.field(f"old_{c}", pa.int64()), pa.field(f"new_{c}", pa.int64())]
+        t = s.schema.field(c).type
+        fields += [pa.field(f"old_{c}", t), pa.field(f"new_{c}", t)]
     return pa.schema(fields).empty_table()
