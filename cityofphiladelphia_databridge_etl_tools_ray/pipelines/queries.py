@@ -5998,6 +5998,57 @@ def events_sliding_distinct_users(sf_dir: str):
     )
 
 
+def conversation_turn_gap_stats(sf_dir: str):
+    """Per-conversation inter-turn latency profile over the replayed
+    transcript state: number of gaps, total / max gap in microseconds
+    between consecutive turns in turn_idx order — the conversational
+    pacing metric for transcript corpora.
+
+    Zero extra shuffle: the merge partitioning already co-locates a
+    conversation inside one block, so one block sort + adjacent diff
+    (conv boundary masked) + an Arrow group_by per block is exact."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_gaps", pa.int64()),
+            ("sum_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def gaps(b: pa.Table) -> pa.Table:
+        if len(b) < 2:
+            return out_schema.empty_table()
+        s = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = s.column("conv_id").to_numpy(zero_copy_only=False)
+        ts = s.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        gap = ts[1:] - ts[:-1]
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv[1:][same]),
+                "gap": pa.array(gap[same]),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [("gap", "count"), ("gap", "sum"), ("gap", "max")]
+        )
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_gaps": pc.cast(g.column("gap_count"), pa.int64()),
+                "sum_gap_us": g.column("gap_sum"),
+                "max_gap_us": g.column("gap_max"),
+            }
+        )
+
+    return state.map_batches(gaps, batch_format="pyarrow")
+
+
 _PATH_K = 20
 
 
@@ -6309,6 +6360,7 @@ QUERIES = {
     "events_path_topk": events_path_topk,
     "profile_events_columns": profile_events_columns,
     "corpus_oov_rate": corpus_oov_rate,
+    "conversation_turn_gap_stats": conversation_turn_gap_stats,
 }
 
 _CHANGES_CTE = """
@@ -7733,4 +7785,23 @@ SELECT tok.doc_id,
        sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS oov_rate
 FROM tok LEFT JOIN vocab v ON tok.w = v.w
 GROUP BY tok.doc_id
+"""
+
+# inter-turn latency profile of the replayed state: lag over turn_idx
+ORACLE_SQL["conversation_turn_gap_stats"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+), g AS (
+  SELECT conv_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx)) AS gap
+  FROM state
+)
+SELECT conv_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY conv_id
 """
