@@ -6049,6 +6049,124 @@ def conversation_turn_gap_stats(sf_dir: str):
     return state.map_batches(gaps, batch_format="pyarrow")
 
 
+def events_type_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's LONGEST consecutive same-type
+    streak per event type (stream order = (ts, event_id)) — the
+    run-length/sessionization-adjacent shape SQL solves with the
+    rn − rn2 islands trick.
+
+    Shape: ONE user-bucket shuffle co-locates each user's stream; per
+    bucket one sort + boundary mask (user or type change) → run
+    lengths from ``np.diff`` over boundary indices → per-(user, type)
+    max via one Arrow group_by.  No Python loop, no second
+    exchange."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
+        )
+
+    def streaks(g: pa.Table) -> pa.Table:
+        s = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = len(s)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "longest_streak": pa.array([], pa.int64()),
+                }
+            )
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        e = s.column("event_type").to_numpy(zero_copy_only=False)
+        newrun = np.concatenate(([True], (u[1:] != u[:-1]) | (e[1:] != e[:-1])))
+        starts = np.nonzero(newrun)[0]
+        lengths = np.diff(np.append(starts, n)).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "event_type": pa.array(e[starts]),
+                "len": pa.array(lengths),
+            }
+        )
+        a = t.group_by(["user_id", "event_type"]).aggregate([("len", "max")])
+        return pa.table(
+            {
+                "user_id": a.column("user_id"),
+                "event_type": a.column("event_type"),
+                "longest_streak": a.column("len_max"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(streaks, batch_format="pyarrow")
+    )
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month order volume and revenue growth — the
+    time-series KPI rollup: monthly (n, cents) from map-side partials
+    through ONE tiny exchange, then the lag/delta computed on the
+    O(months) result with vectorized numpy (a 10^10-row orders table
+    still yields only O(months) rows here)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        t = pa.table(
+            {
+                "month": m,
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by("month").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table(
+            {
+                "month": g.column("month"),
+                "pn": g.column("one_sum"),
+                "pc_": g.column("cents_sum"),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        mv = b.column("month").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(((mv // 2_592_000_000_000) & (_nb() - 1)).astype(np.int32))
+        )
+
+    monthly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _agg_select(
+                g.select(["month", "pn", "pc_"])
+                .group_by("month")
+                .aggregate([("pn", "sum"), ("pc_", "sum")]),
+                ["month"],
+                [("pn_sum", "n"), ("pc__sum", "cents")],
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    prev_n = monthly["n"].shift(1)
+    prev_c = monthly["cents"].shift(1)
+    monthly["n_orders"] = monthly["n"].astype("int64")
+    monthly["sum_cents"] = monthly["cents"].astype("int64")
+    monthly["growth_n"] = (monthly["n"] - prev_n) / prev_n
+    monthly["growth_cents"] = (monthly["cents"] - prev_c) / prev_c
+    return monthly[["month", "n_orders", "sum_cents", "growth_n", "growth_cents"]]
+
+
 _PATH_K = 20
 
 
@@ -6361,6 +6479,8 @@ QUERIES = {
     "profile_events_columns": profile_events_columns,
     "corpus_oov_rate": corpus_oov_rate,
     "conversation_turn_gap_stats": conversation_turn_gap_stats,
+    "events_type_streaks": events_type_streaks,
+    "orders_monthly_growth": orders_monthly_growth,
 }
 
 _CHANGES_CTE = """
@@ -7804,4 +7924,31 @@ SELECT conv_id, CAST(count(gap) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM g WHERE gap IS NOT NULL GROUP BY conv_id
+"""
+
+# gaps-and-islands: rn - rn2 island key, longest island per (user, type)
+ORACLE_SQL["events_type_streaks"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn2
+  FROM events)
+SELECT user_id, event_type, CAST(max(cnt) AS BIGINT) AS longest_streak
+FROM (SELECT user_id, event_type, count(*) AS cnt
+      FROM o GROUP BY user_id, event_type, rn - rn2)
+GROUP BY user_id, event_type
+"""
+
+# month-over-month growth; IEEE division of exact int aggregates
+ORACLE_SQL["orders_monthly_growth"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY month)
+SELECT month, n_orders, sum_cents,
+       (n_orders - lag(n_orders) OVER w)::DOUBLE / lag(n_orders) OVER w AS growth_n,
+       (sum_cents - lag(sum_cents) OVER w)::DOUBLE / lag(sum_cents) OVER w AS growth_cents
+FROM m WINDOW w AS (ORDER BY month)
 """

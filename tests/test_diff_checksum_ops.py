@@ -309,3 +309,49 @@ def test_oov_rate_vocab_ties_and_empty_docs(ray_session, tmp_path):
     r = got.set_index("doc_id")
     assert 200 not in r.index
     assert r.loc[201, "n_oov"] == 2 and r.loc[201, "n_tokens"] == 4
+
+
+def test_streaks_islands_and_ties(ray_session, tmp_path):
+    # u1 stream: a a b a a a  -> longest a=3 (not 5), b=1; ts tie at
+    # positions 0/1 ordered by event_id.
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:00", "2024-01-01 10:02",
+         "2024-01-01 10:03", "2024-01-01 10:04", "2024-01-01 10:05"]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "a", "a", "a"]),
+            "value": pa.array([1.0] * 6),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=2)
+    got = QUERIES["events_type_streaks"](str(tmp_path)).to_pandas()
+    exp = _oracle(str(tmp_path), "events_type_streaks", ["events"])
+    _cmp(got, exp, ["user_id", "event_type"])
+    r = got.set_index("event_type")["longest_streak"]
+    assert r["a"] == 3 and r["b"] == 1
+
+
+def test_monthly_growth_first_month_null(ray_session, tmp_path):
+    dates = pd.to_datetime(["2024-01-05", "2024-01-20", "2024-02-10", "2024-04-01"])
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4),
+            "o_totalprice": pa.array([100.0, 200.0, 150.0, 60.0]),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = QUERIES["orders_monthly_growth"](str(tmp_path))
+    exp = _oracle(str(tmp_path), "orders_monthly_growth", ["orders"])
+    _cmp(got, exp, ["month"])
+    g = got.sort_values("month").reset_index(drop=True)
+    assert pd.isna(g.loc[0, "growth_n"])  # no prior month
+    assert g.loc[1, "growth_n"] == -0.5  # 2 -> 1 orders
