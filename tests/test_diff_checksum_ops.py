@@ -355,3 +355,67 @@ def test_monthly_growth_first_month_null(ray_session, tmp_path):
     g = got.sort_values("month").reset_index(drop=True)
     assert pd.isna(g.loc[0, "growth_n"])  # no prior month
     assert g.loc[1, "growth_n"] == -0.5  # 2 -> 1 orders
+
+
+def test_snapshot_diff_roundtrip_reconstructs_b(ray_session):
+    # Invariant: A patched with the diff equals B exactly — delete
+    # old-side keys, apply updates, add inserts.
+    rng = np.random.default_rng(7)
+    ka = rng.choice(2000, size=300, replace=False).astype(np.int64)
+    kb = rng.choice(2000, size=300, replace=False).astype(np.int64)
+    va = rng.integers(0, 50, size=300).astype(np.int64)
+    vb = rng.integers(0, 50, size=300).astype(np.int64)
+    a = pa.table({"k": ka, "v": va})
+    b = pa.table({"k": kb, "v": vb})
+    d = snapshot_diff(
+        ray.data.from_arrow(a), ray.data.from_arrow(b), key="k", value_cols=["v"], n_buckets=8
+    ).to_pandas()
+    adf = a.to_pandas().set_index("k")["v"].to_dict()
+    for _, r in d.iterrows():
+        if r["diff_kind"] == "delete":
+            del adf[r["k"]]
+        else:
+            adf[r["k"]] = int(r["new_v"])
+    bdf = b.to_pandas().set_index("k")["v"].to_dict()
+    assert adf == bdf
+
+
+def test_paragraph_dedup_idempotent(ray_session, tmp_path):
+    # Running segment dedup on an already-deduped corpus must be a
+    # no-op (each surviving segment is already globally unique).
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(8)]
+    shared = " ".join(["boiler"] * 10)  # a segment many docs share
+    texts = [
+        (shared + " " if i % 3 == 0 else "") + " ".join(rng.choice(vocab, size=25))
+        for i in range(40)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"), row_group_size=7)
+    once = QUERIES["corpus_paragraph_dedup"](str(tmp_path)).to_pandas()
+    d2 = tmp_path / "second"
+    d2.mkdir()
+    again_in = pa.table(
+        {
+            "doc_id": pa.array(once["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(once["text_dedup"].astype(str)),
+            "lang": pa.array(["en"] * len(once)),
+            "source": pa.array(["s"] * len(once)),
+            "n_chars": pa.array([len(t) for t in once["text_dedup"]], pa.int64()),
+        }
+    )
+    pq.write_table(again_in, str(d2 / "documents.parquet"), row_group_size=7)
+    twice = QUERIES["corpus_paragraph_dedup"](str(d2)).to_pandas()
+    m = once.sort_values("doc_id").reset_index(drop=True)
+    t = twice.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        m["text_dedup"].astype(str), t["text_dedup"].astype(str), check_names=False
+    )
