@@ -6167,6 +6167,71 @@ def orders_monthly_growth(sf_dir: str):
     return monthly[["month", "n_orders", "sum_cents", "growth_n", "growth_cents"]]
 
 
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 adapted to this corpus (no partsupp table — the
+    supplier relation comes from lineitem facts; the comment-based
+    supplier exclusion has no column here): distinct suppliers per
+    (brand, type) part family, excluding Brand#45 and MEDIUM parts.
+
+    Scale shape: pushed-down dimension read → (brand, type) dictionary
+    ids broadcast as a SortedIntMap (O(|part|) ints, ray.put once);
+    fact probe emits batch-deduped (family, suppkey) pairs; ONE
+    bucketed exchange on suppkey globally dedups pairs and partials
+    per-family counts; the tiny final exchange sums them.  COUNT
+    (DISTINCT) never ships raw fact rows — only deduped pairs."""
+    import ray
+
+    parts = _read(
+        sf_dir,
+        "part",
+        columns=["p_partkey", "p_brand", "p_type"],
+        filter=(pc.field("p_brand") != "Brand#45") & (pc.field("p_type") != "MEDIUM"),
+    ).to_pandas()
+    fam_codes, fam_index = pd.factorize(
+        parts["p_brand"].astype(str) + "|" + parts["p_type"].astype(str), sort=True
+    )
+    ref = ray.put(SortedIntMap(parts["p_partkey"].to_numpy(), fam_codes.astype(np.int64)))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        fam, found = _deref(ref).get(_np(b.column("l_partkey")), default=0)
+        t = pa.table(
+            {
+                "fam": pa.array(fam[found]),
+                "suppkey": b.column("l_suppkey").filter(pa.array(found)),
+            }
+        )
+        return t.group_by(["fam", "suppkey"]).aggregate([])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("suppkey"), _nb() - 1), pa.int32())
+        )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        d = g.select(["fam", "suppkey"]).group_by(["fam", "suppkey"]).aggregate([])
+        t = d.append_column("one", pa.array(np.ones(len(d), np.int64)))
+        a = t.group_by("fam").aggregate([("one", "sum")])
+        return pa.table({"fam": a.column("fam"), "pn": a.column("one_sum")})
+
+    counts = _sum_by_keys_bucketed(
+        ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pyarrow"),
+        keys=["fam"],
+        sum_cols=["pn"],
+        out_names=["supplier_cnt"],
+    ).to_pandas()
+    fams = counts["fam"].astype(int).to_numpy()
+    labels = fam_index.to_numpy(str)[fams]
+    brand_type = np.char.partition(labels, "|")
+    counts["p_brand"] = brand_type[:, 0]
+    counts["p_type"] = brand_type[:, 2]
+    return counts[["p_brand", "p_type", "supplier_cnt"]]
+
+
 _PATH_K = 20
 
 
@@ -6481,6 +6546,7 @@ QUERIES = {
     "conversation_turn_gap_stats": conversation_turn_gap_stats,
     "events_type_streaks": events_type_streaks,
     "orders_monthly_growth": orders_monthly_growth,
+    "q16_supplier_variety": q16_supplier_variety,
 }
 
 _CHANGES_CTE = """
@@ -7951,4 +8017,12 @@ SELECT month, n_orders, sum_cents,
        (n_orders - lag(n_orders) OVER w)::DOUBLE / lag(n_orders) OVER w AS growth_n,
        (sum_cents - lag(sum_cents) OVER w)::DOUBLE / lag(sum_cents) OVER w AS growth_cents
 FROM m WINDOW w AS (ORDER BY month)
+"""
+
+# q16-adapted: distinct suppliers per part family from lineitem facts
+ORACLE_SQL["q16_supplier_variety"] = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+GROUP BY p_brand, p_type
 """
