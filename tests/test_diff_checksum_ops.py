@@ -419,3 +419,17 @@ def test_paragraph_dedup_idempotent(ray_session, tmp_path):
     pd.testing.assert_series_equal(
         m["text_dedup"].astype(str), t["text_dedup"].astype(str), check_names=False
     )
+
+
+def test_latest_ops_plan_shapes(ray_session):
+    """Exchange budgets: streaks = one user-bucket exchange; q16 =
+    pair-dedup + final sum (2); monthly growth = one tiny exchange."""
+    sf = "/root/testdata/sf0.001"
+    for name, budget in {
+        "events_type_streaks": 1,
+        "q16_supplier_variety": 2,
+    }.items():
+        res = QUERIES[name](sf)
+        if hasattr(res, "materialize"):
+            stats = res.materialize().stats()
+            assert stats.count("SortReduce") <= budget, (name, stats)
