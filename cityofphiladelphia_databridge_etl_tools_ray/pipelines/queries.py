@@ -6232,6 +6232,69 @@ def q16_supplier_variety(sf_dir: str):
     return counts[["p_brand", "p_type", "supplier_cnt"]]
 
 
+def events_user_conversion_time(sf_dir: str):
+    """Funnel latency: per user the first click, the first purchase,
+    and the signed gap between them — the time-to-convert metric
+    downstream of [events_funnel_counts].  Conditional-min partials
+    (both firsts computed in the SAME single pass over the fact
+    stream) collapse every block to ≤ n_users rows; ONE bucketed
+    exchange takes the global mins; users lacking either event drop.
+    Gap is exact integer microseconds."""
+    ds = _read(
+        sf_dir,
+        "events",
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    _SENTINEL = np.int64(2**62)
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        click = np.where(et == "click", ts, _SENTINEL)
+        buy = np.where(et == "purchase", ts, _SENTINEL)
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "c": pa.array(click),
+                "p": pa.array(buy),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("c", "min"), ("p", "min")])
+        return pa.table(
+            {"user_id": g.column("user_id"), "c": g.column("c_min"), "p": g.column("p_min")}
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32())
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        a = g.select(["user_id", "c", "p"]).group_by("user_id").aggregate(
+            [("c", "min"), ("p", "min")]
+        )
+        c = a.column("c_min").to_numpy(zero_copy_only=False)
+        p = a.column("p_min").to_numpy(zero_copy_only=False)
+        keep = (c < _SENTINEL) & (p < _SENTINEL)
+        return pa.table(
+            {
+                "user_id": a.column("user_id").filter(pa.array(keep)),
+                "first_click": pa.array(c[keep]).cast(pa.timestamp("us")),
+                "first_purchase": pa.array(p[keep]).cast(pa.timestamp("us")),
+                "gap_us": pa.array(p[keep] - c[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 _PATH_K = 20
 
 
@@ -6547,6 +6610,7 @@ QUERIES = {
     "events_type_streaks": events_type_streaks,
     "orders_monthly_growth": orders_monthly_growth,
     "q16_supplier_variety": q16_supplier_variety,
+    "events_user_conversion_time": events_user_conversion_time,
 }
 
 _CHANGES_CTE = """
@@ -8025,4 +8089,18 @@ SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cn
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
 GROUP BY p_brand, p_type
+"""
+
+# funnel latency: first click vs first purchase per user (both present)
+ORACLE_SQL["events_user_conversion_time"] = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+       min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+       CAST(epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+            - epoch_us(min(CASE WHEN event_type = 'click' THEN ts END)) AS BIGINT)
+         AS gap_us
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id
+HAVING first_click IS NOT NULL AND first_purchase IS NOT NULL
 """
