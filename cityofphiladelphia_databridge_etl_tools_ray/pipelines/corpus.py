@@ -1416,3 +1416,151 @@ def corpus_oov_rate(sf_dir: str, vocab_k: int = _OOV_VOCAB_K):
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+def _source_term_partial(b: pa.Table) -> pa.Table:
+    """Batch-local (source, term, count) partials — the [_tf_table]
+    explode keyed by the source column instead of doc_id (split on ' '
+    mirrors the oracle's ``string_split(text, ' ')`` exactly)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy()
+    src = np.repeat(b.column("source").to_numpy(zero_copy_only=False), np.diff(off))
+    t = pa.table({"source": pa.array(src, pa.string()), "term": toks.values})
+    t = t.filter(pc.not_equal(t.column("term"), ""))
+    g = t.group_by(["source", "term"]).aggregate([("term", "count")])
+    return pa.table(
+        {
+            "source": g.column("source"),
+            "term": g.column("term"),
+            "pn": g.column("term_count").cast(pa.int64()),
+        }
+    )
+
+
+def _term_bucket(b: pa.Table) -> pa.Table:
+    """Shuffle key: stable string hash of the term, coarse-masked.  All
+    partials of one (source, term) meet in one bucket, so per-source
+    term totals (and term→source incidence) finish bucket-locally."""
+    from .queries import _nb
+
+    h = pd.util.hash_array(
+        np.asarray(b.column("term").to_pandas(), dtype=object), categorize=False
+    )
+    return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+
+def corpus_hapax_stats(sf_dir: str):
+    """Per-source vocabulary richness: vocabulary size, hapax-legomenon
+    count (terms occurring exactly once within the source) and hapax
+    rate — the lexical-diversity audit of a training-data mix (a
+    near-duplicated or templated feed shows a collapsing hapax rate).
+
+    Scale shape: batch-local (source, term) count partials → ONE
+    bucketed exchange on the term hash (per-source term totals finish
+    inside one bucket) → each bucket emits ≤ |sources| partial rows →
+    a tiny per-source Ray aggregate; the corpus itself never moves."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc  # noqa: F401  (kernel closure)
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = (
+            g.select(["source", "term", "pn"])
+            .group_by(["source", "term"])
+            .aggregate([("pn", "sum")])
+        )
+        n = a.column("pn_sum").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": a.column("source"),
+                "vn": pa.array(np.ones(len(a), np.int64)),
+                "hn": pa.array((n == 1).astype(np.int64)),
+            }
+        )
+        s = t.group_by("source").aggregate([("vn", "sum"), ("hn", "sum")])
+        return pa.table(
+            {
+                "source": s.column("source"),
+                "vn": s.column("vn_sum"),
+                "hn": s.column("hn_sum"),
+            }
+        )
+
+    df = (
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(_source_term_partial, batch_format="pyarrow")
+        .map_batches(_term_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("vn", alias_name="vocab_n"), Sum("hn", alias_name="hapax_n"))
+        .to_pandas()
+    )
+    df["hapax_rate"] = df["hapax_n"] / df["vocab_n"]
+    return df[["source", "vocab_n", "hapax_n", "hapax_rate"]]
+
+
+def corpus_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    mix-design diagnostic for how lexically close two ingest feeds are
+    (candidates for source-level dedup or down-weighting).
+
+    Scale shape: batch-local DISTINCT (source, term) partials → ONE
+    bucketed exchange on the term hash → per bucket a terms×sources
+    0/1 incidence matrix whose Gram product (one matmul; sources² is
+    tiny) yields intersection partials, the diagonal carrying vocab
+    sizes → a ≤ sources² Ray aggregate and an O(sources²) driver-side
+    Jaccard fold.  No term list ever reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    _SCHEMA = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("pn", pa.int64())]
+    )
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        t = _source_term_partial(b)
+        return t.select(["source", "term"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        d = g.select(["source", "term"]).group_by(["source", "term"]).aggregate([])
+        if len(d) == 0:
+            return _SCHEMA.empty_table()
+        src = d.column("source").to_numpy(zero_copy_only=False)
+        term = d.column("term").to_numpy(zero_copy_only=False)
+        s_codes, s_uniq = pd.factorize(src, sort=True)
+        t_codes, t_uniq = pd.factorize(term, sort=False)
+        m = np.zeros((len(t_uniq), len(s_uniq)), np.int64)
+        m[t_codes, s_codes] = 1
+        inter = m.T @ m  # sources×sources; diag = per-source vocab here
+        ii, jj = np.triu_indices(len(s_uniq))
+        su = np.asarray(s_uniq, dtype=object)
+        return pa.table(
+            {
+                "src_a": pa.array(su[ii].astype(str), pa.string()),
+                "src_b": pa.array(su[jj].astype(str), pa.string()),
+                "pn": pa.array(inter[ii, jj]),
+            }
+        )
+
+    agg = (
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .map_batches(_term_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    diag = agg[agg["src_a"] == agg["src_b"]].set_index("src_a")["n"]
+    pairs = agg[(agg["src_a"] < agg["src_b"]) & (agg["n"] > 0)].copy()
+    va = diag.loc[pairs["src_a"]].to_numpy(np.int64)
+    vb = diag.loc[pairs["src_b"]].to_numpy(np.int64)
+    inter = pairs["n"].to_numpy(np.int64)
+    pairs["inter_n"] = inter
+    pairs["jaccard"] = inter / (va + vb - inter)
+    return pairs[["src_a", "src_b", "inter_n", "jaccard"]].reset_index(drop=True)

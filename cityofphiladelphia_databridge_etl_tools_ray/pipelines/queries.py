@@ -26,7 +26,9 @@ import pyarrow.compute as pc
 from ..functions.lookup import Int64Bloom, SortedIntMap, deref as _deref
 from .corpus import (
     corpus_clean_pipeline,
+    corpus_hapax_stats,
     corpus_oov_rate,
+    corpus_vocab_overlap,
     corpus_decontaminate,
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
@@ -6450,6 +6452,202 @@ _OHLC_PARTIAL_SCHEMA = pa.schema(
 )
 
 
+def events_type_transition_matrix(sf_dir: str):
+    """Markov transition counts between consecutive event types of the
+    same user — the LEAD(event_type) window at scale, reduced to the
+    |types|² contingency matrix a sequence model's priors need.
+
+    Scale shape: ONE shuffle on the coarse user bucket, then a
+    vectorized lexsort + shift kernel per bucket (the
+    [events_user_lag_gaps] pattern on a categorical column) emitting
+    ≤ |types|² partial counts per bucket; the final combine is a Ray
+    groupby over ≤ |types|² · _nb() pre-reduced rows."""
+    from ray.data.aggregate import Sum
+
+    _SCHEMA = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()), ("pn", pa.int64())]
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SCHEMA.empty_table()
+        user = _np(g.column("user_id"))
+        eid = _np(g.column("event_id"))
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user_s, et_s = user[order], et[order]
+        same = user_s[1:] == user_s[:-1]
+        t = pa.table(
+            {
+                "prev_type": pa.array(et_s[:-1][same], pa.string()),
+                "next_type": pa.array(et_s[1:][same], pa.string()),
+                "one": pa.array(np.ones(int(same.sum()), np.int64)),
+            }
+        )
+        a = t.group_by(["prev_type", "next_type"]).aggregate([("one", "sum")])
+        return _agg_select(a, ["prev_type", "next_type"], [("one_sum", "pn")])
+
+    return (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def events_session_funnel(sf_dir: str):
+    """In-session conversion: of all 30-min-gap sessions, how many saw
+    a click, a purchase, and a click STRICTLY before a purchase — the
+    per-session funnel rate downstream of [sessionize_events].
+
+    Scale shape: same ONE coarse-user-bucket shuffle as the session
+    family; per bucket the sorted stream's session segments are folded
+    with np.minimum.reduceat (first click / first purchase per session,
+    sentinel-masked — no per-session Python), and each bucket emits a
+    single 4-counter partial row; the driver sums ≤ _nb() tiny rows."""
+    _SENTINEL = np.int64(2**62)
+    _SCHEMA = pa.schema(
+        [
+            ("n_sessions", pa.int64()),
+            ("n_click_sessions", pa.int64()),
+            ("n_purchase_sessions", pa.int64()),
+            ("n_converted", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SCHEMA.empty_table()
+        user = _np(g.column("user_id"))
+        eid = _np(g.column("event_id"))
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user_s, ts_s, et_s = user[order], ts[order], et[order]
+        new_user = np.r_[True, user_s[1:] != user_s[:-1]]
+        gap = np.r_[False, (ts_s[1:] - ts_s[:-1]) > _SESSION_GAP_US]
+        starts = np.flatnonzero(new_user | gap)
+        click_ts = np.where(et_s == "click", ts_s, _SENTINEL)
+        purch_ts = np.where(et_s == "purchase", ts_s, _SENTINEL)
+        first_click = np.minimum.reduceat(click_ts, starts)
+        first_purch = np.minimum.reduceat(purch_ts, starts)
+        has_c = first_click < _SENTINEL
+        has_p = first_purch < _SENTINEL
+        return pa.table(
+            {
+                "n_sessions": pa.array([np.int64(len(starts))]),
+                "n_click_sessions": pa.array([np.int64(has_c.sum())]),
+                "n_purchase_sessions": pa.array([np.int64(has_p.sum())]),
+                "n_converted": pa.array(
+                    [np.int64((has_c & has_p & (first_click < first_purch)).sum())]
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return partials.sum(axis=0).astype("int64").to_frame().T
+
+
+def orders_rolling_3m_revenue(sf_dir: str):
+    """Monthly revenue with a 3-month moving average — the windowed
+    (ROWS BETWEEN 2 PRECEDING) time-series smoother.  Same shape as
+    [orders_monthly_growth]: map-side monthly cents partials, ONE tiny
+    exchange, then the rolling frame computed on the O(months) result
+    with an exact cumsum difference (window sums stay int64; the one
+    IEEE division matches the oracle's AVG bit-for-bit)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        t = pa.table({"month": m, "cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by("month").aggregate([("cents", "sum")])
+        return _agg_select(g, ["month"], [("cents_sum", "pc_")])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        mv = b.column("month").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(((mv // 2_592_000_000_000) & (_nb() - 1)).astype(np.int32))
+        )
+
+    monthly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _agg_select(
+                g.select(["month", "pc_"]).group_by("month").aggregate([("pc_", "sum")]),
+                ["month"],
+                [("pc__sum", "sum_cents")],
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    c = monthly["sum_cents"].to_numpy(np.int64)
+    cs = np.cumsum(c)
+    win_sum = cs - np.r_[np.zeros(min(3, len(c)), np.int64), cs[:-3]][: len(c)]
+    win_n = np.minimum(np.arange(len(c)) + 1, 3)
+    monthly["sum_cents"] = monthly["sum_cents"].astype("int64")
+    monthly["avg_3m_cents"] = win_sum / win_n
+    return monthly[["month", "sum_cents", "avg_3m_cents"]]
+
+
+def lineitem_brand_type_share(sf_dir: str):
+    """Percent-of-total within a partition (SUM OVER (PARTITION BY))
+    at scale: each part brand's share of its part-type category's
+    revenue.  The part dimension is reduced to a partkey→family-code
+    SortedIntMap and broadcast once (ray.put); the fact probe emits
+    per-family cents partials; ONE bucketed exchange sums ≤ families
+    rows; shares are an O(families) vectorized fold on the driver."""
+    import ray
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+    fam_codes, fam_index = pd.factorize(
+        parts["p_type"].astype(str) + "|" + parts["p_brand"].astype(str), sort=True
+    )
+    ref = ray.put(SortedIntMap(parts["p_partkey"].to_numpy(), fam_codes.astype(np.int64)))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        fam, found = _deref(ref).get(_np(b.column("l_partkey")), default=0)
+        b = b.filter(pa.array(found))
+        rev = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        t = pa.table({"fam": pa.array(fam[found]), "rev": rev})
+        g = t.group_by("fam").aggregate([("rev", "sum")])
+        return _agg_select(g, ["fam"], [("rev_sum", "pc_")])
+
+    agg = _sum_by_keys_bucketed(
+        ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow"),
+        keys=["fam"],
+        sum_cols=["pc_"],
+        out_names=["revenue_cents"],
+    ).to_pandas()
+    labels = fam_index.to_numpy(str)[agg["fam"].astype(int).to_numpy()]
+    tb = np.char.partition(labels, "|")
+    agg["p_type"], agg["p_brand"] = tb[:, 0], tb[:, 2]
+    agg["revenue_cents"] = agg["revenue_cents"].astype("int64")
+    type_tot = agg.groupby("p_type")["revenue_cents"].transform("sum")
+    agg["type_share"] = agg["revenue_cents"] / type_tot
+    return agg[["p_type", "p_brand", "revenue_cents", "type_share"]]
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -6611,6 +6809,12 @@ QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "q16_supplier_variety": q16_supplier_variety,
     "events_user_conversion_time": events_user_conversion_time,
+    "events_type_transition_matrix": events_type_transition_matrix,
+    "events_session_funnel": events_session_funnel,
+    "orders_rolling_3m_revenue": orders_rolling_3m_revenue,
+    "lineitem_brand_type_share": lineitem_brand_type_share,
+    "corpus_hapax_stats": corpus_hapax_stats,
+    "corpus_vocab_overlap": corpus_vocab_overlap,
 }
 
 _CHANGES_CTE = """
@@ -8103,4 +8307,94 @@ FROM events
 WHERE event_type IN ('click', 'purchase')
 GROUP BY user_id
 HAVING first_click IS NOT NULL AND first_purchase IS NOT NULL
+"""
+
+# Markov transition counts: LEAD(event_type) per user
+ORACLE_SQL["events_type_transition_matrix"] = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+# in-session funnel: sessions with click strictly before purchase
+ORACLE_SQL["events_session_funnel"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged),
+s AS (
+  SELECT user_id, session_idx,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM sess GROUP BY user_id, session_idx)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
+       CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_sessions,
+       CAST(sum(CASE WHEN fc IS NOT NULL AND fp IS NOT NULL AND fc < fp
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM s
+"""
+
+# 3-month moving average over exact monthly cents
+ORACLE_SQL["orders_rolling_3m_revenue"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY month)
+SELECT month, sum_cents,
+       AVG(sum_cents) OVER (ORDER BY month
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_3m_cents
+FROM m
+"""
+
+# percent-of-total within a partition: brand share of its type's revenue
+ORACLE_SQL["lineitem_brand_type_share"] = """
+WITH r AS (
+  SELECT p_type, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_type, p_brand)
+SELECT p_type, p_brand, revenue_cents,
+       revenue_cents::DOUBLE / sum(revenue_cents) OVER (PARTITION BY p_type) AS type_share
+FROM r
+"""
+
+# per-source lexical diversity: vocab size / hapax count / hapax rate
+ORACLE_SQL["corpus_hapax_stats"] = """
+WITH tok AS (
+  SELECT source, t.w
+  FROM (SELECT source, string_split(text, ' ') AS parts FROM documents),
+       unnest(parts) AS t(w)
+  WHERE t.w <> ''),
+cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab_n,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_n,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS hapax_rate
+FROM cnt GROUP BY source
+"""
+
+# pairwise vocabulary Jaccard between sources (zero-overlap pairs drop)
+ORACLE_SQL["corpus_vocab_overlap"] = """
+WITH tok AS (
+  SELECT DISTINCT source, t.w
+  FROM (SELECT source, string_split(text, ' ') AS parts FROM documents),
+       unnest(parts) AS t(w)
+  WHERE t.w <> ''),
+v AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter_n
+      FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, CAST(i.inter_n AS BIGINT) AS inter_n,
+       i.inter_n::DOUBLE / (va.n + vb.n - i.inter_n) AS jaccard
+FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b
 """

@@ -1,0 +1,211 @@
+"""Edge cases for the round-3 continuation ops on crafted data:
+
+- events_session_funnel: strict click-before-purchase (purchase-first
+  and equal-timestamp sessions must NOT convert; a 30-min gap splits
+  an otherwise-converting pair into two non-converting sessions);
+- events_type_transition_matrix: single-event users emit no pair;
+  equal timestamps break ties by event_id;
+- orders_rolling_3m_revenue: a <3-month history shrinks the frame
+  (AVG over 1 then 2 rows), matching the ROWS BETWEEN oracle;
+- lineitem_brand_type_share: facts whose partkey is absent from the
+  dimension drop (inner join), and shares sum to 1 per type;
+- corpus_hapax_stats / corpus_vocab_overlap: empty docs, all-hapax
+  sources, cross-doc repeats within a source, disjoint-vocab pairs
+  dropping, identical-vocab pairs scoring jaccard = 1.
+Each engine result is compared against its registered DuckDB oracle
+on the same crafted tables (the same compare the driver gate runs).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+)
+
+
+def _con(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _cmp(got, exp, keys=None):
+    if keys:
+        got = got.sort_values(keys).reset_index(drop=True)
+        exp = exp.sort_values(keys).reset_index(drop=True)
+    assert sorted(got.columns) == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        exp[sorted(exp.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def _to_pandas(obj):
+    return obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("r3b_edges")
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: click then purchase, same session -> converted
+        (101, t0, 1, "click"),
+        (102, t0 + 5 * m, 1, "purchase"),
+        # user 2: purchase BEFORE click, same session -> not converted
+        (201, t0, 2, "purchase"),
+        (202, t0 + 5 * m, 2, "click"),
+        # user 3: click, 31-min gap, purchase -> two sessions, neither converts
+        (301, t0, 3, "click"),
+        (302, t0 + 31 * m, 3, "purchase"),
+        # user 4: click and purchase at the SAME ts -> strict <, no convert
+        # (event_id orders the tie deterministically on both sides)
+        (401, t0, 4, "click"),
+        (402, t0, 4, "purchase"),
+        # user 5: single event -> one session, no transition pair
+        (501, t0, 5, "view"),
+        # user 6: three events with an equal-ts pair: view(610) @t0,
+        # click(611) @t0, purchase(612) @t0+1m -> pairs view>click, click>purchase
+        (610, t0, 6, "view"),
+        (611, t0, 6, "click"),
+        (612, t0 + 1 * m, 6, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(root / "events.parquet"),
+    )
+    # two months only: the 3-month frame must shrink to 1 then 2 rows
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-05", "2024-01-20", "2024-02-10"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array([100.00, 50.00, 200.00]),
+            }
+        ),
+        str(root / "orders.parquet"),
+    )
+    # part 3 is never referenced; lineitem partkey 99 has no dimension row
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_brand": pa.array(["Brand#A", "Brand#B", "Brand#A"]),
+                "p_type": pa.array(["TYPE1", "TYPE1", "TYPE2"]),
+            }
+        ),
+        str(root / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2, 99], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0, 1000.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.1, 0.0]),
+            }
+        ),
+        str(root / "lineitem.parquet"),
+    )
+    # srcA: "x x y" (x repeats ACROSS docs -> not hapax; y hapax)
+    # srcB: all-hapax vocab {x, z} -> overlap with srcA on {x}
+    # srcC: empty + whitespace-only docs -> zero vocab, no overlap rows
+    # srcD: identical vocab to srcB -> jaccard exactly 1.0
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(["x x y", "x", "x z", "", " ", "z x"]),
+                "source": pa.array(
+                    ["srcA", "srcA", "srcB", "srcC", "srcC", "srcD"]
+                ),
+            }
+        ),
+        str(root / "documents.parquet"),
+    )
+    return str(root)
+
+
+def test_session_funnel_strictness(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["events_session_funnel"](crafted_dir))
+    con = _con(crafted_dir, ["events"])
+    exp = con.execute(ORACLE_SQL["events_session_funnel"]).fetchdf()
+    _cmp(got, exp)
+    # sessions: u1=1, u2=1, u3=2, u4=1, u5=1, u6=1 -> 7; u1 and u6 convert
+    # (u2 purchase-first, u3 split by the gap, u4 equal-ts -> all excluded)
+    assert got["n_sessions"].iloc[0] == 7
+    assert got["n_converted"].iloc[0] == 2
+
+
+def test_transition_matrix_ties_and_singletons(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["events_type_transition_matrix"](crafted_dir))
+    con = _con(crafted_dir, ["events"])
+    exp = con.execute(ORACLE_SQL["events_type_transition_matrix"]).fetchdf()
+    _cmp(got, exp, ["prev_type", "next_type"])
+    pairs = set(zip(got["prev_type"], got["next_type"]))
+    assert ("view", "click") in pairs  # u6's equal-ts pair, eid order
+    # u5's singleton contributes nothing
+    assert got["n"].sum() == 6
+
+
+def test_rolling_3m_short_history(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["orders_rolling_3m_revenue"](crafted_dir))
+    con = _con(crafted_dir, ["orders"])
+    exp = con.execute(ORACLE_SQL["orders_rolling_3m_revenue"]).fetchdf()
+    _cmp(got, exp, ["month"])
+    g = got.sort_values("month").reset_index(drop=True)
+    assert g["avg_3m_cents"].iloc[0] == 15000.0  # jan alone
+    assert g["avg_3m_cents"].iloc[1] == (15000 + 20000) / 2  # jan+feb
+
+
+def test_brand_type_share_inner_join_and_unity(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["lineitem_brand_type_share"](crafted_dir))
+    con = _con(crafted_dir, ["lineitem", "part"])
+    exp = con.execute(ORACLE_SQL["lineitem_brand_type_share"]).fetchdf()
+    _cmp(got, exp, ["p_type", "p_brand"])
+    # orphan partkey 99 dropped; TYPE2 (part 3) never bought -> absent
+    assert set(got["p_type"]) == {"TYPE1"}
+    assert abs(got.groupby("p_type")["type_share"].sum().iloc[0] - 1.0) < 1e-12
+
+
+def test_hapax_stats_edges(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["corpus_hapax_stats"](crafted_dir))
+    con = _con(crafted_dir, ["documents"])
+    exp = con.execute(ORACLE_SQL["corpus_hapax_stats"]).fetchdf()
+    _cmp(got, exp, ["source"])
+    by = got.set_index("source")
+    # srcA: x appears 3 times (2 in doc1 + doc2), y once -> 1 hapax of 2
+    assert by.loc["srcA", "vocab_n"] == 2 and by.loc["srcA", "hapax_n"] == 1
+    # srcC's docs tokenize to nothing -> no row at all (oracle drops it too)
+    assert "srcC" not in by.index
+
+
+def test_vocab_overlap_edges(ray_session, crafted_dir):
+    got = _to_pandas(QUERIES["corpus_vocab_overlap"](crafted_dir))
+    con = _con(crafted_dir, ["documents"])
+    exp = con.execute(ORACLE_SQL["corpus_vocab_overlap"]).fetchdf()
+    _cmp(got, exp, ["src_a", "src_b"])
+    key = got.set_index(["src_a", "src_b"])
+    # identical vocab {x, z} -> jaccard exactly 1.0
+    assert key.loc[("srcB", "srcD"), "jaccard"] == 1.0
+    # srcC has no tokens: never appears on either side
+    assert not ((got["src_a"] == "srcC") | (got["src_b"] == "srcC")).any()
