@@ -6648,6 +6648,151 @@ def lineitem_brand_type_share(sf_dir: str):
     return agg[["p_type", "p_brand", "revenue_cents", "type_share"]]
 
 
+def _conv_bucket(b: pa.Table) -> pa.Table:
+    """Coarse shuffle key over the string conv_id (stable pandas
+    string hash, masked to _nb()) — co-locates every change of one
+    conversation in one bucket without assuming the id embeds a
+    number."""
+    h = pd.util.hash_array(
+        np.asarray(b.column("conv_id").to_pandas(), dtype=object), categorize=False
+    )
+    return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+
+def cdc_conflict_stats(sf_dir: str):
+    """CDC write-conflict observability: per conversation, how many
+    keys the WAL touched, how many were touched MORE than once (the
+    rows the LWW merge actually has to arbitrate), and the hottest
+    key's change count — the skew/conflict profile an ingest operator
+    watches to decide when to salt.
+
+    Scale shape: batch-local (conv, turn) count partials (the stream
+    collapses to ≤ keys rows per block) → ONE bucketed exchange on the
+    conv hash → per bucket an exact per-key sum and a vectorized
+    per-conv fold; each conversation's stats finish inside its bucket."""
+    _SCHEMA = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_keys", pa.int64()),
+            ("n_conflicted", pa.int64()),
+            ("max_changes", pa.int64()),
+        ]
+    )
+    changes = _derive_changelog(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["conv_id", "turn_idx"])
+            .group_by(["conv_id", "turn_idx"])
+            .aggregate([("turn_idx", "count")])
+        )
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "turn_idx": g.column("turn_idx"),
+                "pn": g.column("turn_idx_count").cast(pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SCHEMA.empty_table()
+        a = (
+            g.select(["conv_id", "turn_idx", "pn"])
+            .group_by(["conv_id", "turn_idx"])
+            .aggregate([("pn", "sum")])
+        )
+        c = a.column("pn_sum").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "conv_id": a.column("conv_id"),
+                "one": pa.array(np.ones(len(a), np.int64)),
+                "conf": pa.array((c > 1).astype(np.int64)),
+                "c": pa.array(c),
+            }
+        )
+        s = t.group_by("conv_id").aggregate(
+            [("one", "sum"), ("conf", "sum"), ("c", "max")]
+        )
+        return pa.table(
+            {
+                "conv_id": s.column("conv_id"),
+                "n_keys": s.column("one_sum"),
+                "n_conflicted": s.column("conf_sum"),
+                "max_changes": s.column("c_max"),
+            }
+        )
+
+    return (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def wal_reorder_stats(sf_dir: str):
+    """Commit-order vs event-time skew: per conversation, of the
+    lsn-adjacent change pairs, how many have event time running
+    BACKWARDS (ts inversion) and the worst backward jump — the
+    out-of-orderness audit that sizes watermark lateness allowances.
+
+    Adjacency needs the conversation's changes co-located and
+    lsn-sorted, so this ships (conv, lsn, ts) — 3 narrow columns, not
+    the payload — through ONE conv-hash bucketed exchange, then one
+    lexsort + shifted compare per bucket (no per-conv Python)."""
+    _SCHEMA = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("n_inversions", pa.int64()),
+            ("max_backstep_us", pa.int64()),
+        ]
+    )
+    changes = _derive_changelog(sf_dir)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SCHEMA.empty_table()
+        conv = g.column("conv_id").to_numpy(zero_copy_only=False)
+        lsn = _np(g.column("lsn"))
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, _uniq = pd.factorize(conv, sort=False)
+        order = np.lexsort((lsn, codes))
+        conv_s, ts_s = conv[order], ts[order]
+        same = conv_s[1:] == conv_s[:-1]
+        if not same.any():
+            return _SCHEMA.empty_table()
+        delta = ts_s[1:] - ts_s[:-1]
+        back = np.where(delta < 0, -delta, 0)
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv_s[1:][same]),
+                "one": pa.array(np.ones(int(same.sum()), np.int64)),
+                "inv": pa.array((delta[same] < 0).astype(np.int64)),
+                "back": pa.array(back[same]),
+            }
+        )
+        s = t.group_by("conv_id").aggregate(
+            [("one", "sum"), ("inv", "sum"), ("back", "max")]
+        )
+        return pa.table(
+            {
+                "conv_id": s.column("conv_id"),
+                "n_pairs": s.column("one_sum"),
+                "n_inversions": s.column("inv_sum"),
+                "max_backstep_us": s.column("back_max"),
+            }
+        )
+
+    return (
+        changes.select_columns(["conv_id", "lsn", "ts"])
+        .map_batches(_conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -6815,6 +6960,8 @@ QUERIES = {
     "lineitem_brand_type_share": lineitem_brand_type_share,
     "corpus_hapax_stats": corpus_hapax_stats,
     "corpus_vocab_overlap": corpus_vocab_overlap,
+    "cdc_conflict_stats": cdc_conflict_stats,
+    "wal_reorder_stats": wal_reorder_stats,
 }
 
 _CHANGES_CTE = """
@@ -8397,4 +8544,27 @@ i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter_n
 SELECT i.src_a, i.src_b, CAST(i.inter_n AS BIGINT) AS inter_n,
        i.inter_n::DOUBLE / (va.n + vb.n - i.inter_n) AS jaccard
 FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b
+"""
+
+# per-conversation WAL write-conflict profile
+ORACLE_SQL["cdc_conflict_stats"] = _CHANGES_CTE + """
+, per_key AS (
+  SELECT conv_id, turn_idx, count(*) AS c FROM changes GROUP BY conv_id, turn_idx)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicted,
+       CAST(max(c) AS BIGINT) AS max_changes
+FROM per_key GROUP BY conv_id
+"""
+
+# commit-order vs event-time inversions per conversation
+ORACLE_SQL["wal_reorder_stats"] = _CHANGES_CTE + """
+, o AS (
+  SELECT conv_id, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY lsn) AS prev_ts
+  FROM changes)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       CAST(max(CASE WHEN ts < prev_ts THEN epoch_us(prev_ts) - epoch_us(ts)
+                ELSE 0 END) AS BIGINT) AS max_backstep_us
+FROM o WHERE prev_ts IS NOT NULL GROUP BY conv_id
 """

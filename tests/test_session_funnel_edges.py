@@ -209,3 +209,57 @@ def test_vocab_overlap_edges(ray_session, crafted_dir):
     assert key.loc[("srcB", "srcD"), "jaccard"] == 1.0
     # srcC has no tokens: never appears on either side
     assert not ((got["src_a"] == "srcC") | (got["src_b"] == "srcC")).any()
+
+
+@pytest.fixture(scope="module")
+def cdc_crafted_dir(tmp_path_factory):
+    """Events crafted for the derived changelog (lsn=event_id,
+    turn_idx=event_id%100, conv=conv-<user_id>): user 1 writes the
+    SAME key three times with event time running backwards on the
+    middle pair; user 2 touches two distinct keys in time order."""
+    root = tmp_path_factory.mktemp("cdc_obs_edges")
+    t0 = pd.Timestamp("2024-03-01 09:00:00")
+    h = pd.Timedelta(hours=1)
+    pq.write_table(
+        pa.table(
+            {
+                # u1: lsn 100 @t0+2h, 200 @t0 (backstep 2h), 300 @t0+3h
+                # -> key (conv-1, 0) changed 3x, 1 inversion of 2 pairs
+                # u2: lsn 101 @t0, 102 @t0+1h -> keys 1 and 2, no conflict
+                "event_id": pa.array([100, 200, 300, 101, 102], pa.int64()),
+                "ts": pa.array(
+                    [t0 + 2 * h, t0, t0 + 3 * h, t0, t0 + h], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["click", "view", "click", "view", "click"]),
+                "props": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        ),
+        str(root / "events.parquet"),
+    )
+    return str(root)
+
+
+def test_cdc_conflict_stats_edges(ray_session, cdc_crafted_dir):
+    got = _to_pandas(QUERIES["cdc_conflict_stats"](cdc_crafted_dir))
+    con = _con(cdc_crafted_dir, ["events"])
+    exp = con.execute(ORACLE_SQL["cdc_conflict_stats"]).fetchdf()
+    _cmp(got, exp, ["conv_id"])
+    by = got.set_index("conv_id")
+    assert by.loc["conv-1", "n_keys"] == 1
+    assert by.loc["conv-1", "n_conflicted"] == 1
+    assert by.loc["conv-1", "max_changes"] == 3
+    assert by.loc["conv-2", "n_conflicted"] == 0
+
+
+def test_wal_reorder_stats_edges(ray_session, cdc_crafted_dir):
+    got = _to_pandas(QUERIES["wal_reorder_stats"](cdc_crafted_dir))
+    con = _con(cdc_crafted_dir, ["events"])
+    exp = con.execute(ORACLE_SQL["wal_reorder_stats"]).fetchdf()
+    _cmp(got, exp, ["conv_id"])
+    by = got.set_index("conv_id")
+    # u1 pairs in lsn order: (100->200) ts backsteps 2h, (200->300) forward
+    assert by.loc["conv-1", "n_pairs"] == 2
+    assert by.loc["conv-1", "n_inversions"] == 1
+    assert by.loc["conv-1", "max_backstep_us"] == 2 * 3600 * 1_000_000
+    assert by.loc["conv-2", "n_inversions"] == 0
