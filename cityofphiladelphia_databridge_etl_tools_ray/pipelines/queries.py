@@ -6793,6 +6793,308 @@ def wal_reorder_stats(sf_dir: str):
     )
 
 
+def conversation_response_latency_by_role(sf_dir: str):
+    """Transcript pacing by role handoff: over the replayed (post-LWW)
+    conversation state, the count and total/mean gap between
+    consecutive turns grouped by (previous role → role) — how long
+    each kind of speaker makes the other wait.
+
+    Zero extra shuffle: the merge partitioning co-locates each
+    conversation inside one block (the [conversation_turn_gap_stats]
+    shape), so one block sort + adjacent diff + an Arrow group_by per
+    block reduces to ≤ roles² partials; the final combine is a tiny
+    Ray groupby and the mean is one IEEE division of exact int64
+    sums."""
+    from ray.data.aggregate import Sum
+
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    _SCHEMA = pa.schema(
+        [
+            ("prev_role", pa.string()),
+            ("role", pa.string()),
+            ("pn", pa.int64()),
+            ("pg", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) < 2:
+            return _SCHEMA.empty_table()
+        s = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = s.column("conv_id").to_numpy(zero_copy_only=False)
+        role = s.column("role").to_numpy(zero_copy_only=False)
+        ts = s.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return _SCHEMA.empty_table()
+        gap = ts[1:] - ts[:-1]
+        t = pa.table(
+            {
+                "prev_role": pa.array(role[:-1][same], pa.string()),
+                "role": pa.array(role[1:][same], pa.string()),
+                "one": pa.array(np.ones(int(same.sum()), np.int64)),
+                "gap": pa.array(gap[same]),
+            }
+        )
+        g = t.group_by(["prev_role", "role"]).aggregate([("one", "sum"), ("gap", "sum")])
+        return _agg_select(
+            g, ["prev_role", "role"], [("one_sum", "pn"), ("gap_sum", "pg")]
+        )
+
+    df = (
+        state.map_batches(partial, batch_format="pyarrow")
+        .groupby(["prev_role", "role"])
+        .aggregate(Sum("pn", alias_name="n_gaps"), Sum("pg", alias_name="sum_gap_us"))
+        .to_pandas()
+    )
+    df["mean_gap_us"] = df["sum_gap_us"] / df["n_gaps"]
+    return df[["prev_role", "role", "n_gaps", "sum_gap_us", "mean_gap_us"]]
+
+
+def _sketch_bounds(ds, value_cols):
+    """ONE AggregateFn pass computing KLL range bounds for several
+    columns at once (flat concatenated sketch states), so a
+    multi-measure rank pipeline pays a single full read instead of one
+    per measure."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
+
+    def split(state: np.ndarray):
+        parts = np.split(state, len(value_cols))
+        return [qsketch_from_state(p) for p in parts]
+
+    def pack(sks) -> np.ndarray:
+        return np.concatenate([qsketch_state(s) for s in sks])
+
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        sks = split(state)
+        for s, c in zip(sks, value_cols):
+            s.add(_np(block.column(c)))
+        return pack(sks)
+
+    raw = np.asarray(
+        ds.aggregate(
+            AggregateFn(
+                init=lambda k: pack([QuantileSketch(k=256) for _ in value_cols]),
+                merge=lambda a, b: pack(
+                    [x.merge(y) for x, y in zip(split(a), split(b))]
+                ),
+                accumulate_block=acc_block,
+                name="qsk",
+            )
+        )["qsk"],
+        dtype=np.float64,
+    )
+    qs = np.arange(1, _RANK_RANGES) / _RANK_RANGES
+    return {
+        c: np.unique(sk.quantiles(qs).astype(np.int64))
+        for c, sk in zip(value_cols, split(raw))
+    }
+
+
+_NTILE_RNG_SPAN = 4096  # composite key stride; bounds per measure ≤ _RANK_RANGES
+
+
+def _global_ntile_multi(ds, id_col: str, value_cols, tiles: int):
+    """Exact SQL ``NTILE(t) OVER (ORDER BY value, id)`` for SEVERAL
+    int64 measure columns of one Dataset at once, distributively — the
+    [lineitem_global_rank] TeraSort pattern fused across measures so a
+    k-measure scoring pipeline pays ONE sketch pass, ONE counting pass
+    and ONE all-to-all instead of k of each:
+
+    1. [_sketch_bounds] picks KLL range bounds per measure in a single
+       AggregateFn pass (approximate splits only balance partitions,
+       never affect correctness).
+    2. One map pass explodes each row to k (id, which, val) rows and
+       assigns the composite range key ``which·SPAN + rng``; per-block
+       bincounts fold to exact global offsets ON THE DRIVER (≤
+       k·ranges·blocks tiny rows, no extra all-to-all).
+    3. Rows shuffle ONCE on the composite key; each (measure, range)
+       group sorts locally by (val, id) and assigns tiles from its
+       global offset and the measure's exact total n (first ``n mod
+       t`` tiles take ``n//t + 1`` rows — SQL NTILE semantics).
+
+    Returns a Dataset of (id_col, which:int8, tile:int64)."""
+    k = len(value_cols)
+    all_bounds = _sketch_bounds(ds, value_cols)
+    bounds_list = [all_bounds[c] for c in value_cols]
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = len(b)
+        idv = _np(b.column(id_col))
+        ids, whichs, vals, keys = [], [], [], []
+        for w, c in enumerate(value_cols):
+            v = _np(b.column(c))
+            rng = np.searchsorted(bounds_list[w], v, side="right")
+            ids.append(idv)
+            whichs.append(np.full(n, w, np.int8))
+            vals.append(v.astype(np.int64))
+            keys.append(w * _NTILE_RNG_SPAN + rng.astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(ids)),
+                "which": pa.array(np.concatenate(whichs)),
+                "val": pa.array(np.concatenate(vals)),
+                "k": pa.array(np.concatenate(keys)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def count_keys(b: pa.Table) -> pa.Table:
+        kk = _np(b.column("k"))
+        u, c = np.unique(kk, return_counts=True)
+        return pa.table({"k": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        exploded.map_batches(count_keys, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k", as_index=False)["n"]
+        .sum()
+    )
+    per_key = np.zeros(k * _NTILE_RNG_SPAN, dtype=np.int64)
+    per_key[counts["k"].to_numpy()] = counts["n"].to_numpy()
+    # offsets restart per measure; n and tile geometry are per measure
+    offsets = np.empty_like(per_key)
+    geom = []  # (q, rem, big) per measure
+    for w in range(k):
+        seg = per_key[w * _NTILE_RNG_SPAN : (w + 1) * _NTILE_RNG_SPAN]
+        offsets[w * _NTILE_RNG_SPAN : (w + 1) * _NTILE_RNG_SPAN] = np.r_[
+            0, np.cumsum(seg)[:-1]
+        ]
+        q, rem = divmod(int(seg.sum()), tiles)
+        geom.append((q, rem, rem * (q + 1)))
+
+    def rank_range(g: pa.Table) -> pa.Table:
+        key = int(g.column("k")[0].as_py())
+        w = key // _NTILE_RNG_SPAN
+        q, rem, big = geom[w]
+        val = _np(g.column("val"))
+        idv = _np(g.column(id_col))
+        order = np.lexsort((idv, val))
+        r = offsets[key] + np.arange(len(order), dtype=np.int64)  # 0-based global rank
+        tile = np.where(r < big, r // max(q + 1, 1), rem + (r - big) // max(q, 1)) + 1
+        return pa.table(
+            {
+                id_col: pa.array(idv[order]),
+                "which": pa.array(np.full(len(order), w, np.int8)),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return exploded.groupby("k").map_groups(rank_range, batch_format="pyarrow")
+
+
+def customer_rfm_segments(sf_dir: str):
+    """RFM segmentation — the classic customer-scoring pipeline: per
+    customer, recency (µs since their last order, vs the global max
+    order date), frequency (order count) and monetary (exact cents)
+    are each bucketed into exact global quintiles (SQL NTILE(5)
+    semantics, custkey tie-break) and fused into a 3-digit RFM code.
+
+    Scale shape: orders reduce to one row per customer via per-batch
+    partials + ONE custkey-bucketed exchange; [_global_ntile_multi]
+    assigns all three quintiles with ONE fused range-partitioned rank
+    exchange and NO O(customers) driver pull; the tile stream re-meets
+    in one final custkey-bucketed pivot (rows per customer are exactly
+    3)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "cents": _cents(b.column("o_totalprice")),
+                "last_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+        g = t.group_by("o_custkey").aggregate(
+            [("one", "sum"), ("cents", "sum"), ("last_us", "max")]
+        )
+        return _agg_select(
+            g,
+            ["o_custkey"],
+            [("one_sum", "pn"), ("cents_sum", "pc_"), ("last_us_max", "pl")],
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(b.column("o_custkey"), _nb() - 1), pa.int32()),
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = (
+            g.select(["o_custkey", "pn", "pc_", "pl"])
+            .group_by("o_custkey")
+            .aggregate([("pn", "sum"), ("pc_", "sum"), ("pl", "max")])
+        )
+        return _agg_select(
+            a,
+            ["o_custkey"],
+            [("pn_sum", "frequency"), ("pc__sum", "monetary_cents"), ("pl_max", "last_us")],
+        )
+
+    # coalesce the ~_nb() tiny bucket outputs before the three rank
+    # passes: per-block AggregateFn/setup overhead, not byte volume,
+    # dominates a reduced stream (the [_coalesce_blocks] rationale)
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .repartition(_coalesce_blocks())
+        .materialize()
+    )
+    # global max order instant: per-block maxes, driver folds ≤ blocks scalars
+    mx = int(
+        reduced.map_batches(
+            lambda b: pa.table(
+                {"m": pa.array([int(_np(b.column("last_us")).max())] if len(b) else [], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+
+    with_rec = reduced.map_batches(
+        lambda b: b.append_column(
+            "recency_us", pa.array(mx - _np(b.column("last_us")))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    measures = ["recency_us", "frequency", "monetary_cents"]
+    tiles = _global_ntile_multi(with_rec, "o_custkey", measures, 5)
+
+    def pivot(g: pa.Table) -> pa.Table:
+        cust = _np(g.column("o_custkey"))
+        which = _np(g.column("which")).astype(np.int64)
+        tile = _np(g.column("tile"))
+        order = np.lexsort((which, cust))
+        cust_s, tile_s = cust[order], tile[order]
+        r_t, f_t, m_t = tile_s[0::3], tile_s[1::3], tile_s[2::3]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust_s[0::3]),
+                "r_tile": pa.array(r_t),
+                "f_tile": pa.array(f_t),
+                "m_tile": pa.array(m_t),
+                "rfm_code": pa.array(r_t * 100 + f_t * 10 + m_t),
+            }
+        )
+
+    return (
+        tiles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pivot, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -6962,6 +7264,8 @@ QUERIES = {
     "corpus_vocab_overlap": corpus_vocab_overlap,
     "cdc_conflict_stats": cdc_conflict_stats,
     "wal_reorder_stats": wal_reorder_stats,
+    "conversation_response_latency_by_role": conversation_response_latency_by_role,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 _CHANGES_CTE = """
@@ -8567,4 +8871,43 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(max(CASE WHEN ts < prev_ts THEN epoch_us(prev_ts) - epoch_us(ts)
                 ELSE 0 END) AS BIGINT) AS max_backstep_us
 FROM o WHERE prev_ts IS NOT NULL GROUP BY conv_id
+"""
+
+# turn latency by role handoff over the replayed conversation state
+ORACLE_SQL["conversation_response_latency_by_role"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+), g AS (
+  SELECT conv_id, role,
+         lag(role) OVER w AS prev_role,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap
+  FROM state WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       sum(gap)::DOUBLE / count(*) AS mean_gap_us
+FROM g WHERE prev_role IS NOT NULL GROUP BY prev_role, role
+"""
+
+# RFM quintile segmentation; NTILE tie-break by custkey on every axis
+ORACLE_SQL["customer_rfm_segments"] = """
+WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+c AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents,
+         epoch_us((SELECT mx FROM maxd)) - epoch_us(max(o_orderdate)) AS recency_us
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY recency_us, o_custkey) AS BIGINT) AS r_tile,
+         CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_tile,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_tile
+  FROM c)
+SELECT o_custkey, r_tile, f_tile, m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
+FROM t
 """

@@ -263,3 +263,74 @@ def test_wal_reorder_stats_edges(ray_session, cdc_crafted_dir):
     assert by.loc["conv-1", "n_inversions"] == 1
     assert by.loc["conv-1", "max_backstep_us"] == 2 * 3600 * 1_000_000
     assert by.loc["conv-2", "n_inversions"] == 0
+
+
+@pytest.fixture(scope="module")
+def rfm_crafted_dir(tmp_path_factory):
+    """7 customers (7 mod 5 = 2 -> the first two quintiles take 2 rows,
+    SQL NTILE geometry) with deliberate TIES on every measure so the
+    custkey tie-break decides tile boundaries: custkeys 1-4 all have 1
+    order of 100.00 on the same date; 5-7 have 2 orders each with
+    distinct totals/dates."""
+    root = tmp_path_factory.mktemp("rfm_edges")
+    d = pd.to_datetime
+    rows = [
+        # custkey, orderdate, totalprice
+        (1, "2024-01-10", 100.00),
+        (2, "2024-01-10", 100.00),
+        (3, "2024-01-10", 100.00),
+        (4, "2024-01-10", 100.00),
+        (5, "2024-02-01", 50.00),
+        (5, "2024-03-01", 60.00),
+        (6, "2024-02-15", 70.00),
+        (6, "2024-03-10", 80.00),
+        (7, "2024-01-05", 300.00),
+        (7, "2024-03-20", 10.00),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array(d([r[1] for r in rows]), pa.timestamp("us")),
+                "o_totalprice": pa.array([r[2] for r in rows]),
+            }
+        ),
+        str(root / "orders.parquet"),
+    )
+    return str(root)
+
+
+def test_rfm_ntile_geometry_and_ties(ray_session, rfm_crafted_dir):
+    got = _to_pandas(QUERIES["customer_rfm_segments"](rfm_crafted_dir))
+    con = _con(rfm_crafted_dir, ["orders"])
+    exp = con.execute(ORACLE_SQL["customer_rfm_segments"]).fetchdf()
+    _cmp(got, exp, ["o_custkey"])
+    by = got.set_index("o_custkey").sort_index()
+    # frequency: custkeys 1-4 tie at 1 order; NTILE(5) over 7 rows gives
+    # tile sizes 2,2,1,1,1 -> custkey order puts 1,2 in f_tile 1; 3,4 in 2
+    assert by.loc[1, "f_tile"] == 1 and by.loc[2, "f_tile"] == 1
+    assert by.loc[3, "f_tile"] == 2 and by.loc[4, "f_tile"] == 2
+    assert by.loc[5, "f_tile"] == 3  # 2-order customers fill tiles 3..5
+    # every tile is within 1..5 and the code composes the three digits
+    assert got[["r_tile", "f_tile", "m_tile"]].isin(range(1, 6)).all().all()
+    assert (
+        got["rfm_code"]
+        == got["r_tile"] * 100 + got["f_tile"] * 10 + got["m_tile"]
+    ).all()
+
+
+def test_response_latency_by_role_edges(ray_session, cdc_crafted_dir):
+    """Role-handoff latency over the replayed state: the crafted WAL's
+    conv-1 keeps only lsn 300 for key 0 (LWW), so the state has one
+    conversation with one turn per conv -> conv-1 contributes no gap;
+    conv-2 has turns 1,2 with a 1h gap (view -> click)."""
+    got = _to_pandas(QUERIES["conversation_response_latency_by_role"](cdc_crafted_dir))
+    con = _con(cdc_crafted_dir, ["events"])
+    exp = con.execute(
+        ORACLE_SQL["conversation_response_latency_by_role"]
+    ).fetchdf()
+    _cmp(got, exp, ["prev_role", "role"])
+    assert len(got) == 1
+    assert got.iloc[0]["prev_role"] == "view" and got.iloc[0]["role"] == "click"
+    assert got.iloc[0]["sum_gap_us"] == 3600 * 1_000_000
