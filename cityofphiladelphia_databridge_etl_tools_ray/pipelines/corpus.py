@@ -1564,3 +1564,59 @@ def corpus_vocab_overlap(sf_dir: str):
     pairs["inter_n"] = inter
     pairs["jaccard"] = inter / (va + vb - inter)
     return pairs[["src_a", "src_b", "inter_n", "jaccard"]].reset_index(drop=True)
+
+
+ZIPF_TOPK = 64
+
+
+def corpus_zipf_slope(sf_dir: str):
+    """Zipf-law fit over the corpus's term-frequency distribution: OLS
+    slope/intercept of ln(count) against ln(rank) for the exact top-K
+    terms (count desc, term asc ties) — the power-law health check of
+    a training mix (natural text slopes ≈ −1; templated or deduped-
+    to-death corpora flatten).
+
+    Scale shape: the exact top-K machinery ([corpus_oov_rate] pass 1 —
+    batch partials, ONE term-hash bucketed exchange with per-bucket
+    prune, a ≤ K·buckets-row global sort); the regression runs on the
+    O(K) driver-side result in closed form, float64 — same ints, same
+    ln, same normal equations as the oracle's regr_slope."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from .queries import _nb  # late import: queries imports corpus
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = _tf_table(b)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return pa.table({"term": g.column("term"), "pn": g.column("tf_sum")})
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["term", "pn"]).group_by("term").aggregate([("pn", "sum")])
+        out = pa.table({"term": a.column("term"), "n": a.column("pn_sum")})
+        return out.sort_by([("n", "descending"), ("term", "ascending")]).slice(
+            0, ZIPF_TOPK
+        )
+
+    top = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .map_batches(_term_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .sort(["n", "term"], descending=[True, False])
+        .limit(ZIPF_TOPK)
+        .to_pandas()
+    )
+    c = top["n"].to_numpy(np.int64).astype(np.float64)
+    rn = np.arange(1, len(c) + 1, dtype=np.float64)
+    x, y = np.log(rn), np.log(c)
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    intercept = float(my - slope * mx)
+    return pd.DataFrame(
+        {
+            "n_terms": np.array([len(c)], np.int64),
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )

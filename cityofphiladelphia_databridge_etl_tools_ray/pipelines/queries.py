@@ -32,6 +32,7 @@ from .corpus import (
     corpus_decontaminate,
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
+    corpus_zipf_slope,
     dedup_exact,
     corpus_dedup_incremental,
     dedup_minhash_lsh,
@@ -66,7 +67,9 @@ from .similarity import (
     ann_lsh_topk,
     dedup_embedding_cosine,
     dedup_embedding_cosine_bucketed,
+    embedding_gram_matrix,
     embedding_label_centroids,
+    embedding_pca_topk,
     kmeans_embeddings,
 )
 
@@ -7266,6 +7269,9 @@ QUERIES = {
     "wal_reorder_stats": wal_reorder_stats,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_pca_topk": embedding_pca_topk,
+    "corpus_zipf_slope": corpus_zipf_slope,
 }
 
 _CHANGES_CTE = """
@@ -8910,4 +8916,28 @@ t AS (
 SELECT o_custkey, r_tile, f_tile, m_tile,
        CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
 FROM t
+"""
+
+# distributed Gram matrix XᵀX (upper triangle) over the embeddings
+ORACLE_SQL["embedding_gram_matrix"] = """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+# Zipf fit: OLS of ln(count) on ln(rank) over the exact top-64 terms
+ORACLE_SQL["corpus_zipf_slope"] = """
+WITH tok AS (
+  SELECT t.w FROM (SELECT string_split(text, ' ') AS parts FROM documents),
+       unnest(parts) AS t(w) WHERE t.w <> ''),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+        ORDER BY c DESC, w LIMIT 64)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       regr_slope(ln(c), ln(rn)) AS slope,
+       regr_intercept(ln(c), ln(rn)) AS intercept
+FROM top
 """

@@ -546,3 +546,97 @@ def embedding_label_centroids(sf_dir: str):
     out["mean_val"] = out["s"] / out["n"]
     out["label"] = out["label"].astype(np.int64)
     return out[["label", "dim", "mean_val"]]
+
+
+def embedding_gram_matrix(sf_dir: str):
+    """Distributed Gram matrix XᵀX over the embedding column — the
+    one-pass mergeable partial behind covariance / PCA / whitening at
+    corpus scale: every batch collapses B rows to ONE d×d float64
+    matmul (flattened to its d(d+1)/2 upper triangle), so the exchange
+    moves O(d²) rows per block regardless of corpus size.
+
+    Final combine is the shared coarse-bucket sum ([queries.py]
+    `_sum_by_keys_bucketed` on the row index); the driver only ever
+    sees the d(d+1)/2-row result.  Float64 products of exactly-
+    representable float32 inputs; sum order differs from the oracle's
+    only at ~1e-13 relative."""
+    from .queries import _sum_by_keys_bucketed
+
+    ds = _read_emb(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _matrix(b.column("embedding"))
+        g = m.T @ m
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "g": pa.array(g[iu, ju]),
+            }
+        )
+
+    return _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"],
+        sum_cols=["g"],
+        out_names=["g"],
+    )
+
+
+PCA_TOPK = 8
+
+
+def embedding_pca_topk(sf_dir: str):
+    """Distributed PCA — the covariance eigenspectrum of the embedding
+    corpus from ONE streaming pass: per batch a d×d Gram partial, a
+    d-vector column-sum partial and a row count ride the SAME flattened
+    (i, j, g) exchange (sums as j = -1 rows, the count as (-1, -1)),
+    so covariance needs no second read.  The driver reconstructs
+    C = (G − n·μμᵀ)/(n−1) from the O(d²) reduced rows and runs the
+    d×d eigendecomposition locally (d = 64 — trivially driver-sized
+    even when the corpus is 10^10 rows).
+
+    Eigen-decomposition is not SQL-expressible → rows-only driver
+    check; the spectrum is pinned against a direct in-memory numpy
+    PCA in tests/test_session_funnel_edges.py."""
+    from .queries import _sum_by_keys_bucketed
+
+    ds = _read_emb(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _matrix(b.column("embedding"))
+        g = m.T @ m
+        iu, ju = np.triu_indices(g.shape[0])
+        d = g.shape[0]
+        i = np.r_[iu, np.arange(d), [-1]].astype(np.int64)
+        j = np.r_[ju, np.full(d, -1), [-1]].astype(np.int64)
+        v = np.r_[g[iu, ju], m.sum(axis=0), [float(len(m))]]
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "g": pa.array(v)})
+
+    flat = _sum_by_keys_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"],
+        sum_cols=["g"],
+        out_names=["g"],
+    ).to_pandas()
+
+    n = float(flat.loc[(flat["i"] == -1) & (flat["j"] == -1), "g"].iloc[0])
+    sums = flat[(flat["j"] == -1) & (flat["i"] >= 0)].sort_values("i")["g"].to_numpy()
+    d = len(sums)
+    gram = np.zeros((d, d))
+    up = flat[flat["j"] >= 0]
+    gram[up["i"].to_numpy(), up["j"].to_numpy()] = up["g"].to_numpy()
+    gram = gram + np.triu(gram, 1).T
+    mu = sums / n
+    cov = (gram - n * np.outer(mu, mu)) / (n - 1.0)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    top = evals[:PCA_TOPK]
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, len(top) + 1, dtype=np.int64),
+            "eigenvalue": top,
+            "explained_ratio": top / total,
+        }
+    )

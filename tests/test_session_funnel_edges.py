@@ -334,3 +334,32 @@ def test_response_latency_by_role_edges(ray_session, cdc_crafted_dir):
     assert len(got) == 1
     assert got.iloc[0]["prev_role"] == "view" and got.iloc[0]["role"] == "click"
     assert got.iloc[0]["sum_gap_us"] == 3600 * 1_000_000
+
+
+def test_pca_topk_matches_direct_numpy(ray_session):
+    """The distributed one-pass covariance spectrum must equal a
+    direct in-memory PCA over the same table (column means removed,
+    ddof=1), pinning both the Gram/mean partial algebra and the
+    eigenvalue ordering."""
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    sf = "/root/testdata/sf0.001"
+    got = _to_pandas(QUERIES["embedding_pca_topk"](sf))
+    t = pqt.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    col = t.column("embedding").combine_chunks()
+    off = np.asarray(col.offsets, dtype=np.int64)
+    m = np.asarray(col.values, dtype=np.float64)[off[0]:off[-1]].reshape(
+        len(col), int(off[1] - off[0])
+    )
+    cov = np.cov(m, rowvar=False, ddof=1)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    np.testing.assert_allclose(
+        got["eigenvalue"].to_numpy(), evals[: len(got)], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["explained_ratio"].to_numpy(),
+        evals[: len(got)] / evals.sum(),
+        rtol=1e-9,
+    )
+    assert (got["explained_ratio"] > 0).all()
