@@ -7098,6 +7098,121 @@ def customer_rfm_segments(sf_dir: str):
     )
 
 
+def cdc_replay_asof(sf_dir: str):
+    """Time-travel read: the table state AS OF lsn = ⌊max lsn / 2⌋ —
+    the checkpoint-inspection / audit query of a CDC lake (reference
+    parity: databridge jobs re-run against a past S3 object version;
+    here the WAL's lsn order IS the version axis).
+
+    Scale shape: identical to [cdc_replay_full] except the lsn
+    predicate is pushed into the changelog read, so only the prefix of
+    the WAL is normalized, shuffled and merged — replay cost is
+    O(changes ≤ asof), not O(all changes)."""
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    asof = max_lsn // 2
+    changes = _derive_changelog(sf_dir).filter(expr=f"lsn <= {asof}")
+    out = replay_to_table(changes, num_partitions=32, keep_lsn=True)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
+_Q9_PTYPE = "ECONOMY"
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 adapted to this corpus (no partsupp — the part's
+    retail price stands in for supply cost; the classic '%green%'
+    name filter becomes a p_type class; the order-date year becomes
+    the ship-date year): profit per (supplier nation, year) over a
+    4-table star.
+
+    Scale shape: BOTH dimensions reduce on the cluster first (part is
+    filtered to the type class before the 2-column pull; supplier is
+    a 2-int-column projection) and broadcast once as SortedIntMaps;
+    the fact pass probes both maps and pre-aggregates (nation, year)
+    cents partials per batch, so ONE tiny bucketed exchange finishes
+    the job; nation names decorate the O(nations·years) result on the
+    driver."""
+    import ray
+
+    parts = (
+        _read(
+            sf_dir,
+            "part",
+            columns=["p_partkey", "p_retailprice"],
+            filter=(pc.field("p_type") == _Q9_PTYPE),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"p_partkey": b.column("p_partkey"), "rc": _cents(b.column("p_retailprice"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nations = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    part_ref = ray.put(
+        SortedIntMap(parts["p_partkey"].to_numpy(), parts["rc"].to_numpy(np.int64))
+    )
+    supp_ref = ray.put(
+        SortedIntMap(
+            supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy(np.int64)
+        )
+    )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def probe(b: pa.Table, *, pref, sref) -> pa.Table:
+        rc, found = _deref(pref).get(_np(b.column("l_partkey")), default=0)
+        b = b.filter(pa.array(found))
+        rc = rc[found]
+        nat, _ = _deref(sref).get(_np(b.column("l_suppkey")), default=0)
+        rev = _np(
+            _cents(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                )
+            )
+        )
+        qty = _np(b.column("l_quantity")).astype(np.int64)
+        year = _np(pc.year(b.column("l_shipdate"))).astype(np.int64)
+        t = pa.table(
+            {
+                "nationkey": pa.array(nat),
+                "o_year": pa.array(year),
+                "profit": pa.array(rev - qty * rc),
+            }
+        )
+        g = t.group_by(["nationkey", "o_year"]).aggregate([("profit", "sum")])
+        return _agg_select(g, ["nationkey", "o_year"], [("profit_sum", "pc_")])
+
+    agg = _sum_by_keys_bucketed(
+        ds.map_batches(
+            probe, fn_kwargs={"pref": part_ref, "sref": supp_ref}, batch_format="pyarrow"
+        ),
+        keys=["nationkey", "o_year"],
+        sum_cols=["pc_"],
+        out_names=["profit_cents"],
+    ).to_pandas()
+    name_of = dict(zip(nations["n_nationkey"].astype(int), nations["n_name"]))
+    agg["nation"] = agg["nationkey"].astype(int).map(name_of)
+    agg["profit_cents"] = agg["profit_cents"].astype("int64")
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return agg[["nation", "o_year", "profit_cents"]]
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -7272,6 +7387,8 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_topk": embedding_pca_topk,
     "corpus_zipf_slope": corpus_zipf_slope,
+    "cdc_replay_asof": cdc_replay_asof,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
 }
 
 _CHANGES_CTE = """
@@ -8940,4 +9057,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        regr_slope(ln(c), ln(rn)) AS slope,
        regr_intercept(ln(c), ln(rn)) AS intercept
 FROM top
+"""
+
+# time-travel: LWW state AS OF lsn = floor(max/2)
+ORACLE_SQL["cdc_replay_asof"] = _CHANGES_CTE + """
+, cut AS (SELECT max(event_id) // 2 AS cut_lsn FROM events),
+ranked AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c WHERE c.lsn <= (SELECT cut_lsn FROM cut)
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+# q9-adapted: profit per supplier nation and ship-date year
+ORACLE_SQL["q9_profit_by_nation_year"] = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY n_name, o_year
 """
