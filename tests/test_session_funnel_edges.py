@@ -363,3 +363,24 @@ def test_pca_topk_matches_direct_numpy(ray_session):
         rtol=1e-9,
     )
     assert (got["explained_ratio"] > 0).all()
+
+
+def test_new_ops_plan_shapes(ray_session):
+    """Exchange budgets for the round-3 continuation ops (asserted on
+    the executed plan, the [test_latest_ops_plan_shapes] pattern):
+    transition matrix / conflict / reorder / gram = ONE coarse-bucket
+    exchange each (the final ≤groups-row Aggregate is not a
+    SortReduce); RFM = reduce + fused rank + pivot (3); the as-of
+    replay keeps the flagship's single merge exchange."""
+    sf = "/root/testdata/sf0.001"
+    for name, budget in {
+        "events_type_transition_matrix": 1,
+        "cdc_conflict_stats": 1,
+        "wal_reorder_stats": 1,
+        "embedding_gram_matrix": 1,
+        "cdc_replay_asof": 1,
+        "customer_rfm_segments": 3,
+    }.items():
+        res = QUERIES[name](sf)
+        stats = res.materialize().stats()
+        assert stats.count("SortReduce") <= budget, (name, stats)
