@@ -7213,6 +7213,108 @@ def q9_profit_by_nation_year(sf_dir: str):
     return agg[["nation", "o_year", "profit_cents"]]
 
 
+def events_cohort_matrix(sf_dir: str):
+    """Cohort retention matrix — the classic growth-analytics triangle:
+    users grouped by the epoch week of their FIRST event (the cohort),
+    counted in each subsequent week they were active, keyed by the
+    week offset.
+
+    Scale shape: ONE coarse user-bucket shuffle co-locates each user's
+    stream; per bucket a vectorized kernel computes each user's first
+    week and dedups (user, week) activity pairs (lexsort + boundary
+    masks — no per-user Python), emitting ≤ cohorts·offsets partial
+    counts; the final combine is a tiny bucketed sum."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    _WEEK_US = 7 * 24 * 3600 * 1_000_000
+    _SCHEMA = pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()), ("pn", pa.int64())]
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _SCHEMA.empty_table()
+        user = _np(g.column("user_id"))
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = ts // _WEEK_US
+        order = np.lexsort((week, user))
+        user_s, week_s = user[order], week[order]
+        new_user = np.r_[True, user_s[1:] != user_s[:-1]]
+        # first (minimum) week per user, repeated across the user's run
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.r_[starts, len(user_s)])
+        cohort = np.repeat(week_s[starts], sizes)
+        # distinct (user, week): keep first row of each equal-pair run
+        keep = new_user | np.r_[False, week_s[1:] != week_s[:-1]]
+        t = pa.table(
+            {
+                "cohort_week": pa.array(cohort[keep]),
+                "week_offset": pa.array(week_s[keep] - cohort[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        a = t.group_by(["cohort_week", "week_offset"]).aggregate([("one", "sum")])
+        return _agg_select(a, ["cohort_week", "week_offset"], [("one_sum", "pn")])
+
+    partials = (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return _sum_by_keys_bucketed(
+        partials,
+        keys=["cohort_week", "week_offset"],
+        sum_cols=["pn"],
+        out_names=["n_users"],
+    )
+
+
+def orders_size_distribution(sf_dir: str):
+    """Group-size distribution ("COUNT of COUNTs") — lineitems per
+    order, histogrammed: the skew-analysis primitive that tells an
+    ingest operator whether a key domain needs salting before it
+    becomes a hot reducer.
+
+    Scale shape: per-batch (orderkey, n) partials collapse each block
+    to ≤ orders rows; ONE bucketed exchange on orderkey finishes exact
+    per-order counts AND reduces them to per-bucket histogram partials
+    in the same kernel; the final combine sums ≤ sizes·buckets tiny
+    rows — the raw fact stream crosses the wire once, pre-reduced."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "pn": g.column("l_orderkey_count").cast(pa.int64()),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(b.column("l_orderkey"), _nb() - 1), pa.int32()),
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["l_orderkey", "pn"]).group_by("l_orderkey").aggregate([("pn", "sum")])
+        sizes = a.column("pn_sum").to_numpy(zero_copy_only=False)
+        u, c = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {"order_size": pa.array(u), "pn": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return _sum_by_keys_bucketed(
+        hist, keys=["order_size"], sum_cols=["pn"], out_names=["n_orders"]
+    )
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -7389,6 +7491,8 @@ QUERIES = {
     "corpus_zipf_slope": corpus_zipf_slope,
     "cdc_replay_asof": cdc_replay_asof,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "events_cohort_matrix": events_cohort_matrix,
+    "orders_size_distribution": orders_size_distribution,
 }
 
 _CHANGES_CTE = """
@@ -9081,4 +9185,23 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON n_nationkey = s_nationkey
 WHERE p_type = 'ECONOMY'
 GROUP BY n_name, o_year
+"""
+
+# cohort retention triangle on epoch weeks
+ORACLE_SQL["events_cohort_matrix"] = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, week FROM w)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+# group-size distribution: lineitems per order, histogrammed
+ORACLE_SQL["orders_size_distribution"] = """
+WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(n AS BIGINT) AS order_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n
 """

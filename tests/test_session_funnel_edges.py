@@ -384,3 +384,26 @@ def test_new_ops_plan_shapes(ray_session):
         res = QUERIES[name](sf)
         stats = res.materialize().stats()
         assert stats.count("SortReduce") <= budget, (name, stats)
+
+
+def test_cohort_matrix_edges(ray_session, crafted_dir):
+    """Crafted events span one week: every user lands in its own first
+    week with offset 0, and each user counts ONCE per active week even
+    with many events (distinct (user, week) dedup)."""
+    got = _to_pandas(QUERIES["events_cohort_matrix"](crafted_dir))
+    con = _con(crafted_dir, ["events"])
+    exp = con.execute(ORACLE_SQL["events_cohort_matrix"]).fetchdf()
+    _cmp(got, exp, ["cohort_week", "week_offset"])
+    assert (got["week_offset"] == 0).all()
+    assert got["n_users"].sum() == 6  # 6 distinct users, 1 week each
+
+
+def test_cohort_and_size_plan_shapes(ray_session):
+    sf = "/root/testdata/sf0.001"
+    for name, budget in {
+        "events_cohort_matrix": 2,  # user bucket + tiny final sum
+        "orders_size_distribution": 2,  # orderkey bucket + tiny final sum
+    }.items():
+        res = QUERIES[name](sf)
+        stats = res.materialize().stats()
+        assert stats.count("SortReduce") <= budget, (name, stats)
