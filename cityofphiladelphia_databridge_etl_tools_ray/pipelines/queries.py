@@ -7315,6 +7315,64 @@ def orders_size_distribution(sf_dir: str):
     )
 
 
+def orders_asof_weekly_baseline(sf_dir: str):
+    """Table-to-table AS-OF join, broadcast flavor: every order joined
+    to the most recent STRICTLY-PRIOR week's total revenue (its
+    "market baseline") — the trailing-reference-data pattern (fx
+    rates, price books, model versions) the reference handles with
+    per-row lookups.
+
+    Scale shape: the right side reduces distributively to O(weeks)
+    rows (map-side weekly cents partials, one tiny bucketed exchange),
+    is sorted once and broadcast via ``ray.put``; the fact probe is a
+    per-batch ``np.searchsorted`` — no shuffle of the fact table at
+    all, and the oracle is DuckDB's native ASOF JOIN."""
+    import ray
+
+    ds_w = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    _WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        wk = _np(b.column("o_orderdate").cast(pa.int64())) // _WEEK_US
+        t = pa.table({"week": pa.array(wk), "cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by("week").aggregate([("cents", "sum")])
+        return _agg_select(g, ["week"], [("cents_sum", "pc_")])
+
+    weekly = (
+        _sum_by_keys_bucketed(
+            ds_w.map_batches(wpartial, batch_format="pyarrow"),
+            keys=["week"],
+            sum_cols=["pc_"],
+            out_names=["cents"],
+        )
+        .to_pandas()
+        .sort_values("week")
+    )
+    weeks = weekly["week"].to_numpy(np.int64)
+    cents = weekly["cents"].to_numpy(np.int64)
+    ref = ray.put((weeks, cents))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def probe(b: pa.Table, *, ref) -> pa.Table:
+        wk_arr, c_arr = _deref(ref)
+        wk = _np(b.column("o_orderdate").cast(pa.int64())) // _WEEK_US
+        # most recent week strictly before the order's week
+        pos = np.searchsorted(wk_arr, wk, side="left") - 1
+        found = pos >= 0
+        baseline = np.where(found, c_arr[np.maximum(pos, 0)], 0).astype(np.float64)
+        baseline[~found] = np.nan
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "order_week": pa.array(wk),
+                "baseline_cents": pa.array(baseline, from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -7493,6 +7551,7 @@ QUERIES = {
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "events_cohort_matrix": events_cohort_matrix,
     "orders_size_distribution": orders_size_distribution,
+    "orders_asof_weekly_baseline": orders_asof_weekly_baseline,
 }
 
 _CHANGES_CTE = """
@@ -9204,4 +9263,15 @@ ORACLE_SQL["orders_size_distribution"] = """
 WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
 SELECT CAST(n AS BIGINT) AS order_size, CAST(count(*) AS BIGINT) AS n_orders
 FROM c GROUP BY n
+"""
+
+# broadcast as-of join: each order vs the latest strictly-prior week's revenue
+ORACLE_SQL["orders_asof_weekly_baseline"] = """
+WITH weekly AS (
+  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY week),
+o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 604800000000 AS order_week FROM orders)
+SELECT o.o_orderkey, o.order_week, CAST(w.cents AS DOUBLE) AS baseline_cents
+FROM o ASOF LEFT JOIN weekly w ON w.week < o.order_week
 """
