@@ -7373,6 +7373,295 @@ def orders_asof_weekly_baseline(sf_dir: str):
     return ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+_Q2_TYPE = "STANDARD"
+_Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 adapted to this corpus (no partsupp table — the
+    per-(part, supplier) offer cost is the MIN unit price observed in
+    lineitem facts, in exact integer cents): for every STANDARD part,
+    the EUROPE supplier(s) achieving the global minimum cost, ties
+    kept like the reference query's multi-row output.
+
+    Scale shape: both dimensions are reduced AT THE READ (type filter
+    on part, region-nation filter on supplier — other row groups never
+    leave storage) and broadcast as SortedIntMaps via one ``ray.put``;
+    the fact probe emits per-batch (part, supp) min-cost partials, so
+    ONE bucketed exchange on partkey computes the global per-pair mins
+    AND the per-part argmin in the same vectorized lexsort kernel;
+    only winner rows (≤ |part| + ties) leave the exchange, and the
+    supplier-attribute join runs on that reduced result against the
+    already-collected region slice of the dimension."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rk = region.loc[region["r_name"] == _Q2_REGION, "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rk]
+    region_keys = nat["n_nationkey"].astype(np.int64).tolist()
+    nat_names = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    parts = _read(
+        sf_dir, "part", columns=["p_partkey"], filter=pc.field("p_type") == _Q2_TYPE
+    ).to_pandas()
+    supp = _read(
+        sf_dir,
+        "supplier",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(region_keys),
+    ).to_pandas()
+
+    pkeys = parts["p_partkey"].to_numpy()
+    pref = ray.put(SortedIntMap(pkeys, np.ones(len(pkeys), np.int64)))
+    sref = ray.put(
+        SortedIntMap(supp["s_suppkey"].to_numpy(), np.ones(len(supp), np.int64))
+    )
+
+    def probe(b: pa.Table, *, pref, sref) -> pa.Table:
+        _, pfound = _deref(pref).get(_np(b.column("l_partkey")), default=0)
+        _, sfound = _deref(sref).get(_np(b.column("l_suppkey")), default=0)
+        b = b.filter(pa.array(pfound & sfound))
+        cost = _cents(pc.divide(b.column("l_extendedprice"), b.column("l_quantity")))
+        t = pa.table(
+            {
+                "p_partkey": b.column("l_partkey"),
+                "suppkey": b.column("l_suppkey"),
+                "cost": cost,
+            }
+        )
+        g = t.group_by(["p_partkey", "suppkey"]).aggregate([("cost", "min")])
+        return _agg_select(g, ["p_partkey", "suppkey"], [("cost_min", "cost")])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("p_partkey"), _nb() - 1), pa.int32())
+        )
+
+    def argmin_bucket(g: pa.Table) -> pa.Table:
+        g2 = (
+            g.select(["p_partkey", "suppkey", "cost"])
+            .group_by(["p_partkey", "suppkey"])
+            .aggregate([("cost", "min")])
+        )
+        pk, sk, cm = _np(g2.column("p_partkey")), _np(g2.column("suppkey")), _np(
+            g2.column("cost_min")
+        )
+        if len(pk) == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "suppkey": pa.array([], pa.int64()),
+                    "cost_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((cm, pk))
+        pk_s, sk_s, c_s = pk[order], sk[order], cm[order]
+        new = np.ones(len(pk_s), bool)
+        new[1:] = pk_s[1:] != pk_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(pk_s)))
+        best = np.repeat(c_s[starts], sizes)  # group-min = first after lexsort
+        keep = c_s == best
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk_s[keep]),
+                "suppkey": pa.array(sk_s[keep]),
+                "cost_cents": pa.array(c_s[keep]),
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    res = (
+        ds.map_batches(probe, fn_kwargs={"pref": pref, "sref": sref}, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(argmin_bucket, batch_format="pyarrow")
+        .to_pandas()  # reduced: ≤ |STANDARD part| argmin winners
+    )
+    supp = supp.copy()
+    supp["n_name"] = supp["s_nationkey"].astype(np.int64).map(nat_names)
+    out = res.merge(
+        supp[["s_suppkey", "s_name", "s_acctbal", "n_name"]],
+        left_on="suppkey",
+        right_on="s_suppkey",
+    )
+    return out[["p_partkey", "s_name", "s_acctbal", "n_name", "cost_cents"]]
+
+
+_Q11_NATION = "NATION_3"  # has suppliers at every test SF (like q7)
+_Q11_PPM = 1000  # keep parts with value share > 1/1000 of the total
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 adapted (no partsupp — 'stock value' becomes the
+    revenue booked against parts via NATION_3 suppliers): parts whose
+    value exceeds 0.1% of the nation's total, entirely in exact
+    integer-cents arithmetic so the threshold comparison
+    (``value_cents * 1000 > total_cents``) can never flip on float
+    noise between engines.
+
+    Scale shape: the supplier dimension is nation-filtered at the
+    read and broadcast; per-batch partials collapse the fact stream to
+    (partkey, cents) rows; ONE bucketed exchange produces per-part
+    sums; the global total is a distributed O(|part|) reduce over that
+    already-reduced stream (one scalar to the driver), and the
+    fraction filter streams — no part-level materialization on the
+    driver."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nk = int(nation.loc[nation["n_name"] == _Q11_NATION, "n_nationkey"].iloc[0])
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey"], filter=pc.field("s_nationkey") == nk
+    ).to_pandas()
+    sref = ray.put(
+        SortedIntMap(supp["s_suppkey"].to_numpy(), np.ones(len(supp), np.int64))
+    )
+
+    def partial(b: pa.Table, *, sref) -> pa.Table:
+        _, f = _deref(sref).get(_np(b.column("l_suppkey")), default=0)
+        b = b.filter(pa.array(f))
+        v = _cents(
+            pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+        )
+        t = pa.table({"l_partkey": b.column("l_partkey"), "v": v})
+        g = t.group_by("l_partkey").aggregate([("v", "sum")])
+        return _agg_select(g, ["l_partkey"], [("v_sum", "v")])
+
+    per_part = _sum_by_keys_bucketed(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, fn_kwargs={"sref": sref}, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        sum_cols=["v"],
+        out_names=["value_cents"],
+    ).materialize()  # O(|part|) reduced rows; consumed twice (total + filter)
+    total = int(per_part.sum("value_cents") or 0)
+
+    def keep(b: pa.Table) -> pa.Table:
+        share = pc.multiply(b.column("value_cents"), pa.scalar(_Q11_PPM, pa.int64()))
+        return b.filter(pc.greater(share, pa.scalar(total, pa.int64())))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+_Q20_PREFIX = "small "
+_Q20_LO, _Q20_HI = "1997-01-01", "1998-01-01"
+
+
+def q20_majority_share_suppliers(sf_dir: str):
+    """TPC-H Q20 adapted (no partsupp — 'excess availability' becomes
+    majority share): suppliers that shipped MORE THAN HALF of some
+    'small …' part's total 1997 quantity.  Quantities are summed as
+    exact integer centi-units, so the strict-majority comparison
+    (``2·q > total``) is bit-identical to the SQL oracle.
+
+    Scale shape: the part dimension is prefix-filtered at the read
+    (``starts_with`` pushdown) and broadcast as a key set; the
+    date-pruned fact probe emits per-batch (part, supp) quantity
+    partials; ONE bucketed exchange on partkey computes global pair
+    sums, per-part totals and the majority filter in one vectorized
+    reduceat kernel; only winner suppkeys (≤ |part|) leave, and the
+    supplier-attribute lookup reads just those keys back from the
+    dimension (``isin`` pushdown)."""
+    import ray
+
+    parts = _read(
+        sf_dir,
+        "part",
+        columns=["p_partkey"],
+        filter=pc.starts_with(pc.field("p_name"), _Q20_PREFIX),
+    ).to_pandas()
+    pref = ray.put(
+        SortedIntMap(parts["p_partkey"].to_numpy(), np.ones(len(parts), np.int64))
+    )
+    lo = pd.Timestamp(_Q20_LO).to_pydatetime()
+    hi = pd.Timestamp(_Q20_HI).to_pydatetime()
+
+    def partial(b: pa.Table, *, pref) -> pa.Table:
+        _, f = _deref(pref).get(_np(b.column("l_partkey")), default=0)
+        b = b.filter(pa.array(f))
+        q = pc.cast(
+            pc.round(
+                pc.multiply(b.column("l_quantity"), pa.scalar(100.0)),
+                0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"partkey": b.column("l_partkey"), "suppkey": b.column("l_suppkey"), "q": q}
+        )
+        g = t.group_by(["partkey", "suppkey"]).aggregate([("q", "sum")])
+        return _agg_select(g, ["partkey", "suppkey"], [("q_sum", "q")])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("partkey"), _nb() - 1), pa.int32())
+        )
+
+    def majority(g: pa.Table) -> pa.Table:
+        g2 = (
+            g.select(["partkey", "suppkey", "q"])
+            .group_by(["partkey", "suppkey"])
+            .aggregate([("q", "sum")])
+        )
+        pk, sk, q = _np(g2.column("partkey")), _np(g2.column("suppkey")), _np(
+            g2.column("q_sum")
+        )
+        if len(pk) == 0:
+            return pa.table({"suppkey": pa.array([], pa.int64())})
+        order = np.argsort(pk, kind="stable")
+        pk_s, sk_s, q_s = pk[order], sk[order], q[order]
+        new = np.ones(len(pk_s), bool)
+        new[1:] = pk_s[1:] != pk_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(pk_s)))
+        tot = np.repeat(np.add.reduceat(q_s, starts), sizes)
+        keep = q_s * 2 > tot
+        return pa.table({"suppkey": pa.array(np.unique(sk_s[keep]))})
+
+    winners = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .select_columns(["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, fn_kwargs={"pref": pref}, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(majority, batch_format="pyarrow")
+        .to_pandas()  # reduced: distinct winner suppkeys only
+    )
+    wkeys = np.unique(_df_col(winners, "suppkey"))
+    if len(wkeys) == 0:
+        return pd.DataFrame(
+            {"s_name": pd.Series(dtype=object), "n_name": pd.Series(dtype=object)}
+        )
+    supp = _read(
+        sf_dir,
+        "supplier",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filter=pc.field("s_suppkey").isin(wkeys.tolist()),
+    ).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    supp["n_name"] = supp["s_nationkey"].astype(np.int64).map(nat_names)
+    return supp[["s_name", "n_name"]]
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -7533,6 +7822,9 @@ QUERIES = {
     "events_type_streaks": events_type_streaks,
     "orders_monthly_growth": orders_monthly_growth,
     "q16_supplier_variety": q16_supplier_variety,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_majority_share_suppliers": q20_majority_share_suppliers,
     "events_user_conversion_time": events_user_conversion_time,
     "events_type_transition_matrix": events_type_transition_matrix,
     "events_session_funnel": events_session_funnel,
@@ -9274,4 +9566,57 @@ WITH weekly AS (
 o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 604800000000 AS order_week FROM orders)
 SELECT o.o_orderkey, o.order_week, CAST(w.cents AS DOUBLE) AS baseline_cents
 FROM o ASOF LEFT JOIN weekly w ON w.week < o.order_week
+"""
+
+# q2-adapted: min-cost EUROPE supplier per STANDARD part (ties kept)
+ORACLE_SQL["q2_min_cost_supplier"] = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN part ON part.p_partkey = lineitem.l_partkey AND p_type = 'STANDARD'
+  JOIN eu ON lineitem.l_suppkey = eu.s_suppkey
+  GROUP BY 1, 2),
+best AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY partkey) AS best_cents FROM ps)
+SELECT b.partkey AS p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, b.cost_cents
+FROM best b JOIN eu ON b.suppkey = eu.s_suppkey
+WHERE b.cost_cents = b.best_cents
+"""
+
+# q11-adapted: parts whose NATION_3-supplied value exceeds 0.1% of total
+ORACLE_SQL["q11_important_parts"] = """
+WITH s AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+v AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS value_cents
+  FROM lineitem JOIN s ON l_suppkey = s.s_suppkey
+  GROUP BY 1)
+SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)
+"""
+
+# q20-adapted: suppliers shipping a strict majority of a 'small …'
+# part's 1997 quantity
+ORACLE_SQL["q20_majority_share_suppliers"] = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
+q AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem JOIN pk ON l_partkey = pk.p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(q) AS tq FROM q GROUP BY 1),
+win AS (
+  SELECT DISTINCT l_suppkey FROM q JOIN tot USING (l_partkey) WHERE q * 2 > tq)
+SELECT s_name, n_name FROM win
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
 """
