@@ -1620,3 +1620,99 @@ def corpus_zipf_slope(sf_dir: str):
             "intercept": [intercept],
         }
     )
+
+
+_SURPRISAL_VOCAB_K = 16
+
+
+def corpus_unigram_surprisal(sf_dir: str, vocab_k: int = _SURPRISAL_VOCAB_K):
+    """Per-document mean unigram surprisal ``-ln p(token)`` under the
+    corpus-global top-K unigram LM (OOV tokens score as count 1) — the
+    cheap LM-quality proxy pretraining pipelines use to rank documents
+    before an expensive model pass.
+
+    Scale shape: ONE fact pass builds both the vocabulary and the
+    global token total — per-batch term partials → ONE bucketed
+    exchange where each bucket prunes to its exact top-k AND emits a
+    one-row sentinel carrying the bucket's token total (the empty-
+    string term can never collide: the tokenizer drops it), so the
+    driver sees ≤ (k+1)·buckets rows; the scoring pass is shuffle-free
+    — sorted-vocab ``searchsorted`` lookup and a ``bincount`` mean per
+    batch against the O(K) broadcast."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .queries import _nb  # late import: queries imports corpus
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = _tf_table(b)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return pa.table({"term": g.column("term"), "pn": g.column("tf_sum")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(b.column("term").to_pandas(), dtype=object), categorize=False
+        )
+        return b.append_column("bucket", pa.array((h & (_nb() - 1)).astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.select(["term", "pn"]).group_by("term").aggregate([("pn", "sum")])
+        out = pa.table({"term": a.column("term"), "n": a.column("pn_sum")})
+        total = pa.table(
+            {
+                "term": pa.array([""], pa.string()),
+                "n": pa.array([int(pc.sum(out.column("n")).as_py() or 0)], pa.int64()),
+            }
+        )
+        pruned = out.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, vocab_k)
+        return pa.concat_tables([pruned, total])
+
+    cand = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .to_pandas()  # ≤ (k+1)·buckets rows
+    )
+    is_sent = cand["term"] == ""
+    total_tokens = int(cand.loc[is_sent, "n"].sum())
+    top = (
+        cand[~is_sent]
+        .sort_values(["n", "term"], ascending=[False, True], kind="stable")
+        .head(vocab_k)
+    )
+    order = np.argsort(top["term"].to_numpy(str))
+    vocab_terms = top["term"].to_numpy(str)[order]
+    vocab_counts = top["n"].to_numpy(np.int64)[order]
+    ref = ray.put((vocab_terms, vocab_counts, total_tokens))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms, counts, tot = ray.get(ref)
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        words = toks.values.to_numpy(zero_copy_only=False).astype(str)
+        keep = words != ""
+        c = np.ones(len(words), np.int64)  # OOV → count 1
+        if len(terms):
+            pos = np.minimum(np.searchsorted(terms, words), len(terms) - 1)
+            hit = terms[pos] == words
+            c[hit] = counts[pos[hit]]
+        s = np.where(keep, -np.log(c.astype(np.float64) / tot), 0.0)
+        doc_seg = np.repeat(np.arange(len(b)), np.diff(off))
+        n_tok = np.bincount(doc_seg, weights=keep.astype(np.float64), minlength=len(b)).astype(np.int64)
+        ssum = np.bincount(doc_seg, weights=s, minlength=len(b))
+        nz = n_tok > 0  # token-less docs drop (oracle GROUP BY never sees them)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(pa.array(nz)),
+                "n_tokens": pa.array(n_tok[nz]),
+                "mean_surprisal": pa.array(ssum[nz] / n_tok[nz]),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")

@@ -32,6 +32,7 @@ from .corpus import (
     corpus_decontaminate,
     corpus_mix_weighted,
     corpus_tfidf_top_terms,
+    corpus_unigram_surprisal,
     corpus_zipf_slope,
     dedup_exact,
     corpus_dedup_incremental,
@@ -7373,6 +7374,141 @@ def orders_asof_weekly_baseline(sf_dir: str):
     return ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+_PARETO_NUM, _PARETO_DEN = 4, 5  # coverage target 4/5 = 80%
+
+
+def orders_pareto_coverage(sf_dir: str):
+    """Pareto / cumulative-share analysis: the size of the smallest
+    customer set (by revenue, ties broken by custkey) covering ≥ 80%
+    of total order revenue, plus the covered and total cents — the
+    'how concentrated is my revenue' question, answered with exact
+    integer arithmetic (``covered·5 ≥ total·4``) so the cut can never
+    flip on float noise.
+
+    Scale shape — a SELECTION, not a global sort: (1) the fact stream
+    reduces to per-customer cents via batch partials + ONE bucketed
+    exchange; (2) a KLL sketch over the reduced stream picks value-
+    range boundaries (approximate splits only balance ranges, never
+    affect correctness: the range id is a monotone function of the
+    VALUE, so equal-valued customers — the only rows whose relative
+    order the tie-break decides — always share a range); (3) per-range
+    (sum, count) partials give the driver a ≤64-row table whose
+    descending prefix locates the crossing range; (4) only that ONE
+    range sorts locally to place the exact cut.  No stage holds more
+    than one range; the driver sees two tiny tables and one row."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": b.column("o_custkey"), "c": _cents(b.column("o_totalprice"))}
+        )
+        g = t.group_by("o_custkey").aggregate([("c", "sum")])
+        return _agg_select(g, ["o_custkey"], [("c_sum", "c")])
+
+    per_cust = _sum_by_keys_bucketed(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["o_custkey"],
+        sum_cols=["c"],
+        out_names=["c"],
+    ).materialize()  # O(|customer|) reduced rows, consumed by 3 tiny passes
+
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        return qsketch_state(qsketch_from_state(state).add(_np(block.column("c"))))
+
+    sk = qsketch_from_state(
+        np.asarray(
+            per_cust.aggregate(
+                AggregateFn(
+                    init=lambda k: qsketch_state(QuantileSketch(k=256)),
+                    merge=lambda a, b: qsketch_state(
+                        qsketch_from_state(a).merge(qsketch_from_state(b))
+                    ),
+                    accumulate_block=acc_block,
+                    name="qsk",
+                )
+            )["qsk"],
+            dtype=np.float64,
+        )
+    )
+    bounds = np.unique(
+        sk.quantiles(np.arange(1, _RANK_RANGES) / _RANK_RANGES).astype(np.int64)
+    )
+
+    def with_range(b: pa.Table) -> pa.Table:
+        rng = np.searchsorted(bounds, _np(b.column("c")), side="right").astype(np.int32)
+        return b.append_column("rng", pa.array(rng))
+
+    ranged = per_cust.map_batches(with_range, batch_format="pyarrow").materialize()
+
+    def range_stats(b: pa.Table) -> pa.Table:
+        rng = _np(b.column("rng"))
+        c = _np(b.column("c"))
+        # exact int64 range sums (bincount weights would round through
+        # float64): sort-by-range + reduceat, sparse output
+        order = np.argsort(rng, kind="stable")
+        rs, cs = rng[order], c[order]
+        new = np.ones(len(rs), bool)
+        new[1:] = rs[1:] != rs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(rs)))
+        return pa.table(
+            {
+                "rng": pa.array(rs[starts].astype(np.int32)),
+                "n": pa.array(sizes.astype(np.int64)),
+                "s": pa.array(np.add.reduceat(cs, starts)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ranged.map_batches(range_stats, batch_format="pyarrow")
+        .groupby("rng")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("rng", ascending=False)  # descending value order
+    )
+    total = int(stats["s"].sum())
+    cum_s = stats["s"].cumsum().to_numpy()
+    cum_n = stats["n"].cumsum().to_numpy()
+    # first (in desc order) range where the running sum reaches 80%
+    crossing = int(np.argmax(cum_s * _PARETO_DEN >= total * _PARETO_NUM))
+    rng_star = int(stats["rng"].to_numpy()[crossing])
+    before_s = int(cum_s[crossing - 1]) if crossing > 0 else 0
+    before_n = int(cum_n[crossing - 1]) if crossing > 0 else 0
+
+    def cut_in_range(g: pa.Table) -> pa.Table:
+        c = _np(g.column("c"))
+        ck = _np(g.column("o_custkey"))
+        order = np.lexsort((ck, -c))  # revenue desc, custkey asc
+        cum = before_s + np.cumsum(c[order])
+        k = int(np.searchsorted(cum * _PARETO_DEN, total * _PARETO_NUM, side="left")) + 1
+        return pa.table(
+            {
+                "n_in": pa.array([np.int64(k)]),
+                "cov_in": pa.array([np.int64(cum[k - 1])]),
+            }
+        )
+
+    inner = (
+        ranged.filter(expr=f"rng == {rng_star}")
+        .repartition(1)
+        .map_batches(cut_in_range, batch_size=None, batch_format="pyarrow")
+        .to_pandas()  # exactly one row
+    )
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(before_n + int(inner["n_in"].iloc[0]))],
+            "covered_cents": [np.int64(inner["cov_in"].iloc[0])],
+            "total_cents": [np.int64(total)],
+        }
+    )
+
+
 _Q2_TYPE = "STANDARD"
 _Q2_REGION = "EUROPE"
 
@@ -7825,6 +7961,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q20_majority_share_suppliers": q20_majority_share_suppliers,
+    "orders_pareto_coverage": orders_pareto_coverage,
+    "corpus_unigram_surprisal": corpus_unigram_surprisal,
     "events_user_conversion_time": events_user_conversion_time,
     "events_type_transition_matrix": events_type_transition_matrix,
     "events_session_funnel": events_session_funnel,
@@ -9619,4 +9757,37 @@ win AS (
 SELECT s_name, n_name FROM win
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
+"""
+
+# Pareto coverage: smallest customer set covering >= 80% of revenue
+ORACLE_SQL["orders_pareto_coverage"] = """
+WITH r AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT c,
+         sum(c) OVER (ORDER BY c DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r),
+t AS (SELECT sum(c) AS tot FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(max(cum) AS BIGINT) AS covered_cents,
+       CAST(max(tot) AS BIGINT) AS total_cents
+FROM s, t WHERE (cum - c) * 5 < tot * 4
+"""
+
+# per-doc mean unigram surprisal under the global top-16 unigram LM
+ORACLE_SQL["corpus_unigram_surprisal"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.w
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+       unnest(parts) AS t(w) WHERE t.w <> ''),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS t FROM tok),
+vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16),
+scored AS (
+  SELECT tok.doc_id,
+         -ln(CAST(coalesce(v.c, 1) AS DOUBLE) / (SELECT t FROM tot)) AS s
+  FROM tok LEFT JOIN vocab v ON tok.w = v.w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(s) AS mean_surprisal
+FROM scored GROUP BY doc_id
 """
