@@ -982,6 +982,61 @@ def cdc_partition_watermarks(sf_dir: str):
     )
 
 
+def cdc_replay_lag_report(sf_dir: str):
+    """Per-conversation replay LAG against a mid-WAL checkpoint (cut =
+    ⌊max lsn / 2⌋, the same cut [cdc_replay_asof] time-travels to):
+    the committed watermark (highest lsn ≤ cut, −1 if nothing
+    committed), the pending event count, and the lsn lag to the WAL
+    head — the per-partition lag/metrics view the north rule asks the
+    lake to expose, as an oracle-checked query.
+
+    Scale shape: the cut is one distributed ``max`` over the pruned
+    lsn column; the report is ONE pass with batch-local conditional
+    partials (≤ one row per conv per block before the shuffle)."""
+    from ray.data.aggregate import Max, Sum
+
+    cut = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id")) // 2
+    ds = _derive_changelog(sf_dir)
+
+    def partial(b: pa.Table, *, cut) -> pa.Table:
+        lsn = _np(b.column("lsn"))
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "wm": pa.array(np.where(lsn <= cut, lsn, -1)),
+                "pend": pa.array((lsn > cut).astype(np.int64)),
+                "mx": b.column("lsn"),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [("wm", "max"), ("pend", "sum"), ("mx", "max")]
+        )
+        return _agg_select(
+            g, ["conv_id"], [("wm_max", "wm"), ("pend_sum", "pend"), ("mx_max", "mx")]
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "watermark_lsn": b.column("watermark_lsn"),
+                "pending_events": b.column("pending_events"),
+                "lag": pc.subtract(b.column("mx"), b.column("watermark_lsn")),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, fn_kwargs={"cut": cut}, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Max("wm", alias_name="watermark_lsn"),
+            Sum("pend", alias_name="pending_events"),
+            Max("mx", alias_name="mx"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------
 # events analytics (windows, histograms)
 # --------------------------------------------------------------------
@@ -7963,6 +8018,7 @@ QUERIES = {
     "q20_majority_share_suppliers": q20_majority_share_suppliers,
     "orders_pareto_coverage": orders_pareto_coverage,
     "corpus_unigram_surprisal": corpus_unigram_surprisal,
+    "cdc_replay_lag_report": cdc_replay_lag_report,
     "events_user_conversion_time": events_user_conversion_time,
     "events_type_transition_matrix": events_type_transition_matrix,
     "events_session_funnel": events_session_funnel,
@@ -9790,4 +9846,18 @@ scored AS (
   FROM tok LEFT JOIN vocab v ON tok.w = v.w)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, avg(s) AS mean_surprisal
 FROM scored GROUP BY doc_id
+"""
+
+# per-conversation replay lag vs the mid-WAL checkpoint
+ORACLE_SQL["cdc_replay_lag_report"] = _CHANGES_CTE + """
+, cut AS (SELECT max(event_id) // 2 AS c FROM events)
+SELECT conv_id,
+       CAST(coalesce(max(CASE WHEN lsn <= (SELECT c FROM cut) THEN lsn END), -1)
+            AS BIGINT) AS watermark_lsn,
+       CAST(count(CASE WHEN lsn > (SELECT c FROM cut) THEN 1 END) AS BIGINT)
+            AS pending_events,
+       CAST(max(lsn)
+            - coalesce(max(CASE WHEN lsn <= (SELECT c FROM cut) THEN lsn END), -1)
+            AS BIGINT) AS lag
+FROM changes GROUP BY conv_id
 """
