@@ -513,6 +513,73 @@ def cdc_replay_generic_pk(sf_dir: str):
     )
 
 
+def cdc_replay_multi_table(sf_dir: str):
+    """One WAL, TWO destination tables — the binlog-router shape every
+    real CDC engine needs (a database's log interleaves changes for
+    many tables; the reference runs one CLI job per table,
+    postgres/postgres.py + ago/ago.py, while this routes in-stream):
+    changes with ``lsn % 3 == 0`` are 'users' changes (PK user_id,
+    generic payload), the rest are 'transcripts' changes (PK
+    (conv_id, turn_idx)), each replayed into its OWN lake through the
+    real exactly-once merge path.  Result: per-table row count +
+    content checksum over the two final states.
+
+    Scale shape: the route predicate is a vectorized per-batch filter
+    on the shared tail read (no extra WAL pass per table beyond the
+    per-table normalize), and each lake replay keeps its own
+    partitioning, watermarks and manifests — tables never shuffle
+    into each other."""
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    root = _scratch_root("multi_lake", sf_dir)
+    t_root, u_root = f"{root}/transcripts", f"{root}/users"
+    TranscriptLake.create(t_root, num_partitions=16)
+    TranscriptLake.create(
+        u_root, num_partitions=16, schema=GENERIC_PK_SCHEMA, primary_key=["user_id"]
+    )
+
+    def _route(keep_users: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = _np(b.column("lsn")) % 3 == 0
+            return b.filter(pa.array(m if keep_users else ~m))
+
+        return f
+
+    replay_into_lake(
+        t_root, _derive_changelog(sf_dir).map_batches(_route(False), batch_format="pyarrow")
+    )
+    replay_into_lake(
+        u_root,
+        _derive_user_changelog(sf_dir).map_batches(_route(True), batch_format="pyarrow"),
+    )
+
+    tds = TranscriptLake(t_root).dataset()
+    uds = TranscriptLake(u_root).dataset()
+    t_n = tds.count()
+    t_ck = int(
+        tds.map_batches(
+            lambda b: pa.table({"c": pc.cast(pc.utf8_length(b.column("text")), pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("c")
+        or 0
+    )
+    u_n = uds.count()
+    u_ck = int(
+        uds.map_batches(
+            lambda b: pa.table({"c": _cents(b.column("value"))}), batch_format="pyarrow"
+        ).sum("c")
+        or 0
+    )
+    return pd.DataFrame(
+        {
+            "table_name": ["transcripts", "users"],
+            "n_rows": np.array([t_n, u_n], np.int64),
+            "checksum": np.array([t_ck, u_ck], np.int64),
+        }
+    )
+
+
 def _interchange_changes(sf_dir: str) -> pa.Table:
     """Derive the deterministic change table the interchange-WAL
     queries (CSV / JSON-lines) segment-write and replay — one build,
@@ -8019,6 +8086,7 @@ QUERIES = {
     "orders_pareto_coverage": orders_pareto_coverage,
     "corpus_unigram_surprisal": corpus_unigram_surprisal,
     "cdc_replay_lag_report": cdc_replay_lag_report,
+    "cdc_replay_multi_table": cdc_replay_multi_table,
     "events_user_conversion_time": events_user_conversion_time,
     "events_type_transition_matrix": events_type_transition_matrix,
     "events_session_funnel": events_session_funnel,
@@ -9860,4 +9928,22 @@ SELECT conv_id,
             - coalesce(max(CASE WHEN lsn <= (SELECT c FROM cut) THEN lsn END), -1)
             AS BIGINT) AS lag
 FROM changes GROUP BY conv_id
+"""
+
+# binlog router: one WAL replayed into two tables, per-table checksums
+ORACLE_SQL["cdc_replay_multi_table"] = _CHANGES_CTE + """
+, t_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes WHERE lsn % 3 <> 0),
+t_state AS (SELECT text FROM t_ranked WHERE rn = 1 AND op <> 'delete'),
+u_ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0),
+u_state AS (SELECT value FROM u_ranked WHERE rn = 1 AND event_type <> 'error')
+SELECT 'transcripts' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS checksum FROM t_state
+UNION ALL
+SELECT 'users', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) FROM u_state
 """
