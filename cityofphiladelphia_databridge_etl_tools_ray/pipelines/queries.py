@@ -85,6 +85,18 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, filter=filter)
 
 
+def _read_dim(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    """Driver-local read for FIXED-SIZE tiny dimensions (nation = 25
+    rows, region = 5 at every scale factor).  A full Ray read pipeline
+    costs ~0.5 s of fixed scheduling overhead per call for zero
+    benefit on metadata-sized tables; growing dimensions (customer,
+    supplier, part) must keep using ``_read`` so filters push into the
+    distributed scan."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
 def _cents(col):
     """Exact integer cents: round(x*100), ties away from zero —
     bit-identical to DuckDB ``CAST(round(x*100) AS BIGINT)``."""
@@ -2340,8 +2352,8 @@ def q5_region_revenue(sf_dir: str):
     is a stateless task function over lineitem."""
     import ray
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
+    region = _read_dim(sf_dir, "region")
     rk = region.loc[region["r_name"] == _Q5_REGION, "r_regionkey"].iloc[0]
     nat = nation[nation["n_regionkey"] == rk]
     nat_names = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
@@ -2454,7 +2466,7 @@ def q7_volume_shipping(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    nation = _read(sf_dir, "nation").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
     sel = nation[nation["n_name"].isin(_Q7_NATIONS)]
     names = dict(zip(sel["n_nationkey"].astype(np.int64), sel["n_name"]))
     keys = [int(k) for k in sorted(names)]
@@ -2567,8 +2579,8 @@ def q8_market_share(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
+    region = _read_dim(sf_dir, "region")
     rk = int(region.loc[region["r_name"] == _Q8_REGION, "r_regionkey"].iloc[0])
     in_region = nation.loc[nation["n_regionkey"] == rk, "n_nationkey"].astype(np.int64)
     tgt_key = int(nation.loc[nation["n_name"] == _Q8_NATION, "n_nationkey"].iloc[0])
@@ -3388,7 +3400,7 @@ def join_orders_customer_nation(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     nat_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
     ref = ray.put(
         {
@@ -7273,7 +7285,7 @@ def q9_profit_by_nation_year(sf_dir: str):
         .to_pandas()
     )
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nations = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nations = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     part_ref = ray.put(
         SortedIntMap(parts["p_partkey"].to_numpy(), parts["rc"].to_numpy(np.int64))
     )
@@ -7653,8 +7665,8 @@ def q2_min_cost_supplier(sf_dir: str):
     already-collected region slice of the dimension."""
     import ray
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
+    region = _read_dim(sf_dir, "region")
     rk = region.loc[region["r_name"] == _Q2_REGION, "r_regionkey"].iloc[0]
     nat = nation[nation["n_regionkey"] == rk]
     region_keys = nat["n_nationkey"].astype(np.int64).tolist()
@@ -7752,16 +7764,14 @@ def q2_min_cost_supplier(sf_dir: str):
 
 
 _Q11_NATION = "NATION_3"  # has suppliers at every test SF (like q7)
-_Q11_PPM = 1000  # keep parts with value share > 1/1000 of the total
 
 
 def q11_important_parts(sf_dir: str):
     """TPC-H Q11 adapted (no partsupp — 'stock value' becomes the
     revenue booked against parts via NATION_3 suppliers): parts whose
-    value exceeds 0.1% of the nation's total, entirely in exact
-    integer-cents arithmetic so the threshold comparison
-    (``value_cents * 1000 > total_cents``) can never flip on float
-    noise between engines.
+    value exceeds TWICE the average part value, entirely in exact
+    integer arithmetic (``v > ⌊2T/n⌋`` ≡ ``v·n > 2T``) so the
+    threshold can never flip on float noise between engines.
 
     Scale shape: the supplier dimension is nation-filtered at the
     read and broadcast; per-batch partials collapse the fact stream to
@@ -7772,7 +7782,7 @@ def q11_important_parts(sf_dir: str):
     driver."""
     import ray
 
-    nation = _read(sf_dir, "nation").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
     nk = int(nation.loc[nation["n_name"] == _Q11_NATION, "n_nationkey"].iloc[0])
     supp = _read(
         sf_dir, "supplier", columns=["s_suppkey"], filter=pc.field("s_nationkey") == nk
@@ -7805,10 +7815,14 @@ def q11_important_parts(sf_dir: str):
         out_names=["value_cents"],
     ).materialize()  # O(|part|) reduced rows; consumed twice (total + filter)
     total = int(per_part.sum("value_cents") or 0)
+    n_parts = max(1, per_part.count())
+    # value > 2× the average part value — a scale-free cut (a fixed
+    # ppm-of-total threshold empties out as |part| grows).  Integer
+    # floor form: v·n > 2T ⇔ v > ⌊2T/n⌋ for integer v, no overflow.
+    thr = (2 * total) // n_parts
 
     def keep(b: pa.Table) -> pa.Table:
-        share = pc.multiply(b.column("value_cents"), pa.scalar(_Q11_PPM, pa.int64()))
-        return b.filter(pc.greater(share, pa.scalar(total, pa.int64())))
+        return b.filter(pc.greater(b.column("value_cents"), pa.scalar(thr, pa.int64())))
 
     return per_part.map_batches(keep, batch_format="pyarrow")
 
@@ -7914,7 +7928,7 @@ def q20_majority_share_suppliers(sf_dir: str):
         columns=["s_suppkey", "s_name", "s_nationkey"],
         filter=pc.field("s_suppkey").isin(wkeys.tolist()),
     ).to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
     nat_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
     supp["n_name"] = supp["s_nationkey"].astype(np.int64).map(nat_names)
     return supp[["s_name", "n_name"]]
@@ -9862,7 +9876,7 @@ v AS (
   FROM lineitem JOIN s ON l_suppkey = s.s_suppkey
   GROUP BY 1)
 SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
-WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)
+WHERE value_cents > (2 * (SELECT sum(value_cents) FROM v)) // (SELECT count(*) FROM v)
 """
 
 # q20-adapted: suppliers shipping a strict majority of a 'small …'

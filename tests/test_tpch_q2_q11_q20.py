@@ -176,13 +176,18 @@ def q11_threshold_dir(tmp_path_factory):
         ),
         str(root / "supplier.parquet"),
     )
-    # part values: p1 = 1 cent, p2 = 999 cents → total 1000 cents.
-    # p1 lands EXACTLY at the 0.1% threshold (1·1000 == 1000) → out.
+    # part values (cents): 50, 50, 50, 400, 450 → total 1000 over 5
+    # parts, so the 2×-average cut is exactly 400.  p4 lands EXACTLY
+    # on the boundary (400·5 == 2·1000, not >) → excluded; only p5
+    # clears it.
     pq.write_table(
         _lineitem(
             [
-                (1, 1, 1, 1.0, 0.01, 0.0, "1997-01-01"),
-                (2, 2, 1, 1.0, 9.99, 0.0, "1997-01-02"),
+                (1, 1, 1, 1.0, 0.50, 0.0, "1997-01-01"),
+                (2, 2, 1, 1.0, 0.50, 0.0, "1997-01-02"),
+                (3, 3, 1, 1.0, 0.50, 0.0, "1997-01-03"),
+                (4, 4, 1, 1.0, 4.00, 0.0, "1997-01-04"),
+                (5, 5, 1, 1.0, 4.50, 0.0, "1997-01-05"),
             ]
         ),
         str(root / "lineitem.parquet"),
@@ -192,7 +197,7 @@ def q11_threshold_dir(tmp_path_factory):
 
 def test_q11_threshold_is_strict(ray_session, q11_threshold_dir):
     got = QUERIES["q11_important_parts"](q11_threshold_dir).to_pandas()
-    exp = pd.DataFrame({"l_partkey": [2], "value_cents": [999]})
+    exp = pd.DataFrame({"l_partkey": [5], "value_cents": [450]})
     _cmp(got, exp)
     con = _con(q11_threshold_dir, ["nation", "supplier", "lineitem"])
     _cmp(got, con.execute(ORACLE_SQL["q11_important_parts"]).fetchdf())
