@@ -35,6 +35,8 @@ def hll_partial(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     standard HLL register update, computed branch-free with float64
     log2 (exact for suffixes below 2^53; the top bits that would
     overflow that are folded out by the p-bit register split)."""
+    if len(keys) == 0:  # empty slice of a batch (e.g. one-type blocks)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     h = splitmix64(keys.astype(np.uint64))
     reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     suffix = h & np.uint64((1 << (64 - HLL_P)) - 1)

@@ -7508,6 +7508,224 @@ def orders_asof_weekly_baseline(sf_dir: str):
     return ds.map_batches(probe, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
+def events_spearman_value_ts(sf_dir: str):
+    """Spearman rank correlation between event value and event time —
+    Pearson over global ranks.  row_number ranks (ties broken by
+    event_id) are exact permutations of 1..n, so the closed form
+    ρ = 1 − 6·Σd² / (n(n²−1)) needs only Σ(r_value − r_ts)².
+
+    Scale shape: each rank assignment is the TeraSort range-partition
+    primitive ([lineitem_global_rank]: sketch bounds → tiny offset
+    table → ONE shuffle, rank = offset + local position); the two
+    rank streams union into ONE bucketed exchange on event_id where a
+    per-event sum of (+r₁, −r₂) yields d and the bucket's Σd² partial,
+    int64-exact — per-bucket bound (n/buckets)·n² caps safe n at ~2·10⁶
+    per 512 buckets; past that the partial switches to Python-int
+    object sums.  The driver sums ≤buckets partials in arbitrary-
+    precision Python ints."""
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from ..functions.sketch import QuantileSketch, qsketch_from_state, qsketch_state
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value", "ts"])
+
+    # ONE sketch pass over BOTH sort keys: state = [len(a), a…, b…]
+    def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.concatenate([np.array([len(a)], np.float64), a, b])
+
+    def _unpack2(v: np.ndarray):
+        v = np.asarray(v, np.float64)
+        k = int(v[0])
+        return v[1 : 1 + k], v[1 + k :]
+
+    def acc_block(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        a, b = _unpack2(state)
+        s1 = qsketch_from_state(a).add(_np(block.column("value")))
+        s2 = qsketch_from_state(b).add(
+            _np(pc.cast(pc.cast(block.column("ts"), pa.int64()), pa.float64()))
+        )
+        return _pack2(qsketch_state(s1), qsketch_state(s2))
+
+    def merge2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        xa, xb = _unpack2(x)
+        ya, yb = _unpack2(y)
+        return _pack2(
+            qsketch_state(qsketch_from_state(xa).merge(qsketch_from_state(ya))),
+            qsketch_state(qsketch_from_state(xb).merge(qsketch_from_state(yb))),
+        )
+
+    empty = qsketch_state(QuantileSketch(k=256))
+    st = np.asarray(
+        ds.aggregate(
+            AggregateFn(
+                init=lambda k: _pack2(empty, empty),
+                merge=merge2,
+                accumulate_block=acc_block,
+                name="qsk",
+            )
+        )["qsk"],
+        dtype=np.float64,
+    )
+    sa, sb = _unpack2(st)
+    phis = np.arange(1, _RANK_RANGES) / _RANK_RANGES
+    bounds1 = np.unique(qsketch_from_state(sa).quantiles(phis))
+    bounds2 = np.unique(qsketch_from_state(sb).quantiles(phis))
+
+    def with_ranges(b: pa.Table) -> pa.Table:
+        v = _np(b.column("value"))
+        t = _np(pc.cast(pc.cast(b.column("ts"), pa.int64()), pa.float64()))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "tsf": pa.array(t),
+                "rng1": pa.array(np.searchsorted(bounds1, v, side="right").astype(np.int32)),
+                "rng2": pa.array(np.searchsorted(bounds2, t, side="right").astype(np.int32)),
+            }
+        )
+
+    # read ONCE; both count tables and both rank shuffles reuse this
+    base = ds.map_batches(with_ranges, batch_format="pyarrow").materialize()
+
+    def count_ranges(b: pa.Table) -> pa.Table:
+        out = []
+        for kind, col, m in ((0, "rng1", len(bounds1)), (1, "rng2", len(bounds2))):
+            cnt = np.bincount(_np(b.column(col)), minlength=m + 1).astype(np.int64)
+            out.append((np.full(len(cnt), kind, np.int32), np.arange(len(cnt), dtype=np.int32), cnt))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate([o[0] for o in out])),
+                "rng": pa.array(np.concatenate([o[1] for o in out])),
+                "n": pa.array(np.concatenate([o[2] for o in out])),
+            }
+        )
+
+    counts = (
+        base.map_batches(count_ranges, batch_format="pyarrow")
+        .groupby(["kind", "rng"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = int(counts.loc[counts["kind"] == 0, "n"].sum())
+
+    def _offsets(kind: int, m: int) -> np.ndarray:
+        c = counts[counts["kind"] == kind].sort_values("rng")
+        off = np.zeros(m + 1, dtype=np.int64)
+        off[c["rng"].to_numpy()] = c["n"].to_numpy()
+        return np.r_[0, np.cumsum(off)[:-1]]
+
+    off1, off2 = _offsets(0, len(bounds1)), _offsets(1, len(bounds2))
+
+    def _rank_range(key_col: str, rng_col: str, offsets: np.ndarray, sign: int):
+        def f(g: pa.Table) -> pa.Table:
+            rng = int(g.column(rng_col)[0].as_py())
+            key = _np(g.column(key_col))
+            eid = _np(g.column("event_id"))
+            order = np.lexsort((eid, key))
+            rnk = offsets[rng] + np.arange(1, len(order) + 1, dtype=np.int64)
+            return pa.table({"event_id": pa.array(eid[order]), "d": pa.array(sign * rnk)})
+
+        return f
+
+    r1 = base.select_columns(["event_id", "value", "rng1"]).groupby("rng1").map_groups(
+        _rank_range("value", "rng1", off1, +1), batch_format="pyarrow"
+    )
+    r2 = base.select_columns(["event_id", "tsf", "rng2"]).groupby("rng2").map_groups(
+        _rank_range("tsf", "rng2", off2, -1), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("event_id"), _nb() - 1), pa.int32())
+        )
+
+    def sumd2(g: pa.Table) -> pa.Table:
+        a = g.select(["event_id", "d"]).group_by("event_id").aggregate([("d", "sum")])
+        d = _np(a.column("d_sum"))
+        return pa.table({"sq": pa.array([np.int64(np.dot(d, d))])})
+
+    parts = (
+        r1.union(r2)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sumd2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sd2 = int(sum(int(x) for x in parts["sq"]))  # exact big-int sum
+    rho = 1.0 - 6.0 * sd2 / (n * (float(n) * n - 1.0)) if n > 1 else float("nan")
+    return pd.DataFrame({"n": np.array([n], np.int64), "spearman": [rho]})
+
+
+def events_type_user_overlap_sketch(sf_dir: str):
+    """Approximate audience overlap between the click and purchase
+    user sets via HyperLogLog inclusion–exclusion: |A∩B| ≈ |A|+|B|−
+    |A∪B| where the union sketch is the register-wise max of the two
+    — the mergeable-summary answer to 'what fraction of buyers also
+    click' that never shuffles raw user ids.
+
+    Scale shape: ONE pass emits per-batch (set, register, rho)
+    partials for both sets; a ≤2·1024-row max-groupby is the only
+    exchange, and the driver folds registers.  Deterministic but
+    approximate → rows-only oracle; error pinned vs the exact Jaccard
+    in tests/test_sketch_overlap.py."""
+    from ray.data.aggregate import Max
+
+    from ..functions.sketch import HLL_M, hll_estimate, hll_partial
+
+    ds = _read(
+        sf_dir,
+        "events",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = _np(b.column("event_type"))
+        uid = _np(b.column("user_id")).astype(np.int64)
+        out = {"set_id": [], "register": [], "rho": []}
+        for sid, name in ((0, "click"), (1, "purchase")):
+            reg, rho = hll_partial(uid[et == name])
+            out["set_id"].append(np.full(len(reg), sid, np.int32))
+            out["register"].append(reg)
+            out["rho"].append(rho)
+        return pa.table(
+            {
+                "set_id": pa.array(np.concatenate(out["set_id"])),
+                "register": pa.array(np.concatenate(out["register"])),
+                "rho": pa.array(np.concatenate(out["rho"])),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["set_id", "register"])
+        .aggregate(Max("rho", alias_name="max_rho"))
+        .to_pandas()  # ≤ 2·1024 rows — two sketches, not the data
+    )
+    ests = {}
+    regs = {}
+    for sid, name in ((0, "clicks"), (1, "purchases")):
+        m = merged[merged["set_id"] == sid]
+        regs[sid] = dict(zip(m["register"].to_numpy(), m["max_rho"].to_numpy()))
+        ests[name] = hll_estimate(m["register"].to_numpy(), m["max_rho"].to_numpy())
+    u_reg = sorted(set(regs[0]) | set(regs[1]))
+    u_rho = np.array(
+        [max(regs[0].get(r, 0), regs[1].get(r, 0)) for r in u_reg], np.int64
+    )
+    union_est = hll_estimate(np.array(u_reg, np.int64), u_rho)
+    inter = max(0.0, ests["clicks"] + ests["purchases"] - union_est)
+    jac = inter / union_est if union_est > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "clicks_est": [int(round(ests["clicks"]))],
+            "purchases_est": [int(round(ests["purchases"]))],
+            "union_est": [int(round(union_est))],
+            "jaccard_est": [jac],
+            "n_registers": [HLL_M],
+        }
+    )
+
+
 _PARETO_NUM, _PARETO_DEN = 4, 5  # coverage target 4/5 = 80%
 
 
@@ -8101,6 +8319,8 @@ QUERIES = {
     "corpus_unigram_surprisal": corpus_unigram_surprisal,
     "cdc_replay_lag_report": cdc_replay_lag_report,
     "cdc_replay_multi_table": cdc_replay_multi_table,
+    "events_spearman_value_ts": events_spearman_value_ts,
+    "events_type_user_overlap_sketch": events_type_user_overlap_sketch,
     "events_user_conversion_time": events_user_conversion_time,
     "events_type_transition_matrix": events_type_transition_matrix,
     "events_session_funnel": events_session_funnel,
@@ -9960,4 +10180,16 @@ SELECT 'transcripts' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
 UNION ALL
 SELECT 'users', CAST(count(*) AS BIGINT),
        CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) FROM u_state
+"""
+
+# Spearman rank correlation (row_number ranks, event_id tie-break)
+ORACLE_SQL["events_spearman_value_ts"] = """
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY value, event_id) AS r1,
+         row_number() OVER (ORDER BY ts, event_id) AS r2
+  FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
+             / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0)) AS spearman
+FROM r
 """
