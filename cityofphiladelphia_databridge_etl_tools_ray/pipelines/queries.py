@@ -10085,7 +10085,7 @@ FROM best b JOIN eu ON b.suppkey = eu.s_suppkey
 WHERE b.cost_cents = b.best_cents
 """
 
-# q11-adapted: parts whose NATION_3-supplied value exceeds 0.1% of total
+# q11-adapted: parts whose NATION_3-supplied value exceeds 2x the average
 ORACLE_SQL["q11_important_parts"] = """
 WITH s AS (
   SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
