@@ -6931,6 +6931,135 @@ def wal_reorder_stats(sf_dir: str):
     )
 
 
+def wal_compaction_replay(sf_dir: str):
+    """Log compaction (the Kafka `cleanup.policy=compact` analog) +
+    replay equivalence: compact the WAL down to the highest-lsn event
+    per primary key — RETAINING delete tombstones, which is what makes
+    compaction correct — then replay the compacted log through the
+    real merge path.  LWW is idempotent/associative, so the final
+    state must be byte-identical to replaying the full WAL (same
+    oracle as cdc_replay_full).  The reference replays every staged
+    row through its upsert (postgres/postgres.py:497-558); compaction
+    is the step that makes that affordable on a 10^10-event log where
+    most events are superseded updates.
+
+    Scale shape: batch-local LWW combiner (merge.dedup_last_writer,
+    gather-gated) → ONE conv-hash bucketed exchange of the surviving
+    events → per-bucket exact LWW → the normal replay shuffle.  The
+    compacted stream entering the replay is ≤ |live keys| rows, so
+    the expensive exchange (full payload through the merge) moves the
+    compacted volume, not the raw WAL."""
+    from ..stages.merge import dedup_last_writer
+
+    changes = _derive_changelog(sf_dir)
+    keys = ["conv_id", "turn_idx"]
+
+    def local(b: pa.Table) -> pa.Table:
+        b = dedup_last_writer(b, keys=keys, order_col="lsn", min_reduction=0.05)
+        return _conv_bucket(b)
+
+    def compact(g: pa.Table) -> pa.Table:
+        return dedup_last_writer(g, keys=keys, order_col="lsn").drop_columns(
+            ["bucket"]
+        )
+
+    compacted = (
+        changes.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(compact, batch_format="pyarrow")
+    )
+    out = replay_to_table(compacted, num_partitions=32, keep_lsn=True)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
+def conversation_dedup_exact(sf_dir: str):
+    """Conversation-level exact dedup over the REPLAYED lake state —
+    the transcript-corpus analog of document dedup_exact: two
+    conversations are duplicates iff they have identical turn content
+    in identical turn positions.
+
+    Fingerprint SPEC (cross-engine reproducible, oracle-checked per
+    value): conv_fp = SUM over live turns of
+    ``(turn_idx + 1) * turn_fp  (mod 2**64)`` where turn_fp is the
+    documented sha256-64 content fingerprint of the turn text
+    (stages/text.content_fingerprints).  The (turn_idx+1) weight makes
+    the fingerprint ORDER-SENSITIVE (swapping two distinct turns
+    changes it) while the sum keeps it commutative/associative, so
+    per-block partials are safe at any scale.
+
+    Scale shape: the merge output is hash-partitioned on conv_id with
+    batch==block, so each conversation's turns are already co-located
+    — the per-conversation fingerprint needs ZERO extra shuffle (the
+    transcript_reassembly pattern).  The dedup combine then moves only
+    (conv_fp, conv_id, n_turns) — one tiny fp-bucketed exchange,
+    min/count per fingerprint group inside each bucket."""
+    from ..stages.text import content_fingerprints
+
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    _FP_SCHEMA = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("conv_fp", pa.uint64()),
+            ("n_turns", pa.int64()),
+        ]
+    )
+
+    def conv_fp(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _FP_SCHEMA.empty_table()
+        fp = content_fingerprints(b.column("text"))  # uint64
+        w = _np(b.column("turn_idx")).astype(np.uint64) + np.uint64(1)
+        contrib = w * fp  # uint64 wraparound == mod 2**64
+        conv = np.asarray(b.column("conv_id").to_pandas(), dtype=object)
+        codes, uniq = pd.factorize(conv, sort=False)
+        sums = np.zeros(len(uniq), dtype=np.uint64)
+        np.add.at(sums, codes, contrib)  # wraps in uint64
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq, pa.string()),
+                "conv_fp": pa.array(sums, pa.uint64()),
+                "n_turns": pa.array(counts),
+            }
+        )
+
+    def fp_bucket(b: pa.Table) -> pa.Table:
+        bkt = (_np_u64(b.column("conv_fp")) & np.uint64(_nb() - 1)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bkt))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("conv_fp", sort=False)
+            .agg(
+                keep_conv_id=("conv_id", "min"),
+                n_turns=("n_turns", "min"),
+                n_copies=("conv_id", "count"),
+            )
+            .reset_index()
+        )
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out[["conv_fp", "keep_conv_id", "n_turns", "n_copies"]]
+
+    return (
+        # batch==block: the merge emits one block per partition group,
+        # so a conversation is never split across fingerprint batches
+        state.map_batches(conv_fp, batch_format="pyarrow", batch_size=None)
+        .map_batches(fp_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["conv_fp", "keep_conv_id", "n_turns", "n_copies"])
+    )
+
+
+def _np_u64(col) -> np.ndarray:
+    """uint64 view of an Arrow column without null checks (keys are
+    non-nullable by contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -8330,6 +8459,8 @@ QUERIES = {
     "corpus_vocab_overlap": corpus_vocab_overlap,
     "cdc_conflict_stats": cdc_conflict_stats,
     "wal_reorder_stats": wal_reorder_stats,
+    "wal_compaction_replay": wal_compaction_replay,
+    "conversation_dedup_exact": conversation_dedup_exact,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -10192,4 +10323,35 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
              / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0)) AS spearman
 FROM r
+"""
+
+# log compaction must be state-invariant: same oracle as the full replay
+ORACLE_SQL["wal_compaction_replay"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+# conversation-level exact dedup over the replayed state; conv_fp per the
+# documented spec: SUM((turn_idx+1) * sha256-64(normalized text)) mod 2**64
+ORACLE_SQL["conversation_dedup_exact"] = _CHANGES_CTE + r"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), live AS (
+  SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+), fps AS (
+  SELECT conv_id,
+         CAST(SUM(CAST(turn_idx + 1 AS HUGEINT) *
+                  CAST(CAST(('0x' || substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16))
+                       AS UBIGINT) AS HUGEINT))
+              % 18446744073709551616 AS UBIGINT) AS conv_fp,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM live GROUP BY conv_id
+)
+SELECT conv_fp, min(conv_id) AS keep_conv_id, min(n_turns) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM fps GROUP BY conv_fp
 """
