@@ -7060,6 +7060,392 @@ def _np_u64(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
 
 
+def cdc_temporal_join(sf_dir: str):
+    """As-of (temporal) join of the change stream against a CDC-fed
+    dimension's VERSION HISTORY: turn-0 upserts are the dimension
+    versions (the "conversation header"), every other-turn change is a
+    fact event, and each fact is enriched with the dimension version
+    in effect at its lsn (the latest turn-0 upsert with dim.lsn ≤
+    event.lsn in the same conversation).  This is the standard CDC
+    enrichment problem — a snapshot-join against the merged latest
+    state (reference upsert output, postgres/postgres.py:497-573)
+    would attribute events to dimension versions that did not exist
+    yet; the temporal join attributes them to the version that was
+    live when the event was written.
+
+    Scale shape: dim and fact streams share the conversation key, so
+    ONE conv-hash bucketed exchange co-locates each conversation's
+    full interleaved history; the per-bucket kernel is a single
+    lexsort (conv, lsn) + a global cummax of dim positions validated
+    against the conv of the matched row — no per-conversation loop,
+    no per-event probe.  Output is the per-dim-role event count and
+    lag profile, so the driver compare moves ≤ |roles| rows while
+    still pinning every joined pair through the lag sums.  DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    changes = _derive_changelog(sf_dir)
+
+    _PART_SCHEMA = pa.schema(
+        [
+            ("dim_role", pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_lag", pa.int64()),
+            ("max_lag", pa.int64()),
+        ]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        turn0 = pc.equal(b.column("turn_idx"), 0)
+        is_dim = pc.and_(turn0, pc.not_equal(b.column("op"), pa.scalar("delete")))
+        # keep dim versions and fact events; drop turn-0 deletes (a
+        # deleted header version is not a joinable dimension state)
+        keep = pc.or_(is_dim, pc.invert(turn0))
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "lsn": b.column("lsn"),
+                "is_dim": is_dim,
+                "role": b.column("role"),
+            }
+        ).filter(keep)
+        return _conv_bucket(t)
+
+    def asof_partial(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _PART_SCHEMA.empty_table()
+        conv = np.asarray(g.column("conv_id").to_pandas(), dtype=object)
+        lsn = _np(g.column("lsn"))
+        is_dim = _np(g.column("is_dim"))
+        role = np.asarray(g.column("role").to_pandas(), dtype=object)
+        order = np.lexsort((lsn, conv))
+        conv_s, lsn_s, dim_s, role_s = conv[order], lsn[order], is_dim[order], role[order]
+        n = len(conv_s)
+        # global cummax of dim row positions; a match pointing at a
+        # previous conversation's dim is detected by conv mismatch
+        # (sort is conv-major, so the latest global dim IS the latest
+        # in-conv dim whenever its conv matches)
+        filled = np.maximum.accumulate(np.where(dim_s, np.arange(n), -1))
+        safe = np.maximum(filled, 0)
+        valid = (filled >= 0) & (conv_s[safe] == conv_s)
+        fact = ~dim_s
+        matched = valid & fact
+        dim_role = np.where(matched, role_s[safe], "none")[fact]
+        lag = np.where(matched, lsn_s - lsn_s[safe], 0)[fact]
+        df = pd.DataFrame({"dim_role": dim_role, "lag": lag})
+        agg = df.groupby("dim_role", sort=False).agg(
+            n_events=("lag", "size"), sum_lag=("lag", "sum"), max_lag=("lag", "max")
+        ).reset_index()
+        return pa.table(
+            {
+                "dim_role": pa.array(agg["dim_role"], pa.string()),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+                "sum_lag": pa.array(agg["sum_lag"].to_numpy(np.int64)),
+                "max_lag": pa.array(agg["max_lag"].to_numpy(np.int64)),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        a = g.group_by(["dim_role"]).aggregate(
+            [("n_events", "sum"), ("sum_lag", "sum"), ("max_lag", "max")]
+        )
+        return _agg_select(
+            a,
+            ["dim_role"],
+            [("n_events_sum", "n_events"), ("sum_lag_sum", "sum_lag"), ("max_lag_max", "max_lag")],
+        )
+
+    return (
+        changes.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_partial, batch_format="pyarrow")
+        .groupby("dim_role")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def cdc_orphaned_deletes(sf_dir: str):
+    """WAL data-quality audit: tombstones for keys the log never
+    created — a delete whose (conv_id, turn_idx) has no EARLIER
+    insert/update (first_delete_lsn precedes the first upsert, or no
+    upsert exists at all).  The reference hits these as DELETE ...
+    WHERE matching zero rows and silently no-ops
+    (postgres/postgres.py:497-573); at ingest scale you want them
+    COUNTED, because orphaned tombstones usually mean a lost or
+    reordered upstream snapshot.
+
+    Scale shape: per-batch (key → min upsert-lsn, min delete-lsn)
+    partials (missing side = int64 max sentinel) collapse the stream
+    to ≤ keys rows per block before the ONE conv-bucketed exchange;
+    per-bucket min/min + a vectorized compare finishes the audit."""
+    changes = _derive_changelog(sf_dir)
+    _SENT = (1 << 63) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_del = pc.equal(b.column("op"), pa.scalar("delete"))
+        lsn = b.column("lsn")
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "ups_lsn": pc.if_else(is_del, pa.scalar(_SENT, pa.int64()), lsn),
+                "del_lsn": pc.if_else(is_del, lsn, pa.scalar(_SENT, pa.int64())),
+            }
+        )
+        g = t.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("ups_lsn", "min"), ("del_lsn", "min")]
+        )
+        g = _agg_select(
+            g,
+            ["conv_id", "turn_idx"],
+            [("ups_lsn_min", "ups_lsn"), ("del_lsn_min", "del_lsn")],
+        )
+        return _conv_bucket(g)
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("ups_lsn", "min"), ("del_lsn", "min")]
+        )
+        ups = _np(a.column("ups_lsn_min"))
+        dele = _np(a.column("del_lsn_min"))
+        orphan = (dele != _SENT) & (dele < ups)
+        return pa.table(
+            {
+                "conv_id": a.column("conv_id").filter(pa.array(orphan)),
+                "turn_idx": a.column("turn_idx").filter(pa.array(orphan)),
+                "first_delete_lsn": pa.array(dele[orphan]),
+            }
+        )
+
+    return (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def conversation_similarity_pairs(sf_dir: str):
+    """Distributed set-similarity join over conversations: each
+    conversation is the set of its live (turn_idx, content-fp)
+    elements — same position, same normalized text — and every
+    conversation pair sharing ≥1 element is emitted with its exact
+    Jaccard similarity.  The transcript-corpus analog of the document
+    near-dup join, built as a real inverted-index similarity join
+    (the PPJoin family's candidate generation) instead of the
+    O(n²) all-pairs twin.
+
+    Elements with document frequency > _SIM_DF_CAP are dropped on
+    BOTH the engine and oracle side (the standard stop-element cut):
+    a boilerplate turn shared by a million conversations would emit
+    ~10^12 candidate pairs — the df cap bounds per-element pair
+    fan-out at cap²/2 and is part of the operator's declared
+    semantics, not an approximation knob.
+
+    Scale shape: the merge partitioning co-locates each conversation,
+    so element extraction is shuffle-free and block-local distinct is
+    global distinct.  Then THREE bucketed exchanges over reduced
+    streams: (1) element-hash buckets — df filter + per-element pair
+    generation + per-conversation size partials; (2) conv-hash
+    buckets on pair.a — finalize sizes, finalize shared counts,
+    attach n_a; (3) conv-hash buckets on pair.b — attach n_b, score.
+    No stage ever materializes the corpus; the driver sees nothing."""
+    from ..functions.sketch import splitmix64
+    from ..stages.text import content_fingerprints
+
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    _UNIFIED = pa.schema(
+        [
+            ("ka", pa.string()),
+            ("kb", pa.string()),
+            ("val", pa.int64()),
+            ("n_a", pa.int64()),
+            ("kind", pa.int8()),  # 0=size partial, 1=pair partial, 2=size, 3=pair+n_a
+            ("bucket", pa.int32()),
+        ]
+    )
+    _OUT = pa.schema(
+        [
+            ("conv_a", pa.string()),
+            ("conv_b", pa.string()),
+            ("shared", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def _conv_hash_bucket(conv: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(conv, categorize=False)
+        return (h & (_nb() - 1)).astype(np.int32)
+
+    def elements(b: pa.Table) -> pa.Table:
+        # batch==block: the merge emits one block per partition group,
+        # so a conversation never spans element batches
+        if len(b) == 0:
+            return pa.schema(
+                [("conv_id", pa.string()), ("elem", pa.uint64()), ("bucket", pa.int32())]
+            ).empty_table()
+        fp = content_fingerprints(b.column("text"))
+        turn = _np(b.column("turn_idx")).astype(np.uint64)
+        elem = fp ^ splitmix64(turn + np.uint64(1))
+        return pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "elem": pa.array(elem),
+                "bucket": pa.array((elem & np.uint64(_nb() - 1)).astype(np.int32)),
+            }
+        )
+
+    def index_bucket(g: pa.Table) -> pa.Table:
+        # this bucket holds EVERY (conv, elem) row of its elements
+        if len(g) == 0:
+            return _UNIFIED.empty_table()
+        df = pd.DataFrame(
+            {
+                "conv": np.asarray(g.column("conv_id").to_pandas(), dtype=object),
+                "elem": _np_u64(g.column("elem")),
+            }
+        )
+        dfreq = df.groupby("elem", sort=False)["conv"].transform("size")
+        df = df[dfreq <= _SIM_DF_CAP]
+        out_ka, out_kb, out_val, out_na, out_kind = [], [], [], [], []
+        # per-conversation size partials (this bucket's contribution)
+        sizes = df.groupby("conv", sort=False).size()
+        out_ka.append(np.asarray(sizes.index, dtype=object))
+        out_kb.append(np.full(len(sizes), "", dtype=object))
+        out_val.append(sizes.to_numpy(np.int64))
+        out_na.append(np.zeros(len(sizes), np.int64))
+        out_kind.append(np.zeros(len(sizes), np.int8))
+        # pair partials: per shared element, all (ca < cb) combos —
+        # loop only over elements with 2..cap owners (O(#shared elems))
+        shared = df[df.groupby("elem", sort=False)["conv"].transform("size") >= 2]
+        if len(shared):
+            pa_list, pb_list = [], []
+            for _, grp in shared.groupby("elem", sort=False):
+                convs = np.sort(grp["conv"].to_numpy(dtype=object))
+                ia, ib = np.triu_indices(len(convs), 1)
+                pa_list.append(convs[ia])
+                pb_list.append(convs[ib])
+            ca = np.concatenate(pa_list)
+            cb = np.concatenate(pb_list)
+            pairs = (
+                pd.DataFrame({"ca": ca, "cb": cb})
+                .groupby(["ca", "cb"], sort=False)
+                .size()
+                .reset_index(name="shared")
+            )
+            out_ka.append(pairs["ca"].to_numpy(dtype=object))
+            out_kb.append(pairs["cb"].to_numpy(dtype=object))
+            out_val.append(pairs["shared"].to_numpy(np.int64))
+            out_na.append(np.zeros(len(pairs), np.int64))
+            out_kind.append(np.ones(len(pairs), np.int8))
+        ka = np.concatenate(out_ka)
+        return pa.table(
+            {
+                "ka": pa.array(ka, pa.string()),
+                "kb": pa.array(np.concatenate(out_kb), pa.string()),
+                "val": pa.array(np.concatenate(out_val)),
+                "n_a": pa.array(np.concatenate(out_na)),
+                "kind": pa.array(np.concatenate(out_kind)),
+                "bucket": pa.array(_conv_hash_bucket(ka)),
+            }
+        )
+
+    def attach_na(g: pa.Table) -> pa.Table:
+        # bucket on hash(ka): every size partial of a conv + every
+        # pair with that conv on the a-side land together
+        if len(g) == 0:
+            return _UNIFIED.empty_table()
+        df = pd.DataFrame(
+            {
+                "ka": np.asarray(g.column("ka").to_pandas(), dtype=object),
+                "kb": np.asarray(g.column("kb").to_pandas(), dtype=object),
+                "val": _np(g.column("val")),
+                "kind": _np(g.column("kind")),
+            }
+        )
+        sizes = df[df["kind"] == 0].groupby("ka", sort=False)["val"].sum()
+        pairs = (
+            df[df["kind"] == 1]
+            .groupby(["ka", "kb"], sort=False)["val"]
+            .sum()
+            .reset_index(name="shared")
+        )
+        n_parts = len(sizes) + len(pairs)
+        ka = np.concatenate(
+            [np.asarray(sizes.index, dtype=object), pairs["ka"].to_numpy(dtype=object)]
+        )
+        kb = np.concatenate(
+            [np.full(len(sizes), "", dtype=object), pairs["kb"].to_numpy(dtype=object)]
+        )
+        val = np.concatenate([sizes.to_numpy(np.int64), pairs["shared"].to_numpy(np.int64)])
+        n_a = np.concatenate(
+            [
+                np.zeros(len(sizes), np.int64),
+                sizes.reindex(pairs["ka"]).to_numpy(np.int64),
+            ]
+        )
+        kind = np.concatenate(
+            [np.full(len(sizes), 2, np.int8), np.full(len(pairs), 3, np.int8)]
+        )
+        # route finalized sizes by their own conv; pairs by the b-side
+        route = np.where(kind == 2, ka, kb)
+        assert n_parts == len(route)
+        return pa.table(
+            {
+                "ka": pa.array(ka, pa.string()),
+                "kb": pa.array(kb, pa.string()),
+                "val": pa.array(val),
+                "n_a": pa.array(n_a),
+                "kind": pa.array(kind),
+                "bucket": pa.array(_conv_hash_bucket(route)),
+            }
+        )
+
+    def score(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _OUT.empty_table()
+        df = pd.DataFrame(
+            {
+                "ka": np.asarray(g.column("ka").to_pandas(), dtype=object),
+                "kb": np.asarray(g.column("kb").to_pandas(), dtype=object),
+                "val": _np(g.column("val")),
+                "n_a": _np(g.column("n_a")),
+                "kind": _np(g.column("kind")),
+            }
+        )
+        sizes = df[df["kind"] == 2].set_index("ka")["val"]
+        pairs = df[df["kind"] == 3]
+        if len(pairs) == 0:
+            return _OUT.empty_table()
+        n_b = sizes.reindex(pairs["kb"]).to_numpy(np.int64)
+        shared = pairs["val"].to_numpy(np.int64)
+        n_a = pairs["n_a"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "conv_a": pa.array(pairs["ka"].to_numpy(dtype=object), pa.string()),
+                "conv_b": pa.array(pairs["kb"].to_numpy(dtype=object), pa.string()),
+                "shared": pa.array(shared),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "jaccard": pa.array(shared / (n_a + n_b - shared)),
+            }
+        )
+
+    return (
+        state.map_batches(elements, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(index_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_na, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score, batch_format="pyarrow")
+        .select_columns(["conv_a", "conv_b", "shared", "n_a", "n_b", "jaccard"])
+    )
+
+
+_SIM_DF_CAP = 64  # stop-element document-frequency cut (see docstring)
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -8461,6 +8847,9 @@ QUERIES = {
     "wal_reorder_stats": wal_reorder_stats,
     "wal_compaction_replay": wal_compaction_replay,
     "conversation_dedup_exact": conversation_dedup_exact,
+    "cdc_temporal_join": cdc_temporal_join,
+    "cdc_orphaned_deletes": cdc_orphaned_deletes,
+    "conversation_similarity_pairs": conversation_similarity_pairs,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -10354,4 +10743,64 @@ ORACLE_SQL["conversation_dedup_exact"] = _CHANGES_CTE + r"""
 SELECT conv_fp, min(conv_id) AS keep_conv_id, min(n_turns) AS n_turns,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM fps GROUP BY conv_fp
+"""
+
+# as-of temporal join: DuckDB's native ASOF LEFT JOIN is the oracle.
+# lsn is globally unique, so e.lsn >= d.lsn is equivalent to the strict
+# "version written before the event" semantics.
+ORACLE_SQL["cdc_temporal_join"] = _CHANGES_CTE + """
+, dim AS (
+  SELECT conv_id, lsn, role FROM changes WHERE turn_idx = 0 AND op <> 'delete'
+), stream AS (
+  SELECT conv_id, lsn FROM changes WHERE turn_idx <> 0
+), joined AS (
+  SELECT s.lsn, d.lsn AS dim_lsn, d.role AS dim_role
+  FROM stream s ASOF LEFT JOIN dim d ON s.conv_id = d.conv_id AND s.lsn >= d.lsn
+)
+SELECT coalesce(dim_role, 'none') AS dim_role,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(lsn - dim_lsn), 0) AS BIGINT) AS sum_lag,
+       CAST(coalesce(max(lsn - dim_lsn), 0) AS BIGINT) AS max_lag
+FROM joined GROUP BY 1
+"""
+
+# orphaned tombstones: deletes that precede any upsert of their key
+ORACLE_SQL["cdc_orphaned_deletes"] = _CHANGES_CTE + """
+, firsts AS (
+  SELECT conv_id, turn_idx,
+         min(CASE WHEN op <> 'delete' THEN lsn END) AS first_upsert_lsn,
+         min(CASE WHEN op = 'delete' THEN lsn END) AS first_delete_lsn
+  FROM changes GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, first_delete_lsn
+FROM firsts
+WHERE first_delete_lsn IS NOT NULL
+  AND (first_upsert_lsn IS NULL OR first_delete_lsn < first_upsert_lsn)
+"""
+
+# conversation set-similarity join over live (turn_idx, normalized-text)
+# elements with the same df<=64 stop-element cut the engine applies
+ORACLE_SQL["conversation_similarity_pairs"] = _CHANGES_CTE + r"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), live AS (
+  SELECT conv_id, turn_idx, regexp_replace(lower(text), '\s+', ' ', 'g') AS ntxt
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+), freq AS (
+  SELECT turn_idx, ntxt, count(*) AS df FROM live GROUP BY 1, 2
+), rare AS (
+  SELECT l.conv_id, l.turn_idx, l.ntxt
+  FROM live l JOIN freq q USING (turn_idx, ntxt) WHERE q.df <= 64
+), sizes AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY 1
+), pairs AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, CAST(count(*) AS BIGINT) AS shared
+  FROM rare a JOIN rare b ON a.turn_idx = b.turn_idx AND a.ntxt = b.ntxt
+                         AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT conv_a, conv_b, shared, sa.n AS n_a, sb.n AS n_b,
+       shared * 1.0 / (sa.n + sb.n - shared) AS jaccard
+FROM pairs JOIN sizes sa ON conv_a = sa.conv_id JOIN sizes sb ON conv_b = sb.conv_id
 """
