@@ -1,0 +1,136 @@
+"""Edge cases for the temporal-join / orphan-audit / similarity-join
+operators on crafted WALs, each compared against its registered DuckDB
+oracle (the same compare the driver gate runs):
+
+- cdc_temporal_join: events before any dimension version map to
+  'none'; a DELETED turn-0 header is not a joinable version; events
+  attribute to the latest version with dim.lsn <= event.lsn, never a
+  later one;
+- cdc_orphaned_deletes: delete-before-first-upsert and delete-with-no-
+  upsert are orphans; delete-after-insert is not;
+- conversation_similarity_pairs: identical conversations score
+  jaccard 1.0; whitespace/case differences normalize away; the
+  df > _SIM_DF_CAP stop-element cut removes boilerplate elements from
+  both pair generation AND set sizes (engine and oracle agree).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+    _SIM_DF_CAP,
+)
+
+
+def _events(rows):
+    eid = pa.array([r[0] for r in rows], pa.int64())
+    return pa.table(
+        {
+            "event_id": eid,
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r[0]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def _run(name, sf_dir):
+    got = QUERIES[name](str(sf_dir))
+    df = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    exp = con.sql(ORACLE_SQL[name]).df()
+    con.close()
+    cols = sorted(df.columns)
+    assert cols == sorted(exp.columns)
+    got_s = df[cols].sort_values(cols).reset_index(drop=True)
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+    return got_s
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("temporal_edges")
+    rows = [
+        # --- temporal join: user 1 has two dim versions (lsn 100 signup,
+        # lsn 300 view); facts at 50 (before any version -> none),
+        # 150 (-> signup, lag 50), 350 (-> view, lag 50)
+        (50, 1, "click", "pre"),
+        (100, 1, "signup", "hdr-v1"),
+        (150, 1, "click", "f1"),
+        (300, 1, "view", "hdr-v2"),
+        (350, 1, "purchase", "f2"),
+        # user 2: turn-0 header DELETED (error) -> not a version; the
+        # later fact must join to none
+        (200, 2, "error", "dead-hdr"),
+        (250, 2, "click", "f3"),
+        # --- orphaned deletes: user 3 turn 1: delete(401) before
+        # insert(501) -> orphan; turn 2: insert(402) before delete(502)
+        # -> not an orphan; user 4 turn 3: delete only -> orphan
+        (401, 3, "error", "x"),
+        (501, 3, "signup", "x"),
+        (402, 3, "signup", "x"),
+        (502, 3, "error", "x"),
+        (603, 4, "error", "x"),
+        # --- similarity: conv-5 and conv-6 identical at turns 10/11;
+        # conv-7 matches turn 10 only, with case+whitespace noise that
+        # the fingerprint normalization must erase
+        (710, 5, "view", "alpha beta"),
+        (711, 5, "view", "gamma"),
+        (810, 6, "view", "alpha beta"),
+        (811, 6, "view", "gamma"),
+        (910, 7, "view", "Alpha  BETA"),
+    ]
+    # df-cap: _SIM_DF_CAP+6 users share one 'hot' boilerplate turn (99)
+    n_hot = _SIM_DF_CAP + 6
+    for k in range(n_hot):
+        rows.append((10000 + k * 100 + 99, 100 + k, "view", "hot boilerplate"))
+    pq.write_table(_events(rows), str(root / "events.parquet"))
+    return root
+
+
+def test_temporal_join_versions_and_dead_header(ray_session, crafted_dir):
+    got = _run("cdc_temporal_join", crafted_dir)
+    by_role = got.set_index("dim_role")
+    # facts 50 (pre-version) and 250 (deleted header) -> none, lag 0
+    assert by_role.loc["none", "n_events"] >= 2
+    assert by_role.loc["signup", "n_events"] == 1
+    assert by_role.loc["signup", "sum_lag"] == 50
+    assert by_role.loc["view", "n_events"] == 1
+    assert by_role.loc["view", "sum_lag"] == 50
+    # no fact may attribute to a version written after it: every lag >= 0
+    assert (got["sum_lag"] >= 0).all() and (got["max_lag"] >= 0).all()
+
+
+def test_orphaned_deletes_crafted(ray_session, crafted_dir):
+    got = _run("cdc_orphaned_deletes", crafted_dir)
+    orphans = set(zip(got["conv_id"], got["turn_idx"]))
+    assert ("conv-3", 1) in orphans  # delete(401) < insert(501)
+    assert ("conv-4", 3) in orphans  # delete with no upsert ever
+    assert ("conv-3", 2) not in orphans  # insert(402) < delete(502)
+
+
+def test_similarity_identical_normalized_and_dfcap(ray_session, crafted_dir):
+    got = _run("conversation_similarity_pairs", crafted_dir)
+    pairs = {(a, b): j for a, b, j in zip(got["conv_a"], got["conv_b"], got["jaccard"])}
+    # identical conversations: jaccard exactly 1.0
+    assert pairs[("conv-5", "conv-6")] == 1.0
+    # normalization: 'Alpha  BETA' == 'alpha beta'; conv-7 has 1 element
+    assert pairs[("conv-5", "conv-7")] == pytest.approx(1 / 2)
+    assert pairs[("conv-6", "conv-7")] == pytest.approx(1 / 2)
+    # df cap: the hot boilerplate element (df = cap+6 > cap) generates
+    # NO pairs among the hot-only conversations
+    hot = [f"conv-{100 + k}" for k in range(_SIM_DF_CAP + 6)]
+    assert not any((a in hot) or (b in hot) for a, b in pairs)
