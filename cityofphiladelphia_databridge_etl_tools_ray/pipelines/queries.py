@@ -7446,6 +7446,95 @@ def conversation_similarity_pairs(sf_dir: str):
 _SIM_DF_CAP = 64  # stop-element document-frequency cut (see docstring)
 
 
+def window_join_clicks_purchases(sf_dir: str):
+    """STREAM-STREAM windowed join: for every purchase, the number of
+    clicks by the SAME user in the event-time window
+    ``[purchase.ts - 1h, purchase.ts)`` — the interval-bounded
+    enrichment a streaming engine expresses as a windowed join, and
+    the complement of the unbounded-lookback as-of join
+    (`asof_prior_click_per_purchase`).  Output is the per-user
+    purchase count and window-click sum/max, so the compare moves one
+    row per purchasing user while pinning every per-purchase count
+    through the sums.
+
+    Scale shape: both streams share the user key, so ONE user-hash
+    bucketed exchange co-locates them; the per-bucket kernel sorts the
+    click stream once and answers every purchase with two
+    ``np.searchsorted`` probes over a composite (user-code, ts-offset)
+    int64 key — O((C+P) log C) per bucket, no Python per event.
+    Partitioning assumption (documented per the custom-operator rule):
+    users-per-bucket × in-bucket time span (µs) must fit int64 —
+    ~9e5 users/bucket at a 3-month WAL, and `_nb()` grows with the
+    cluster, so wider clusters lower the per-bucket load; the kernel
+    asserts the bound rather than silently wrapping."""
+    _WIN_US = 3_600_000_000  # 1 hour
+
+    ds = _read(
+        sf_dir,
+        "events",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "is_click": pc.equal(b.column("event_type"), "click"),
+                "ts_i": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b.column("user_id"), _nb() - 1), pa.int32()
+                ),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("clicks_1h_sum", pa.int64()),
+            ("clicks_1h_max", pa.int64()),
+        ]
+    )
+
+    def probe(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _OUT.empty_table()
+        uid = _np(g.column("user_id"))
+        is_click = _np(g.column("is_click"))
+        ts = _np(g.column("ts_i"))
+        codes, uniq = pd.factorize(uid, sort=False)
+        ts0 = ts.min()
+        span = int(ts.max() - ts0) + 2
+        assert len(uniq) * span < (1 << 62), "bucket too hot: widen _nb()"
+        off = ts - ts0
+        click_key = np.sort(codes[is_click] * span + off[is_click])
+        p_code, p_off = codes[~is_click], off[~is_click]
+        lo = np.searchsorted(click_key, p_code * span + np.maximum(p_off - _WIN_US, 0))
+        hi = np.searchsorted(click_key, p_code * span + p_off)
+        cnt = hi - lo
+        agg = (
+            pd.DataFrame({"u": uid[~is_click], "cnt": cnt})
+            .groupby("u", sort=False)["cnt"]
+            .agg(n_purchases="size", clicks_1h_sum="sum", clicks_1h_max="max")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg["u"].to_numpy(np.int64)),
+                "n_purchases": pa.array(agg["n_purchases"].to_numpy(np.int64)),
+                "clicks_1h_sum": pa.array(agg["clicks_1h_sum"].to_numpy(np.int64)),
+                "clicks_1h_max": pa.array(agg["clicks_1h_max"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -8850,6 +8939,7 @@ QUERIES = {
     "cdc_temporal_join": cdc_temporal_join,
     "cdc_orphaned_deletes": cdc_orphaned_deletes,
     "conversation_similarity_pairs": conversation_similarity_pairs,
+    "window_join_clicks_purchases": window_join_clicks_purchases,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -10803,4 +10893,25 @@ ORACLE_SQL["conversation_similarity_pairs"] = _CHANGES_CTE + r"""
 SELECT conv_a, conv_b, shared, sa.n AS n_a, sb.n AS n_b,
        shared * 1.0 / (sa.n + sb.n - shared) AS jaccard
 FROM pairs JOIN sizes sa ON conv_a = sa.conv_id JOIN sizes sb ON conv_b = sb.conv_id
+"""
+
+# stream-stream windowed join: clicks in [purchase.ts - 1h, purchase.ts)
+# per purchase, aggregated per user (p.event_id in the inner GROUP BY
+# keeps same-(user, ts) purchases distinct, as the engine does)
+ORACLE_SQL["window_join_clicks_purchases"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id, p.user_id, count(c.ts) AS n
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+                    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(n) AS BIGINT) AS clicks_1h_sum,
+       CAST(max(n) AS BIGINT) AS clicks_1h_max
+FROM j GROUP BY 1
 """

@@ -134,3 +134,58 @@ def test_similarity_identical_normalized_and_dfcap(ray_session, crafted_dir):
     # NO pairs among the hot-only conversations
     hot = [f"conv-{100 + k}" for k in range(_SIM_DF_CAP + 6)]
     assert not any((a in hot) or (b in hot) for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def window_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("window_join_edges")
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def ev(eid, uid, typ, dt_s):
+        return (eid, uid, typ, t0 + pd.Timedelta(seconds=dt_s))
+
+    rows = [
+        # user 1: purchase at +3600s; clicks at 0 (== ts-1h, COUNTS),
+        # +1 (counts), +3600 (== ts, does NOT count), -1 (outside)
+        ev(1, 1, "click", -1),
+        ev(2, 1, "click", 0),
+        ev(3, 1, "click", 1),
+        ev(4, 1, "click", 3600),
+        ev(5, 1, "purchase", 3600),
+        # user 2: two purchases at the SAME (user, ts) — each counts
+        # its own window (1 click apiece), n_purchases = 2
+        ev(6, 2, "click", 100),
+        ev(7, 2, "purchase", 200),
+        ev(8, 2, "purchase", 200),
+        # user 3: purchase with no clicks at all
+        ev(9, 3, "purchase", 50),
+        # user 4: clicks only -> no output row
+        ev(10, 4, "click", 10),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["x"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(root / "events.parquet"))
+    return root
+
+
+def test_window_join_boundary_semantics(ray_session, window_dir):
+    got = _run("window_join_clicks_purchases", window_dir)
+    by_user = got.set_index("user_id")
+    # [ts-1h, ts): clicks at 0s and +1s count; -1s and ==ts do not
+    assert by_user.loc[1, "clicks_1h_sum"] == 2
+    assert by_user.loc[1, "clicks_1h_max"] == 2
+    # duplicate-(user, ts) purchases each counted
+    assert by_user.loc[2, "n_purchases"] == 2
+    assert by_user.loc[2, "clicks_1h_sum"] == 2
+    # purchases with zero window clicks still emit a row
+    assert by_user.loc[3, "clicks_1h_sum"] == 0
+    # click-only users emit nothing
+    assert 4 not in by_user.index
