@@ -189,3 +189,27 @@ def test_window_join_boundary_semantics(ray_session, window_dir):
     assert by_user.loc[3, "clicks_1h_sum"] == 0
     # click-only users emit nothing
     assert 4 not in by_user.index
+
+
+def test_new_ops_plan_shape_bounded_exchanges(ray_session):
+    """All-to-all budgets for the new operator batch: the temporal
+    join, orphan audit, and windowed join run ONE bucket exchange plus
+    at most one tiny final groupby; the similarity join runs its three
+    documented reduced-stream exchanges after the replay shuffle."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        cdc_orphaned_deletes,
+        cdc_temporal_join,
+        conversation_similarity_pairs,
+        window_join_clicks_purchases,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q, budget in (
+        (cdc_temporal_join, 2),  # conv buckets + <=|roles| final groupby
+        (cdc_orphaned_deletes, 1),
+        (window_join_clicks_purchases, 1),
+        # replay sort + element buckets + 2 conv-hash join exchanges
+        (conversation_similarity_pairs, 4),
+    ):
+        stats = q(sf).materialize().stats()
+        assert stats.count("SortReduce") <= budget, (q.__name__, stats)
