@@ -213,3 +213,32 @@ def test_new_ops_plan_shape_bounded_exchanges(ray_session):
     ):
         stats = q(sf).materialize().stats()
         assert stats.count("SortReduce") <= budget, (q.__name__, stats)
+
+
+@pytest.fixture(scope="module")
+def incr_index_dir(tmp_path_factory):
+    """WAL crafted around the mid-split (max_lsn=2000 -> mid=1000):
+    conv-20 untouched by the tail (carried forward), conv-21 fully
+    deleted by the tail (must leave the index), conv-22 updated
+    (fp must change), conv-23 created only in the tail."""
+    root = tmp_path_factory.mktemp("incr_index")
+    rows = [
+        (120, 20, "view", "stable text"),
+        (322, 21, "view", "doomed text"),
+        (423, 22, "view", "old text"),
+        (1322, 21, "error", "x"),          # deletes conv-21 turn 22
+        (1423, 22, "view", "new text"),    # updates conv-22 turn 23
+        (1524, 23, "view", "late text"),   # creates conv-23 turn 24
+        (2000, 24, "view", "anchor"),      # sets max_lsn (turn 0)
+    ]
+    pq.write_table(_events(rows), str(root / "events.parquet"))
+    return root
+
+
+def test_incremental_index_delete_update_create(ray_session, incr_index_dir):
+    got = _run("conversation_dedup_index_incremental", incr_index_dir)
+    keeps = set(got["keep_conv_id"])
+    # fully-deleted conversation left the index; late-created one joined
+    assert "conv-21" not in keeps
+    assert {"conv-20", "conv-22", "conv-23", "conv-24"} <= keeps
+    assert (got["n_copies"] == 1).all()
