@@ -7222,15 +7222,6 @@ def cdc_temporal_join(sf_dir: str):
     native ASOF LEFT JOIN is the oracle."""
     changes = _derive_changelog(sf_dir)
 
-    _PART_SCHEMA = pa.schema(
-        [
-            ("dim_role", pa.string()),
-            ("n_events", pa.int64()),
-            ("sum_lag", pa.int64()),
-            ("max_lag", pa.int64()),
-        ]
-    )
-
     def prep(b: pa.Table) -> pa.Table:
         turn0 = pc.equal(b.column("turn_idx"), 0)
         is_dim = pc.and_(turn0, pc.not_equal(b.column("op"), pa.scalar("delete")))
@@ -7247,40 +7238,6 @@ def cdc_temporal_join(sf_dir: str):
         ).filter(keep)
         return _conv_bucket(t)
 
-    def asof_partial(g: pa.Table) -> pa.Table:
-        if len(g) == 0:
-            return _PART_SCHEMA.empty_table()
-        conv = np.asarray(g.column("conv_id").to_pandas(), dtype=object)
-        lsn = _np(g.column("lsn"))
-        is_dim = _np(g.column("is_dim"))
-        role = np.asarray(g.column("role").to_pandas(), dtype=object)
-        order = np.lexsort((lsn, conv))
-        conv_s, lsn_s, dim_s, role_s = conv[order], lsn[order], is_dim[order], role[order]
-        n = len(conv_s)
-        # global cummax of dim row positions; a match pointing at a
-        # previous conversation's dim is detected by conv mismatch
-        # (sort is conv-major, so the latest global dim IS the latest
-        # in-conv dim whenever its conv matches)
-        filled = np.maximum.accumulate(np.where(dim_s, np.arange(n), -1))
-        safe = np.maximum(filled, 0)
-        valid = (filled >= 0) & (conv_s[safe] == conv_s)
-        fact = ~dim_s
-        matched = valid & fact
-        dim_role = np.where(matched, role_s[safe], "none")[fact]
-        lag = np.where(matched, lsn_s - lsn_s[safe], 0)[fact]
-        df = pd.DataFrame({"dim_role": dim_role, "lag": lag})
-        agg = df.groupby("dim_role", sort=False).agg(
-            n_events=("lag", "size"), sum_lag=("lag", "sum"), max_lag=("lag", "max")
-        ).reset_index()
-        return pa.table(
-            {
-                "dim_role": pa.array(agg["dim_role"], pa.string()),
-                "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
-                "sum_lag": pa.array(agg["sum_lag"].to_numpy(np.int64)),
-                "max_lag": pa.array(agg["max_lag"].to_numpy(np.int64)),
-            }
-        )
-
     def final(g: pa.Table) -> pa.Table:
         a = g.group_by(["dim_role"]).aggregate(
             [("n_events", "sum"), ("sum_lag", "sum"), ("max_lag", "max")]
@@ -7294,9 +7251,58 @@ def cdc_temporal_join(sf_dir: str):
     return (
         changes.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(asof_partial, batch_format="pyarrow")
+        .map_groups(_asof_join_partial, batch_format="pyarrow")
         .groupby("dim_role")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+_ASOF_PART_SCHEMA = pa.schema(
+    [
+        ("dim_role", pa.string()),
+        ("n_events", pa.int64()),
+        ("sum_lag", pa.int64()),
+        ("max_lag", pa.int64()),
+    ]
+)
+
+
+def _asof_join_partial(g: pa.Table) -> pa.Table:
+    """Vectorized as-of kernel over one co-located bucket of
+    (conv_id, lsn, is_dim, role): each fact row matches the latest
+    dim row of its conversation with dim.lsn <= fact.lsn, aggregated
+    to per-dim-role (n_events, sum_lag, max_lag) partials."""
+    if len(g) == 0:
+        return _ASOF_PART_SCHEMA.empty_table()
+    conv = np.asarray(g.column("conv_id").to_pandas(), dtype=object)
+    lsn = _np(g.column("lsn"))
+    is_dim = _np(g.column("is_dim"))
+    role = np.asarray(g.column("role").to_pandas(), dtype=object)
+    order = np.lexsort((lsn, conv))
+    conv_s, lsn_s, dim_s, role_s = conv[order], lsn[order], is_dim[order], role[order]
+    n = len(conv_s)
+    # global cummax of dim row positions; a match pointing at a
+    # previous conversation's dim is detected by conv mismatch
+    # (sort is conv-major, so the latest global dim IS the latest
+    # in-conv dim whenever its conv matches)
+    filled = np.maximum.accumulate(np.where(dim_s, np.arange(n), -1))
+    safe = np.maximum(filled, 0)
+    valid = (filled >= 0) & (conv_s[safe] == conv_s)
+    fact = ~dim_s
+    matched = valid & fact
+    dim_role = np.where(matched, role_s[safe], "none")[fact]
+    lag = np.where(matched, lsn_s - lsn_s[safe], 0)[fact]
+    df = pd.DataFrame({"dim_role": dim_role, "lag": lag})
+    agg = df.groupby("dim_role", sort=False).agg(
+        n_events=("lag", "size"), sum_lag=("lag", "sum"), max_lag=("lag", "max")
+    ).reset_index()
+    return pa.table(
+        {
+            "dim_role": pa.array(agg["dim_role"], pa.string()),
+            "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+            "sum_lag": pa.array(agg["sum_lag"].to_numpy(np.int64)),
+            "max_lag": pa.array(agg["max_lag"].to_numpy(np.int64)),
+        }
     )
 
 
@@ -7626,50 +7632,59 @@ def window_join_clicks_purchases(sf_dir: str):
             }
         )
 
-    _OUT = pa.schema(
-        [
-            ("user_id", pa.int64()),
-            ("n_purchases", pa.int64()),
-            ("clicks_1h_sum", pa.int64()),
-            ("clicks_1h_max", pa.int64()),
-        ]
-    )
-
-    def probe(g: pa.Table) -> pa.Table:
-        if len(g) == 0:
-            return _OUT.empty_table()
-        uid = _np(g.column("user_id"))
-        is_click = _np(g.column("is_click"))
-        ts = _np(g.column("ts_i"))
-        codes, uniq = pd.factorize(uid, sort=False)
-        ts0 = ts.min()
-        span = int(ts.max() - ts0) + 2
-        assert len(uniq) * span < (1 << 62), "bucket too hot: widen _nb()"
-        off = ts - ts0
-        click_key = np.sort(codes[is_click] * span + off[is_click])
-        p_code, p_off = codes[~is_click], off[~is_click]
-        lo = np.searchsorted(click_key, p_code * span + np.maximum(p_off - _WIN_US, 0))
-        hi = np.searchsorted(click_key, p_code * span + p_off)
-        cnt = hi - lo
-        agg = (
-            pd.DataFrame({"u": uid[~is_click], "cnt": cnt})
-            .groupby("u", sort=False)["cnt"]
-            .agg(n_purchases="size", clicks_1h_sum="sum", clicks_1h_max="max")
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "user_id": pa.array(agg["u"].to_numpy(np.int64)),
-                "n_purchases": pa.array(agg["n_purchases"].to_numpy(np.int64)),
-                "clicks_1h_sum": pa.array(agg["clicks_1h_sum"].to_numpy(np.int64)),
-                "clicks_1h_max": pa.array(agg["clicks_1h_max"].to_numpy(np.int64)),
-            }
-        )
-
     return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(probe, batch_format="pyarrow")
+        .map_groups(
+            lambda g: _window_join_probe(g, _WIN_US), batch_format="pyarrow"
+        )
+    )
+
+
+_WINDOW_JOIN_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_purchases", pa.int64()),
+        ("clicks_1h_sum", pa.int64()),
+        ("clicks_1h_max", pa.int64()),
+    ]
+)
+
+
+def _window_join_probe(g: pa.Table, win_us: int) -> pa.Table:
+    """Windowed-join kernel over one co-located user bucket of
+    (user_id, is_click, ts_i): per purchase row, the count of click
+    rows of the SAME user in [ts - win_us, ts), aggregated per user —
+    one sort of the click stream + two searchsorted probes over a
+    composite (user-code, ts-offset) int64 key."""
+    if len(g) == 0:
+        return _WINDOW_JOIN_SCHEMA.empty_table()
+    uid = _np(g.column("user_id"))
+    is_click = _np(g.column("is_click"))
+    ts = _np(g.column("ts_i"))
+    codes, uniq = pd.factorize(uid, sort=False)
+    ts0 = ts.min()
+    span = int(ts.max() - ts0) + 2
+    assert len(uniq) * span < (1 << 62), "bucket too hot: widen _nb()"
+    off = ts - ts0
+    click_key = np.sort(codes[is_click] * span + off[is_click])
+    p_code, p_off = codes[~is_click], off[~is_click]
+    lo = np.searchsorted(click_key, p_code * span + np.maximum(p_off - win_us, 0))
+    hi = np.searchsorted(click_key, p_code * span + p_off)
+    cnt = hi - lo
+    agg = (
+        pd.DataFrame({"u": uid[~is_click], "cnt": cnt})
+        .groupby("u", sort=False)["cnt"]
+        .agg(n_purchases="size", clicks_1h_sum="sum", clicks_1h_max="max")
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(agg["u"].to_numpy(np.int64)),
+            "n_purchases": pa.array(agg["n_purchases"].to_numpy(np.int64)),
+            "clicks_1h_sum": pa.array(agg["clicks_1h_sum"].to_numpy(np.int64)),
+            "clicks_1h_max": pa.array(agg["clicks_1h_max"].to_numpy(np.int64)),
+        }
     )
 
 
