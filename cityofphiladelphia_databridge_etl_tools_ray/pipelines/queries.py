@@ -7688,6 +7688,55 @@ def _window_join_probe(g: pa.Table, win_us: int) -> pa.Table:
     )
 
 
+def orders_customer_adaptive_join(sf_dir: str):
+    """The generic ADAPTIVE JOIN operator (functions/join.py) driven
+    end-to-end: LEFT join orders → customer on the customer key —
+    broadcast-hash when the build side's metadata-estimated size fits
+    the budget (it does here: a two-column customer projection),
+    native hash-shuffle join above it — then a per-segment rollup with
+    orphan orders bucketed under 'unknown'.  Replaces the reference's
+    per-row DB lookups (ago/ago.py:716-931) with one strategy-picking
+    call; the strategy choice itself is unit-tested in
+    tests/test_adaptive_join.py."""
+    from ..functions.join import adaptive_join
+
+    cust_raw = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    hint = cust_raw.size_bytes()
+    cust = cust_raw.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined, _strategy = adaptive_join(
+        orders, cust, ["o_custkey"], "left", build_size_hint=hint
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        seg = b.column("c_mktsegment").fill_null("unknown")
+        t = pa.table({"segment": seg, "cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by(["segment"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return _agg_select(
+            g, ["segment"], [("cents_sum", "revenue_cents"), ("cents_count", "n_orders")]
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        a = g.group_by(["segment"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        return _agg_select(
+            a,
+            ["segment"],
+            [("revenue_cents_sum", "revenue_cents"), ("n_orders_sum", "n_orders")],
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["segment", "n_orders", "revenue_cents"])
+    )
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -9094,6 +9143,7 @@ QUERIES = {
     "conversation_similarity_pairs": conversation_similarity_pairs,
     "window_join_clicks_purchases": window_join_clicks_purchases,
     "conversation_dedup_index_incremental": conversation_dedup_index_incremental,
+    "orders_customer_adaptive_join": orders_customer_adaptive_join,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -11074,3 +11124,12 @@ FROM j GROUP BY 1
 ORACLE_SQL["conversation_dedup_index_incremental"] = ORACLE_SQL[
     "conversation_dedup_exact"
 ]
+
+# adaptive-join operator end-to-end: LEFT join + per-segment rollup
+ORACLE_SQL["orders_customer_adaptive_join"] = """
+SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
