@@ -7737,6 +7737,147 @@ def orders_customer_adaptive_join(sf_dir: str):
     )
 
 
+_Z_BITS = 4  # 16 buckets per dimension -> 256 z-cells
+
+
+def _z_interleave(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton interleave of two <= _Z_BITS-bit int arrays (a even
+    bits, b odd bits) — vectorized."""
+    z = np.zeros_like(a)
+    for i in range(_Z_BITS):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def events_zorder_pruned_scan(sf_dir: str):
+    """Multi-dimensional PRUNED SCAN via a Z-ORDERED layout: write the
+    events once partitioned by the Morton interleave of bucketized
+    (user_id, day) — the Delta/Iceberg Z-ORDER trick — then answer a
+    2-D box query (a user range × a date range) by reading ONLY the
+    z-cells whose bucket rectangle intersects the box, with an exact
+    residual filter inside.  A single-column layout prunes one
+    dimension and scans the other; the z-layout prunes BOTH — here the
+    box covers ~2/16 of users × ~1/3 of days, so ~96% of the cells
+    (and their parquet files) are never opened.  Box bounds are
+    fractions of the observed (min, max) so the query is scale-free;
+    the oracle computes the same bounds in SQL.
+
+    Scale shape: one streaming pass to write the layout (the write is
+    the shuffle — ``partition_cols`` groups rows into one directory
+    per z-cell, a resumable partitioned layout per the north rule);
+    the read is metadata-only pruning (directory selection) + a
+    pushed-down residual filter; the aggregate is a per-batch partial
+    + tiny final combine."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    # pass 0: dimension bounds (single pass, associative partials)
+    def bounds_partial(b: pa.Table) -> pa.Table:
+        u = b.column("user_id")
+        d = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "u_lo": [pc.min(u).as_py()],
+                "u_hi": [pc.max(u).as_py()],
+                "d_lo": [pc.min(d).as_py()],
+                "d_hi": [pc.max(d).as_py()],
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(bounds_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    u_lo = min(r["u_lo"] for r in parts)
+    u_hi = max(r["u_hi"] for r in parts)
+    d_lo = min(r["d_lo"] for r in parts)
+    d_hi = max(r["d_hi"] for r in parts)
+    n_b = 1 << _Z_BITS
+
+    def ubucket(u):
+        return np.minimum((u - u_lo) * n_b // max(u_hi - u_lo + 1, 1), n_b - 1)
+
+    def dbucket(d):
+        return np.minimum((d - d_lo) * n_b // max(d_hi - d_lo + 1, 1), n_b - 1)
+
+    root = _scratch_root("zorder", sf_dir)
+
+    def assign_z(b: pa.Table) -> pa.Table:
+        u = _np(b.column("user_id"))
+        d = _np(pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()))
+        z = _z_interleave(ubucket(u).astype(np.int64), dbucket(d).astype(np.int64))
+        return pa.table(
+            {
+                "z": pa.array(z),
+                "user_id": b.column("user_id"),
+                "ts_i": pa.array(d),
+                "event_type": b.column("event_type"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"]).map_batches(
+        assign_z, batch_format="pyarrow"
+    ).write_parquet(root, partition_cols=["z"])
+
+    # the 2-D box: users in [10%, 30%] of the id range, middle third of time
+    q_ulo = u_lo + (u_hi - u_lo) // 10
+    q_uhi = u_lo + 3 * (u_hi - u_lo) // 10
+    q_dlo = d_lo + (d_hi - d_lo) // 3
+    q_dhi = d_lo + 2 * (d_hi - d_lo) // 3
+
+    # prune: only z-cells whose (ubucket, dbucket) rectangle intersects
+    ub = np.arange(ubucket(np.array([q_ulo]))[0], ubucket(np.array([q_uhi]))[0] + 1)
+    db = np.arange(dbucket(np.array([q_dlo]))[0], dbucket(np.array([q_dhi]))[0] + 1)
+    cells = _z_interleave(
+        np.repeat(ub, len(db)).astype(np.int64), np.tile(db, len(ub)).astype(np.int64)
+    )
+    import glob
+
+    dirs = [os.path.join(root, f"z={int(c)}") for c in sorted(cells)]
+    files = [
+        f for d in dirs if os.path.isdir(d) for f in sorted(glob.glob(f"{d}/*.parquet"))
+    ]
+
+    ds = ray.data.read_parquet(
+        files,
+        columns=["user_id", "ts_i", "event_type", "cents"],
+        filter=(
+            (pads.field("user_id") >= q_ulo)
+            & (pads.field("user_id") <= q_uhi)
+            & (pads.field("ts_i") >= q_dlo)
+            & (pads.field("ts_i") <= q_dhi)
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return _agg_select(
+            g, ["event_type"], [("cents_sum", "sum_cents"), ("cents_count", "n_events")]
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        a = g.group_by(["event_type"]).aggregate(
+            [("sum_cents", "sum"), ("n_events", "sum")]
+        )
+        return _agg_select(
+            a,
+            ["event_type"],
+            [("sum_cents_sum", "sum_cents"), ("n_events_sum", "n_events")],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["event_type", "n_events", "sum_cents"])
+    )
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -9144,6 +9285,7 @@ QUERIES = {
     "window_join_clicks_purchases": window_join_clicks_purchases,
     "conversation_dedup_index_incremental": conversation_dedup_index_incremental,
     "orders_customer_adaptive_join": orders_customer_adaptive_join,
+    "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -11131,5 +11273,27 @@ SELECT coalesce(c_mktsegment, 'unknown') AS segment,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+# z-order pruned scan: the pruned + residual-filtered box aggregate
+# must equal the full-scan aggregate over the same scale-free box
+ORACLE_SQL["events_zorder_pruned_scan"] = """
+WITH b AS (
+  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         min(epoch_us(ts)) AS d_lo, max(epoch_us(ts)) AS d_hi
+  FROM events
+), q AS (
+  SELECT u_lo + (u_hi - u_lo) // 10 AS q_ulo,
+         u_lo + 3 * (u_hi - u_lo) // 10 AS q_uhi,
+         d_lo + (d_hi - d_lo) // 3 AS q_dlo,
+         d_lo + 2 * (d_hi - d_lo) // 3 AS q_dhi
+  FROM b
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events, q
+WHERE user_id BETWEEN q_ulo AND q_uhi AND epoch_us(ts) BETWEEN q_dlo AND q_dhi
 GROUP BY 1
 """

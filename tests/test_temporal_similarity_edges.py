@@ -242,3 +242,34 @@ def test_incremental_index_delete_update_create(ray_session, incr_index_dir):
     assert "conv-21" not in keeps
     assert {"conv-20", "conv-22", "conv-23", "conv-24"} <= keeps
     assert (got["n_copies"] == 1).all()
+
+
+def test_z_interleave_bijective_and_ordered():
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        _Z_BITS,
+        _z_interleave,
+    )
+
+    n = 1 << _Z_BITS
+    a = np.repeat(np.arange(n, dtype=np.int64), n)
+    b = np.tile(np.arange(n, dtype=np.int64), n)
+    z = _z_interleave(a, b)
+    # bijection onto [0, n^2)
+    assert sorted(z.tolist()) == list(range(n * n))
+    # locality: adjacent cells in either dim differ in z by a power-of-2 pattern
+    assert _z_interleave(np.array([0]), np.array([0]))[0] == 0
+    assert _z_interleave(np.array([n - 1]), np.array([n - 1]))[0] == n * n - 1
+
+
+def test_zorder_degenerate_dims(ray_session, tmp_path):
+    """Single-user, single-instant events: bucket math must not divide
+    by zero and the box (which collapses to that point) must still
+    match the oracle."""
+    rows = [(i, 7, "view", "x") for i in range(1, 21)]
+    tbl = _events(rows)
+    # force one single ts for every event
+    tbl = tbl.set_column(
+        1, "ts", pa.array([pd.Timestamp("2024-06-01")] * 20, pa.timestamp("us"))
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    _run("events_zorder_pruned_scan", tmp_path)
