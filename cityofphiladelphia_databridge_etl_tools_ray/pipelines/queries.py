@@ -7878,6 +7878,204 @@ def events_zorder_pruned_scan(sf_dir: str):
     )
 
 
+def _prefix_flags(arr) -> np.ndarray:
+    """flags[i] = row i's string is a byte-prefix of row i+1's (row
+    n-1 always False).  The array must be SORTED; byte-prefix on valid
+    UTF-8 equals code-point prefix and DuckDB's starts_with.  Fully
+    vectorized at the Arrow-buffer level: expand each candidate pair
+    to its compare-byte index ranges (repeat/arange, the range-join
+    expansion trick), one flat byte-equality pass, one
+    logical_and.reduceat per pair — no per-row Python."""
+    n = len(arr)
+    out = np.zeros(n, bool)
+    if n < 2:
+        return out
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("_prefix_flags: nulls not supported")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[arr.offset : arr.offset + n + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = offs[1:] - offs[:-1]
+    la, lb = lens[:-1], lens[1:]
+    cand = la <= lb  # a longer string is never a prefix of a shorter
+    L = la[cand]
+    a0 = offs[:-2][cand]  # start of row i (pair i in [0, n-1))
+    b0 = offs[1:-1][cand]  # start of row i+1
+    ok = np.ones(len(L), bool)  # L == 0 -> empty string, trivially a prefix
+    nz = L > 0
+    if nz.any():
+        reps = L[nz]
+        tot = int(reps.sum())
+        base = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(reps)[:-1]], reps
+        )
+        eq = data[np.repeat(a0[nz], reps) + base] == data[np.repeat(b0[nz], reps) + base]
+        starts = np.r_[0, np.cumsum(reps)[:-1]]
+        ok[nz] = np.logical_and.reduceat(eq, starts)
+    flags = np.zeros(n - 1, bool)
+    flags[cand] = ok
+    out[:-1] = flags
+    return out
+
+
+def corpus_prefix_dedup(sf_dir: str):
+    """PREFIX-containment dedup over the document corpus: drop every
+    document whose text is a prefix of (or equal to) another
+    document's — the suffix-array-free version of substring dedup that
+    training-data pipelines run to kill truncated re-crawls.  Key
+    fact: under lexicographic order, "x is a prefix of SOME other doc"
+    ⟺ "x is a prefix of its immediate successor", so one global sort
+    + adjacent compare finds the complete set — no pairwise join.
+
+    Scale shape: driver-side cutpoints from a deterministic hash
+    sample (the TeraSort primitive's bound estimation), ONE range
+    exchange on (text, doc_id), per-range vectorized sort +
+    offsets-level byte-prefix kernel (`_prefix_flags`, property-tested
+    vs str.startswith), and an O(ranges) boundary stitch — each
+    range's (first, last) rows meet in one tiny final group so pairs
+    that straddle a range cut are still compared.  Output: the flagged
+    (dropped) documents."""
+    import ray.data
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # deterministic ~2% hash sample for range cutpoints (tiny driver
+    # pull, O(sample) — the documented TeraSort bound-estimation step)
+    def sample(b: pa.Table) -> pa.Table:
+        h = (_np(b.column("doc_id")).astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+            0xFFFFFFFF
+        )
+        return b.select(["text"]).filter(pa.array(h < np.uint64(0x051EB852)))
+
+    texts = sorted(
+        r["text"] for r in docs.map_batches(sample, batch_format="pyarrow").take_all()
+    )
+    n_ranges = max(8, min(64, len(texts) // 4 + 1))
+    cuts = [texts[len(texts) * i // n_ranges] for i in range(1, n_ranges)] if texts else []
+
+    def assign_range(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("text").to_pandas(), dtype=object)
+        rng = np.searchsorted(np.array(cuts, dtype=object), t, side="right") if cuts else np.zeros(len(b), np.int64)
+        return pa.table(
+            {
+                "rng": pa.array(rng.astype(np.int32)),
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text"),
+            }
+        )
+
+    _FLAG = pa.schema(
+        [("kind", pa.int8()), ("rng", pa.int32()), ("doc_id", pa.int64()),
+         ("n_chars", pa.int64()), ("text_a", pa.string()), ("text_b", pa.string())]
+    )
+
+    def per_range(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _FLAG.empty_table()
+        df = pd.DataFrame(
+            {
+                "doc_id": _np(g.column("doc_id")),
+                "text": np.asarray(g.column("text").to_pandas(), dtype=object),
+            }
+        ).sort_values(["text", "doc_id"], kind="stable")
+        texts_arr = pa.array(df["text"].to_numpy(dtype=object), pa.string())
+        flags = _prefix_flags(texts_arr)
+        nch = pc.utf8_length(texts_arr).to_numpy(zero_copy_only=False)
+        rng = int(g.column("rng")[0].as_py())
+        flagged = pa.table(
+            {
+                "kind": pa.array(np.zeros(int(flags.sum()), np.int8)),
+                "rng": pa.array(np.full(int(flags.sum()), rng, np.int32)),
+                "doc_id": pa.array(df["doc_id"].to_numpy()[flags]),
+                "n_chars": pa.array(nch[flags].astype(np.int64)),
+                "text_a": pa.nulls(int(flags.sum()), pa.string()),
+                "text_b": pa.nulls(int(flags.sum()), pa.string()),
+            }
+        )
+        # boundary row: this range's LAST doc (compared against the
+        # next range's first text in the stitch) + its own first text
+        last = len(df) - 1
+        boundary = pa.table(
+            {
+                "kind": pa.array([np.int8(1)]),
+                "rng": pa.array([np.int32(rng)]),
+                "doc_id": pa.array([int(df["doc_id"].iloc[last])]),
+                "n_chars": pa.array([int(nch[last])]),
+                "text_a": pa.array([df["text"].iloc[last]], pa.string()),
+                "text_b": pa.array([df["text"].iloc[0]], pa.string()),
+            }
+        )
+        return pa.concat_tables([flagged, boundary])
+
+    def stitch(g: pa.Table) -> pa.Table:
+        flagged = g.filter(pc.equal(g.column("kind"), 0)).select(["doc_id", "n_chars"])
+        b = (
+            g.filter(pc.equal(g.column("kind"), 1))
+            .to_pandas()
+            .sort_values("rng", kind="stable")
+        )
+        extra_ids, extra_n = [], []
+        for i in range(len(b) - 1):
+            if b["text_b"].iloc[i + 1].startswith(b["text_a"].iloc[i]):
+                extra_ids.append(int(b["doc_id"].iloc[i]))
+                extra_n.append(int(b["n_chars"].iloc[i]))
+        extra = pa.table(
+            {"doc_id": pa.array(extra_ids, pa.int64()), "n_chars": pa.array(extra_n, pa.int64())}
+        )
+        return pa.concat_tables([flagged, extra])
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(np.zeros(len(b), np.int8)))
+
+    return (
+        docs.map_batches(assign_range, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(per_range, batch_format="pyarrow")
+        .map_batches(const_key, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(stitch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars"])
+    )
+
+
+def cdc_replay_dead_letter(sf_dir: str):
+    """Dead-letter routing under the driver gate: every event whose
+    lsn is divisible by 997 arrives with a corrupted op
+    ('frobnicate'); the replay must quarantine those rows to the
+    dead-letter sink (the reference's write_errors_to_s3,
+    databridge_etl_tools' error feed) WITHOUT failing the job, and the
+    final lake state must equal the LWW replay of only the valid
+    events — which the oracle expresses directly.  The rejected-row
+    parquet sink itself is covered by the CLI dead-letter test; this
+    query makes the error PATH oracle-checked end-to-end."""
+    import os
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    root = _scratch_root("deadletter_q", sf_dir)
+    lake_dir = os.path.join(root, "lake")
+    dl_dir = os.path.join(root, "rejects")
+    TranscriptLake.create(lake_dir, num_partitions=16)
+
+    def poison(b: pa.Table) -> pa.Table:
+        lsn = _np(b.column("lsn"))
+        bad = pa.array(lsn % 997 == 0)
+        op = pc.if_else(bad, pa.scalar("frobnicate"), b.column("op"))
+        return b.set_column(b.schema.get_field_index("op"), "op", op)
+
+    changes = _derive_changelog(sf_dir).map_batches(poison, batch_format="pyarrow")
+    replay_into_lake(
+        lake_dir, changes, invalid_ops="dead_letter", dead_letter_dir=dl_dir
+    )
+    return TranscriptLake(lake_dir).dataset().select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -9286,6 +9484,8 @@ QUERIES = {
     "conversation_dedup_index_incremental": conversation_dedup_index_incremental,
     "orders_customer_adaptive_join": orders_customer_adaptive_join,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
+    "corpus_prefix_dedup": corpus_prefix_dedup,
+    "cdc_replay_dead_letter": cdc_replay_dead_letter,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -11296,4 +11496,27 @@ SELECT event_type,
 FROM events, q
 WHERE user_id BETWEEN q_ulo AND q_uhi AND epoch_us(ts) BETWEEN q_dlo AND q_dhi
 GROUP BY 1
+"""
+
+# prefix-containment dedup: flagged docs = docs whose text is a prefix
+# of their lexicographic (text, doc_id) successor
+ORACLE_SQL["corpus_prefix_dedup"] = """
+WITH s AS (
+  SELECT doc_id, text, lead(text) OVER (ORDER BY text, doc_id) AS nxt
+  FROM documents
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM s WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+"""
+
+# dead-letter routing: final state = LWW over only the valid events
+# (lsn % 997 == 0 events arrive corrupted and are quarantined)
+ORACLE_SQL["cdc_replay_dead_letter"] = _CHANGES_CTE + """
+, valid AS (
+  SELECT * FROM changes WHERE lsn % 997 <> 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """

@@ -123,3 +123,28 @@ def test_asof_partial_matches_bruteforce(g):
         .sort_index()
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@st.composite
+def sorted_string_lists(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    texts = draw(
+        st.lists(
+            st.text(alphabet="abé ", max_size=6), min_size=n, max_size=n
+        )
+    )
+    return sorted(texts)
+
+
+@given(sorted_string_lists())
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_prefix_flags_matches_startswith(texts):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        _prefix_flags,
+    )
+
+    got = _prefix_flags(pa.array(texts, pa.string())).tolist()
+    exp = [texts[i + 1].startswith(texts[i]) for i in range(len(texts) - 1)]
+    if texts:
+        exp.append(False)
+    assert got == exp
