@@ -8076,6 +8076,44 @@ def cdc_replay_dead_letter(sf_dir: str):
     )
 
 
+def cdc_replay_exactly_once_overlap(sf_dir: str):
+    """Exactly-once under AT-LEAST-ONCE delivery, driver-visible: the
+    full WAL is replayed, then the last ~40% LSN window is DELIVERED
+    AGAIN (the upstream-reconnect / checkpoint-rewind case the north
+    rule's idempotent commit protocol exists for).  Watermark
+    filtering must make the second delivery a per-partition no-op, so
+    the final state equals the one-shot LWW replay — the oracle
+    expresses exactly that.  Complements the pytest resume/crash tests
+    by running the overlap path through the driver's correctness gate."""
+    import os
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    root = _scratch_root("overlap_q", sf_dir)
+    lake_dir = os.path.join(root, "lake")
+    TranscriptLake.create(lake_dir, num_partitions=16)
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    rewind = max_lsn - 2 * (max_lsn // 5)
+
+    def lsn_above(lo: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b.column("lsn"), lo))
+
+        return f
+
+    replay_into_lake(lake_dir, _derive_changelog(sf_dir))
+    # overlapping re-delivery: every event with lsn > rewind, again
+    replay_into_lake(
+        lake_dir,
+        _derive_changelog(sf_dir).map_batches(lsn_above(rewind), batch_format="pyarrow"),
+    )
+    return TranscriptLake(lake_dir).dataset().select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+
 def conversation_response_latency_by_role(sf_dir: str):
     """Transcript pacing by role handoff: over the replayed (post-LWW)
     conversation state, the count and total/mean gap between
@@ -9486,6 +9524,7 @@ QUERIES = {
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "corpus_prefix_dedup": corpus_prefix_dedup,
     "cdc_replay_dead_letter": cdc_replay_dead_letter,
+    "cdc_replay_exactly_once_overlap": cdc_replay_exactly_once_overlap,
     "conversation_response_latency_by_role": conversation_response_latency_by_role,
     "customer_rfm_segments": customer_rfm_segments,
     "embedding_gram_matrix": embedding_gram_matrix,
@@ -11517,6 +11556,16 @@ ORACLE_SQL["cdc_replay_dead_letter"] = _CHANGES_CTE + """
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
   FROM valid
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+# overlapping re-delivery must be a watermark-filtered no-op: same
+# oracle as the one-shot full replay
+ORACLE_SQL["cdc_replay_exactly_once_overlap"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
