@@ -7451,6 +7451,7 @@ def conversation_similarity_pairs(sf_dir: str):
         )
         dfreq = df.groupby("elem", sort=False)["conv"].transform("size")
         df = df[dfreq <= _SIM_DF_CAP]
+        dfreq = dfreq[dfreq <= _SIM_DF_CAP]
         out_ka, out_kb, out_val, out_na, out_kind = [], [], [], [], []
         # per-conversation size partials (this bucket's contribution)
         sizes = df.groupby("conv", sort=False).size()
@@ -7461,7 +7462,7 @@ def conversation_similarity_pairs(sf_dir: str):
         out_kind.append(np.zeros(len(sizes), np.int8))
         # pair partials: per shared element, all (ca < cb) combos —
         # loop only over elements with 2..cap owners (O(#shared elems))
-        shared = df[df.groupby("elem", sort=False)["conv"].transform("size") >= 2]
+        shared = df[dfreq >= 2]  # df-filter preserved per-elem sizes
         if len(shared):
             pa_list, pb_list = [], []
             for _, grp in shared.groupby("elem", sort=False):
