@@ -204,12 +204,21 @@ def test_new_ops_plan_shape_bounded_exchanges(ray_session):
     )
 
     sf = "/root/testdata/sf0.001"
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        corpus_prefix_dedup,
+        orders_customer_adaptive_join,
+    )
+
     for q, budget in (
         (cdc_temporal_join, 2),  # conv buckets + <=|roles| final groupby
         (cdc_orphaned_deletes, 1),
         (window_join_clicks_purchases, 1),
         # replay sort + element buckets + 2 conv-hash join exchanges
         (conversation_similarity_pairs, 4),
+        # range exchange + O(ranges) stitch group
+        (corpus_prefix_dedup, 2),
+        # broadcast build -> only the <=|segments| final groupby shuffles
+        (orders_customer_adaptive_join, 1),
     ):
         stats = q(sf).materialize().stats()
         assert stats.count("SortReduce") <= budget, (q.__name__, stats)
