@@ -126,6 +126,22 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rescale(args) -> int:
+    """Online partition rescale (split or coalesce by an integer
+    factor) — generation-flip protocol, crash-safe / resumable."""
+    from .state.lake import TranscriptLake
+
+    lake = TranscriptLake(args.root)
+    if args.mode == "split":
+        res = lake.split_partitions(args.factor)
+    else:
+        res = lake.coalesce_partitions(args.factor)
+    if args.vacuum:
+        res["vacuumed_files"] = len(lake.vacuum())
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_view_create(args) -> int:
     from .pipelines.matview import create_view
 
@@ -340,6 +356,15 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="fold delta runs into base runs")
     c.add_argument("root")
     c.set_defaults(fn=cmd_compact)
+
+    c = sub.add_parser(
+        "rescale", help="online partition split/coalesce (generation flip, resumable)"
+    )
+    c.add_argument("root")
+    c.add_argument("mode", choices=["split", "coalesce"])
+    c.add_argument("--factor", type=int, default=2)
+    c.add_argument("--vacuum", action="store_true", help="reclaim stale generations after")
+    c.set_defaults(fn=cmd_rescale)
 
     c = sub.add_parser("metrics", help="per-partition lineage + lag metrics")
     c.add_argument("root")

@@ -389,6 +389,52 @@ def cdc_replay_delta(sf_dir: str):
     return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
 
 
+def cdc_replay_rescale(sf_dir: str):
+    """Mid-stream ONLINE partition rescale through the real lake path
+    (the Iceberg-style generation flip, state/lake.py): replay the
+    first half of the WAL into an 8-partition lake, split online to 16
+    partitions (one Ray task per parent, no shuffle — children are the
+    ``hash % 2N`` refinement of each parent), resume the replay at the
+    NEW layout (children inherited their parent's watermark, so
+    exactly-once holds across the rescale), then coalesce back to 8
+    and vacuum the stale generations.  Final state must be exactly the
+    uninterrupted one-shot LWW replay, which the oracle expresses
+    directly — proving the rescale moves every row to the partition
+    that owns it and never regresses a watermark."""
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+
+    root = _scratch_root("rescale_lake", sf_dir)
+    TranscriptLake.create(root, num_partitions=8)
+
+    def lsn_range(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
+            )
+            return b.filter(keep)
+
+        return f
+
+    def slice_wal(lo, hi):
+        return _derive_changelog(sf_dir).map_batches(
+            lsn_range(lo, hi), batch_format="pyarrow"
+        )
+
+    replay_into_lake(root, slice_wal(-1, mid))
+    lake = TranscriptLake(root)
+    lake.split_partitions(2)  # 8 → 16, generation 2
+    replay_into_lake(root, slice_wal(mid, max_lsn))
+    lake = TranscriptLake(root)
+    lake.coalesce_partitions(2)  # 16 → 8, generation 3
+    lake.vacuum()
+    lake = TranscriptLake(root)
+    return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+
+
 def cdc_replay_schema_evolution(sf_dir: str):
     """Schema evolution end-to-end through the lake merge path (the
     north rule's column-add / type-widen promotion at the merge stage;
@@ -9345,6 +9391,7 @@ QUERIES = {
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_replay_delta": cdc_replay_delta,
+    "cdc_replay_rescale": cdc_replay_rescale,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_generic_pk": cdc_replay_generic_pk,
     "cdc_replay_from_csv": cdc_replay_from_csv,
@@ -9582,6 +9629,15 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
     # delta-mode replay must converge to the same LWW state as the
     # one-shot replay (tombstones excluded, lsn not kept in the lake)
     "cdc_replay_delta": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    # rescale mid-replay must converge to the identical one-shot state
+    "cdc_replay_rescale": _CHANGES_CTE
     + """
 , ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

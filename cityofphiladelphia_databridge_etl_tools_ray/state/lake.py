@@ -33,6 +33,28 @@ from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA
 from .manifest import PartitionManifest, write_json_atomic
 
 
+def _write_data_file(pdir: str, table: pa.Table, high_lsn: int) -> dict:
+    """Content-named Parquet data file write (tmp → fsync →
+    ``os.replace``): idempotent under retry because the name derives
+    from (high_lsn, content sha) — a re-run lands on the same path
+    with the same bytes.  Returns the manifest file entry."""
+    os.makedirs(pdir, exist_ok=True)
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    data = buf.getvalue()
+    sha = hashlib.sha256(data).hexdigest()
+    fname = f"data-{high_lsn}-{sha[:12]}.parquet"
+    fpath = os.path.join(pdir, fname)
+    if not os.path.exists(fpath):
+        fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".data-", suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, fpath)
+    return {"path": fname, "rows": len(table), "sha256": sha}
+
+
 def _schema_to_json(schema: pa.Schema) -> str:
     return base64.b64encode(schema.serialize().to_pybytes()).decode()
 
@@ -53,6 +75,13 @@ class TranscriptLake:
         # ago/ago_commands.py:41; catalog PKs _properties.py:88-101);
         # absent in pre-existing lake.json → transcripts default.
         self.primary_key: list[str] = list(meta.get("primary_key", PRIMARY_KEY))
+        # metadata generation: bumped by each online rescale
+        # (split/coalesce).  Partition manifests are generation-named,
+        # so a rescale prepares the entire next-generation layout
+        # invisibly and publishes it with ONE atomic lake.json replace
+        # — the Iceberg metadata-pointer-swap idea applied to the
+        # reference's rename-swap publish (carto/carto_.py:422-436).
+        self.generation: int = int(meta.get("generation", 1))
 
     # -- creation ----------------------------------------------------
     @classmethod
@@ -80,6 +109,7 @@ class TranscriptLake:
                 "num_partitions": num_partitions,
                 "schema": _schema_to_json(schema),
                 "primary_key": pk,
+                "generation": 1,
             },
         )
         return cls(root)
@@ -88,8 +118,10 @@ class TranscriptLake:
     def part_dir(self, pid: int) -> str:
         return os.path.join(self.root, f"part-{pid:05d}")
 
-    def _manifest_path(self, pid: int) -> str:
-        return os.path.join(self.part_dir(pid), "manifest.json")
+    def _manifest_path(self, pid: int, generation: int | None = None) -> str:
+        g = self.generation if generation is None else generation
+        name = "manifest.json" if g == 1 else f"manifest-g{g}.json"
+        return os.path.join(self.part_dir(pid), name)
 
     def manifest(self, pid: int) -> PartitionManifest | None:
         return PartitionManifest.load(self._manifest_path(pid))
@@ -166,20 +198,9 @@ class TranscriptLake:
         bytes at the same path, and the manifest replace is atomic.
         """
         pdir = self.part_dir(pid)
-        os.makedirs(pdir, exist_ok=True)
-        buf = io.BytesIO()
-        pq.write_table(table, buf, compression="zstd")
-        data = buf.getvalue()
-        sha = hashlib.sha256(data).hexdigest()
-        fname = f"data-{high_lsn}-{sha[:12]}.parquet"
-        fpath = os.path.join(pdir, fname)
-        if not os.path.exists(fpath):
-            fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".data-", suffix=".tmp")
-            with os.fdopen(fd, "wb") as f:
-                f.write(data)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, fpath)
+        entry = _write_data_file(pdir, table, high_lsn)
+        sha = entry["sha256"]
+        fname = entry["path"]
 
         prev = self.manifest(pid)
         lineage = (prev.lineage if prev else []) + ([lineage_record] if lineage_record else [])
@@ -217,6 +238,115 @@ class TranscriptLake:
             lineage_record={"compacted_runs": len(m.files), "rows_after": len(resolved)},
             mode="replace",
         )
+
+    # -- online partition rescale (split / coalesce) ------------------
+    def split_partitions(self, factor: int = 2, *, parallel: bool = True) -> dict:
+        """Online partition split: N → N·factor, preserving state and
+        watermarks, with ONE atomic metadata publish.
+
+        Why it works: routing is ``hash(pk[0]) % N``
+        (functions/hashing.py), so every row of parent partition ``p``
+        lands in exactly one of the ``factor`` children
+        ``{p + j·N}`` under ``% (N·factor)`` — a split never moves rows
+        between parents, making it embarrassingly parallel (one Ray
+        task per parent, no shuffle).  Each child inherits the parent's
+        ``high_lsn`` watermark, so a replay resumed after the split
+        stays exactly-once.
+
+        Crash-safe and resumable: children are written as
+        NEXT-generation manifests (invisible to current readers), the
+        intent file records the target layout, and only when every
+        parent is split does one atomic ``lake.json`` replace flip the
+        lake to the new generation.  A crash at any point leaves the
+        current generation fully consistent; re-running resumes (parents
+        whose children already exist at the target watermark are
+        skipped).  Requires no concurrent writers (a maintenance
+        operation, like the reference's atomic rename swap,
+        carto/carto_.py:422-436).  Run :meth:`vacuum` afterwards to
+        reclaim the previous generation's files.
+        """
+        if factor < 2:
+            raise ValueError("split factor must be >= 2")
+        return self._rescale(self.num_partitions * factor, factor, parallel)
+
+    def coalesce_partitions(self, factor: int = 2, *, parallel: bool = True) -> dict:
+        """Online partition coalesce: N → N/factor (inverse of
+        :meth:`split_partitions`; same generation protocol).  Child
+        ``c`` is the concatenation of parents ``{c + j·(N/factor)}`` —
+        key-disjoint by the same mod arithmetic, so a plain concat.
+
+        The child watermark is the MIN of its parents' watermarks:
+        events in (min, max] are re-delivered by the next replay, but
+        re-applying them is idempotent — base rows merge with sentinel
+        lsn = -1, so a re-applied upsert overwrites the identical
+        payload and a re-applied delete removes an already-absent key
+        (the LWW kernel contract, stages/merge.py)."""
+        if factor < 2:
+            raise ValueError("coalesce factor must be >= 2")
+        if self.num_partitions % factor:
+            raise ValueError(
+                f"num_partitions={self.num_partitions} not divisible by factor={factor}"
+            )
+        return self._rescale(self.num_partitions // factor, factor, parallel)
+
+    def _rescale(self, new_n: int, factor: int, parallel: bool) -> dict:
+        next_gen = self.generation + 1
+        intent_path = os.path.join(self.root, f"rescale-g{next_gen}.json")
+        intent = {"from": self.num_partitions, "to": new_n, "generation": next_gen}
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                prev = json.load(f)
+            if prev != intent:
+                raise RuntimeError(
+                    f"conflicting in-progress rescale {prev} != {intent}; "
+                    "finish or vacuum it first"
+                )
+        else:
+            write_json_atomic(intent_path, intent)
+
+        split = new_n > self.num_partitions
+        units = list(range(self.num_partitions if split else new_n))
+        worker = _split_parent if split else _coalesce_group
+        root = self.root
+
+        if parallel and len(units) > 1:
+            import ray.data
+
+            def run(b: pa.Table) -> pa.Table:
+                rows = [
+                    worker(root, int(u), factor, next_gen).get("rows", 0)
+                    for u in b.column("u").to_pylist()
+                ]
+                return pa.table({"rows": pa.array(rows, pa.int64())})
+
+            # one block per unit so the per-partition rewrites fan out
+            # across the cluster (the dataset() resolution pattern)
+            moved = int(
+                ray.data.from_items([{"u": u} for u in units], override_num_blocks=len(units))
+                .map_batches(run, batch_format="pyarrow", batch_size=1)
+                .to_pandas()["rows"]
+                .sum()
+            )
+        else:
+            moved = sum(worker(root, u, factor, next_gen).get("rows", 0) for u in units)
+
+        # publish: the ONE atomic metadata swap that makes the new
+        # layout visible; everything before this line is invisible to
+        # readers and safely re-runnable
+        write_json_atomic(
+            os.path.join(self.root, "lake.json"),
+            {
+                "num_partitions": new_n,
+                "schema": _schema_to_json(self.base_schema),
+                "primary_key": list(self.primary_key),
+                "generation": next_gen,
+            },
+        )
+        if os.path.exists(intent_path):
+            os.unlink(intent_path)
+        self.num_partitions = new_n
+        self.generation = next_gen
+        return {"num_partitions": new_n, "generation": next_gen, "rows": moved}
 
     # -- whole-lake views --------------------------------------------
     def data_files(self) -> list[str]:
@@ -357,17 +487,141 @@ class TranscriptLake:
         }
 
     def vacuum(self) -> list[str]:
-        """Delete data files not referenced by any manifest (orphans
-        from crashes between data write and manifest replace)."""
+        """Delete files not referenced by the CURRENT generation:
+        orphan data files (crashes between data write and manifest
+        replace), stale previous-generation manifests, and emptied
+        beyond-range partition dirs left by a coalesce."""
+        import glob
+
         removed = []
-        for pid in range(self.num_partitions):
-            pdir = self.part_dir(pid)
-            if not os.path.isdir(pdir):
+        cur_manifest = os.path.basename(self._manifest_path(0))
+        for pdir in sorted(glob.glob(os.path.join(self.root, "part-*"))):
+            try:
+                pid = int(os.path.basename(pdir).split("-", 1)[1])
+            except ValueError:
                 continue
-            m = self.manifest(pid)
+            m = self.manifest(pid) if pid < self.num_partitions else None
             live = {f["path"] for f in m.files} if m else set()
             for name in os.listdir(pdir):
-                if name.startswith("data-") and name.endswith(".parquet") and name not in live:
-                    os.unlink(os.path.join(pdir, name))
-                    removed.append(os.path.join(pdir, name))
+                path = os.path.join(pdir, name)
+                stale_data = (
+                    name.startswith("data-") and name.endswith(".parquet") and name not in live
+                )
+                stale_manifest = name.startswith("manifest") and name != cur_manifest
+                if stale_data or stale_manifest or name.endswith(".tmp"):
+                    os.unlink(path)
+                    removed.append(path)
+            if not os.listdir(pdir):
+                os.rmdir(pdir)
+        for leftover in glob.glob(os.path.join(self.root, "rescale-g*.json")):
+            # an abandoned intent whose generation already published
+            with open(leftover) as f:
+                if json.load(f).get("generation", -1) <= self.generation:
+                    os.unlink(leftover)
+                    removed.append(leftover)
         return removed
+
+
+def _split_parent(root: str, p: int, factor: int, next_gen: int) -> dict:
+    """Split one parent partition into its ``factor`` children under
+    the next generation (invisible until the lake.json flip).  Pure
+    function of committed state — safe to retry and to run on any
+    node."""
+    import numpy as np
+
+    from ..functions.hashing import partition_ids
+
+    lake = TranscriptLake(root)
+    n = lake.num_partitions
+    new_n = n * factor
+    children = [p + j * n for j in range(factor)]
+    parent_m = lake.manifest(p)
+    if parent_m is None:
+        # never-written parent: children inherit watermark -1 by
+        # having no manifest either
+        return {"parent": p, "rows": 0, "skipped": True}
+    existing = [PartitionManifest.load(lake._manifest_path(c, next_gen)) for c in children]
+    if all(m is not None and m.high_lsn == parent_m.high_lsn for m in existing):
+        return {"parent": p, "rows": sum(m.row_count for m in existing), "resumed": True}
+    table = lake.read_partition(p)  # resolved: split doubles as compaction
+    if len(table):
+        pids = partition_ids(table.column(lake.primary_key[0]), new_n)
+        if not np.all(pids % n == p):
+            raise AssertionError(
+                f"routing invariant violated splitting partition {p}: "
+                "rows present that do not hash to this partition"
+            )
+    else:
+        pids = np.empty(0, np.int32)
+    total = 0
+    for c in children:
+        child = table.filter(pa.array(pids == c)) if len(table) else table
+        entry = _write_data_file(
+            os.path.join(root, f"part-{c:05d}"), child, parent_m.high_lsn
+        )
+        m = PartitionManifest(
+            partition_id=c,
+            high_lsn=parent_m.high_lsn,
+            files=[entry],
+            row_count=len(child),
+            schema_json=_schema_to_json(child.schema),
+            lineage=[
+                {
+                    "op": "split",
+                    "from_partition": p,
+                    "from_generation": next_gen - 1,
+                    "rows": len(child),
+                }
+            ],
+        )
+        m.save(lake._manifest_path(c, next_gen))
+        total += len(child)
+    return {"parent": p, "rows": total}
+
+
+def _coalesce_group(root: str, c: int, factor: int, next_gen: int) -> dict:
+    """Merge one child's parent group ``{c + j·new_n}`` into child
+    ``c`` under the next generation.  Parents are key-disjoint (same
+    mod arithmetic as the split), so this is a concat, not a merge;
+    the child watermark is the parents' MIN (re-delivery of the
+    (min, max] window is idempotent under the LWW kernel)."""
+    lake = TranscriptLake(root)
+    n = lake.num_partitions
+    new_n = n // factor
+    parents = [c + j * new_n for j in range(factor)]
+    manifests = [lake.manifest(pp) for pp in parents]
+    if all(m is None for m in manifests):
+        return {"child": c, "rows": 0, "skipped": True}
+    high_lsn = min((m.high_lsn if m else -1) for m in manifests)
+    existing = PartitionManifest.load(lake._manifest_path(c, next_gen))
+    if existing is not None and existing.high_lsn == high_lsn:
+        return {"child": c, "rows": existing.row_count, "resumed": True}
+    tables = [
+        t
+        for pp, m in zip(parents, manifests)
+        if m is not None and len(t := lake.read_partition(pp))
+    ]
+    if not tables:
+        merged = lake.base_schema.empty_table()
+    elif len(tables) == 1:
+        merged = tables[0]
+    else:
+        merged = pa.concat_tables(tables, promote_options="permissive")
+    entry = _write_data_file(os.path.join(root, f"part-{c:05d}"), merged, high_lsn)
+    m = PartitionManifest(
+        partition_id=c,
+        high_lsn=high_lsn,
+        files=[entry],
+        row_count=len(merged),
+        schema_json=_schema_to_json(merged.schema),
+        lineage=[
+            {
+                "op": "coalesce",
+                "from_partitions": parents,
+                "from_generation": next_gen - 1,
+                "rows": len(merged),
+            }
+        ],
+    )
+    m.save(lake._manifest_path(c, next_gen))
+    return {"child": c, "rows": len(merged)}
