@@ -306,6 +306,35 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_change_feed(args) -> int:
+    """CDC egress: net per-key insert/update/delete feed between the
+    WAL's AS-OF states at two LSNs (bloom-pruned to touched keys,
+    one shuffle) — written as parquet or summarized."""
+    ray = _ray_session(args.num_cpus)
+
+    from .pipelines.diff import change_feed
+    from .sources.changelog import read_change_log
+
+    out = change_feed(read_change_log(args.wal), args.from_lsn, args.to_lsn)
+    if args.out:
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            raise SystemExit(f"--out {args.out!r} exists and is not empty")
+        out.write_parquet(args.out)
+        print(f"change feed written to {args.out}")
+    else:
+        m = out.materialize()
+        counts = (
+            m.groupby("change_op").count().to_pandas().set_index("change_op")["count()"]
+        )
+        print(
+            json.dumps(
+                {k: int(counts.get(k, 0)) for k in ("insert", "update", "delete")}
+            )
+        )
+    ray.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cityofphiladelphia_databridge_etl_tools_ray")
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local)")
@@ -408,6 +437,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--columns", default=None, help="comma-separated value columns (default: all non-key)")
     c.add_argument("--out", default=None, help="write changed rows to partitioned parquet")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser(
+        "change-feed", help="CDC egress: net key diff between two WAL versions"
+    )
+    c.add_argument("wal", help="change-log parquet path/glob/dir")
+    c.add_argument("--from-lsn", type=int, required=True)
+    c.add_argument("--to-lsn", type=int, required=True)
+    c.add_argument("--out", default=None, help="write partitioned parquet here")
+    c.set_defaults(fn=cmd_change_feed)
 
     c = sub.add_parser("query", help="run a registered analytic pipeline")
     c.add_argument("name")

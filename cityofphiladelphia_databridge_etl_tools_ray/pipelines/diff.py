@@ -121,3 +121,187 @@ def _empty(s: pa.Table, key, value_cols) -> pa.Table:
         t = s.schema.field(c).type
         fields += [pa.field(f"old_{c}", t), pa.field(f"new_{c}", t)]
     return pa.schema(fields).empty_table()
+
+
+# --------------------------------------------------------------------
+# WAL-derived change feed (CDC egress)
+# --------------------------------------------------------------------
+
+CHANGE_FEED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("change_op", pa.string()),
+        ("before_text", pa.string()),
+        ("after_text", pa.string()),
+    ]
+)
+
+_FEED_BLOOM_LOG2_BITS = 20  # 128 KB mask, fixed regardless of window size
+
+
+def change_feed(changes, lsn_a: int, lsn_b: int):
+    """CDC egress: the NET per-key difference between the lake state
+    AS OF ``lsn_a`` and AS OF ``lsn_b``, computed from the WAL without
+    materializing either snapshot — what a downstream consumer
+    subscribes to instead of re-diffing full extracts.  ``changes`` is
+    a Ray Dataset of change rows (op, lsn, conv_id, turn_idx, role,
+    text, ts); output rows are (conv_id, turn_idx, change_op ∈
+    insert/update/delete, before_text, after_text), with keys whose
+    payload (role, text, ts) is unchanged between the two versions
+    excluded — including keys deleted and re-inserted identically
+    inside the window.
+
+    Scale shape: keys untouched in (lsn_a, lsn_b] cannot appear in the
+    feed, so a fixed-size ``Int64Bloom`` over the window's key hashes
+    is built ON THE CLUSTER (AggregateFn OR-tree) and broadcast once;
+    history rows (lsn ≤ lsn_a) are prefiltered by it BEFORE the
+    exchange — against a 10^10-event WAL with a small window this
+    drops ~all of the history.  Survivors take ONE coarse key-bucket
+    shuffle; each bucket runs a vectorized two-sided LWW kernel (one
+    Arrow key sort, boundary masks, no per-key Python).  Bloom false
+    positives self-eliminate: their two states are equal, so they
+    classify as no-change and drop."""
+    import functools
+
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.cluster import parallelism
+    from ..functions.hashing import stable_hash_strings
+    from ..functions.lookup import Int64Bloom, deref
+
+    def khash(conv, turn) -> np.ndarray:
+        h = stable_hash_strings(conv)
+        t = np.ascontiguousarray(
+            turn.to_numpy(zero_copy_only=False), dtype=np.int64
+        ).view(np.uint64)
+        return h ^ (t * np.uint64(0x9E3779B97F4A7C15))
+
+    def window_only(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b.column("lsn"), lsn_a), pc.less_equal(b.column("lsn"), lsn_b)
+        )
+        return b.filter(keep)
+
+    def acc_block(words: np.ndarray, block: pa.Table) -> np.ndarray:
+        kh = khash(block.column("conv_id"), block.column("turn_idx"))
+        return Int64Bloom(log2_bits=_FEED_BLOOM_LOG2_BITS, words=words).add(
+            kh.view(np.int64)
+        ).words
+
+    words = changes.map_batches(window_only, batch_format="pyarrow").aggregate(
+        AggregateFn(
+            init=lambda k: np.zeros((1 << _FEED_BLOOM_LOG2_BITS) >> 6, dtype=np.uint64),
+            merge=lambda a, b: np.bitwise_or(a, b),
+            accumulate_block=acc_block,
+            name="bloom",
+        )
+    )["bloom"]
+    bloom_ref = ray.put(
+        Int64Bloom(
+            log2_bits=_FEED_BLOOM_LOG2_BITS, words=np.asarray(words, dtype=np.uint64)
+        )
+    )
+
+    n = parallelism(16.0, lo=64, hi=1 << 14)
+    nb = 1 << (n - 1).bit_length()
+
+    def prep(b: pa.Table, *, bloom_ref) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("lsn"), lsn_b))
+        if len(b) == 0:
+            return b.append_column("bucket", pa.array([], pa.int32()))
+        kh = khash(b.column("conv_id"), b.column("turn_idx"))
+        lsn = b.column("lsn").to_numpy(zero_copy_only=False)
+        # history rows ride only if their key was touched in the window
+        keep = (lsn > lsn_a) | deref(bloom_ref).contains(kh.view(np.int64))
+        b = b.filter(pa.array(keep))
+        kh = kh[keep]
+        return b.append_column("bucket", pa.array((kh % np.uint64(nb)).astype(np.int32)))
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return CHANGE_FEED_SCHEMA.empty_table()
+        sort_idx = pc.sort_indices(
+            g.select(["conv_id", "turn_idx", "lsn"]),
+            sort_keys=[
+                ("conv_id", "ascending"),
+                ("turn_idx", "ascending"),
+                ("lsn", "ascending"),
+            ],
+        )
+        gs = g.take(sort_idx)
+        n = len(gs)
+        conv = gs.column("conv_id").combine_chunks()
+        turn = gs.column("turn_idx").combine_chunks()
+        if n > 1:
+            same_prev = pc.and_(
+                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+        else:
+            same_prev = np.empty(0, bool)
+        gid = np.concatenate([[0], np.cumsum(~same_prev)])
+        ngroups = int(gid[-1]) + 1
+        lsn = gs.column("lsn").to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        side_a = lsn <= lsn_a
+        # last (highest-lsn) row per key on each side: ascending
+        # assignment order makes the final write win
+        la = np.full(ngroups, -1, np.int64)
+        la[gid[side_a]] = idx[side_a]
+        lb = np.full(ngroups, -1, np.int64)
+        lb[gid] = idx
+        is_del = pc.equal(gs.column("op"), "delete").to_numpy(zero_copy_only=False)
+        exists_a = (la >= 0) & ~np.where(la >= 0, is_del[la], False)
+        exists_b = (lb >= 0) & ~np.where(lb >= 0, is_del[lb], False)
+
+        def ne(col: str, ia: np.ndarray, ib: np.ndarray):
+            x = gs.column(col).take(pa.array(ia))
+            y = gs.column(col).take(pa.array(ib))
+            eq = pc.fill_null(pc.equal(x, y), False)
+            both_null = pc.and_(pc.is_null(x), pc.is_null(y))
+            return pc.invert(pc.or_(eq, both_null)).to_numpy(zero_copy_only=False)
+
+        both = exists_a & exists_b
+        changed = np.zeros(ngroups, bool)
+        if both.any():
+            ia, ib = la[both], lb[both]
+            changed[both] = ne("role", ia, ib) | ne("text", ia, ib) | ne("ts", ia, ib)
+        emit = (exists_a != exists_b) | changed
+        if not emit.any():
+            return CHANGE_FEED_SCHEMA.empty_table()
+        op_out = np.where(
+            ~exists_a[emit], "insert", np.where(~exists_b[emit], "delete", "update")
+        )
+        # any row of the group carries the key columns
+        rep = np.where(lb >= 0, lb, la)[emit]
+        text = gs.column("text")
+        nulls = pa.nulls(int(emit.sum()), pa.string())
+        before = pc.if_else(
+            pa.array(exists_a[emit]),
+            text.take(pa.array(np.where(la < 0, 0, la)[emit])),
+            nulls,
+        )
+        after = pc.if_else(
+            pa.array(exists_b[emit]),
+            text.take(pa.array(np.where(lb < 0, 0, lb)[emit])),
+            nulls,
+        )
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(rep)),
+                "turn_idx": turn.take(pa.array(rep)),
+                "change_op": pa.array(op_out, pa.string()),
+                "before_text": before,
+                "after_text": after,
+            }
+        )
+
+    return (
+        changes.map_batches(
+            functools.partial(prep, bloom_ref=bloom_ref), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(diff_bucket, batch_format="pyarrow")
+    )

@@ -435,6 +435,18 @@ def cdc_replay_rescale(sf_dir: str):
     return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
 
 
+def cdc_change_feed(sf_dir: str):
+    """Change-feed EGRESS (CDC-out) over the derived WAL: the net
+    per-key difference between the lake state AS OF lsn_a = max//3
+    and AS OF lsn_b = 2·max//3, classified insert / update / delete
+    with before/after payload — see :func:`..pipelines.diff.change_feed`
+    for the bloom-pruned one-shuffle design."""
+    from .diff import change_feed
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    return change_feed(_derive_changelog(sf_dir), max_lsn // 3, (2 * max_lsn) // 3)
+
+
 def cdc_replay_schema_evolution(sf_dir: str):
     """Schema evolution end-to-end through the lake merge path (the
     north rule's column-add / type-widen promotion at the merge stage;
@@ -9392,6 +9404,7 @@ QUERIES = {
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_replay_delta": cdc_replay_delta,
     "cdc_replay_rescale": cdc_replay_rescale,
+    "cdc_change_feed": cdc_change_feed,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_generic_pk": cdc_replay_generic_pk,
     "cdc_replay_from_csv": cdc_replay_from_csv,
@@ -9635,6 +9648,37 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
   FROM changes
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    # CDC-out: net key-level diff between the AS-OF states at lsn_a =
+    # max//3 and lsn_b = 2*max//3, unchanged keys excluded
+    "cdc_change_feed": _CHANGES_CTE
+    + """
+, bounds AS (
+  SELECT MAX(event_id) // 3 AS lsn_a, (2 * MAX(event_id)) // 3 AS lsn_b FROM events
+),
+ra AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c, bounds WHERE c.lsn <= bounds.lsn_a
+),
+sa AS (SELECT conv_id, turn_idx, role, text, ts FROM ra WHERE rn = 1 AND op <> 'delete'),
+rb AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c, bounds WHERE c.lsn <= bounds.lsn_b
+),
+sb AS (SELECT conv_id, turn_idx, role, text, ts FROM rb WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
+       COALESCE(sa.turn_idx, sb.turn_idx) AS turn_idx,
+       CASE WHEN sa.conv_id IS NULL THEN 'insert'
+            WHEN sb.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       sa.text AS before_text,
+       sb.text AS after_text
+FROM sa FULL OUTER JOIN sb
+  ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
+WHERE sa.conv_id IS NULL OR sb.conv_id IS NULL
+   OR sa.role IS DISTINCT FROM sb.role
+   OR sa.text IS DISTINCT FROM sb.text
+   OR sa.ts IS DISTINCT FROM sb.ts
 """,
     # rescale mid-replay must converge to the identical one-shot state
     "cdc_replay_rescale": _CHANGES_CTE
