@@ -134,6 +134,8 @@ CHANGE_FEED_SCHEMA = pa.schema(
         ("change_op", pa.string()),
         ("before_text", pa.string()),
         ("after_text", pa.string()),
+        ("after_role", pa.string()),
+        ("after_ts", pa.timestamp("us")),
     ]
 )
 
@@ -276,25 +278,27 @@ def change_feed(changes, lsn_a: int, lsn_b: int):
         )
         # any row of the group carries the key columns
         rep = np.where(lb >= 0, lb, la)[emit]
-        text = gs.column("text")
-        nulls = pa.nulls(int(emit.sum()), pa.string())
-        before = pc.if_else(
-            pa.array(exists_a[emit]),
-            text.take(pa.array(np.where(la < 0, 0, la)[emit])),
-            nulls,
-        )
-        after = pc.if_else(
-            pa.array(exists_b[emit]),
-            text.take(pa.array(np.where(lb < 0, 0, lb)[emit])),
-            nulls,
-        )
+        n_emit = int(emit.sum())
+        a_take = pa.array(np.where(la < 0, 0, la)[emit])
+        b_take = pa.array(np.where(lb < 0, 0, lb)[emit])
+        has_a, has_b = pa.array(exists_a[emit]), pa.array(exists_b[emit])
+
+        def side_col(name: str, mask, take):
+            col = gs.column(name)
+            return pc.if_else(mask, col.take(take), pa.nulls(n_emit, col.type))
+
         return pa.table(
             {
                 "conv_id": conv.take(pa.array(rep)),
                 "turn_idx": turn.take(pa.array(rep)),
                 "change_op": pa.array(op_out, pa.string()),
-                "before_text": before,
-                "after_text": after,
+                "before_text": side_col("text", has_a, a_take),
+                # full after-payload so the feed is itself a replayable
+                # change stream (state_A + feed = state_B — pinned by
+                # the round-trip test)
+                "after_text": side_col("text", has_b, b_take),
+                "after_role": side_col("role", has_b, b_take),
+                "after_ts": side_col("ts", has_b, b_take),
             }
         )
 

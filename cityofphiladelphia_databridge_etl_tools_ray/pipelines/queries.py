@@ -9672,7 +9672,9 @@ SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
             WHEN sb.conv_id IS NULL THEN 'delete'
             ELSE 'update' END AS change_op,
        sa.text AS before_text,
-       sb.text AS after_text
+       sb.text AS after_text,
+       sb.role AS after_role,
+       sb.ts AS after_ts
 FROM sa FULL OUTER JOIN sb
   ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
 WHERE sa.conv_id IS NULL OR sb.conv_id IS NULL

@@ -35,13 +35,18 @@ def feed_reference(changes: pa.Table, a: int, b: int) -> pd.DataFrame:
             )
             if same:
                 continue
-            rows.append((*k, "update", ra["text"], rb["text"]))
+            rows.append((*k, "update", ra["text"], rb["text"], rb["role"], rb["ts"]))
         elif in_b:
-            rows.append((*k, "insert", None, sb.loc[k]["text"]))
+            rb = sb.loc[k]
+            rows.append((*k, "insert", None, rb["text"], rb["role"], rb["ts"]))
         else:
-            rows.append((*k, "delete", sa.loc[k]["text"], None))
+            rows.append((*k, "delete", sa.loc[k]["text"], None, None, None))
     return pd.DataFrame(
-        rows, columns=["conv_id", "turn_idx", "change_op", "before_text", "after_text"]
+        rows,
+        columns=[
+            "conv_id", "turn_idx", "change_op",
+            "before_text", "after_text", "after_role", "after_ts",
+        ],
     )
 
 
@@ -50,7 +55,10 @@ def run_feed(changes: pa.Table, a: int, b: int) -> pd.DataFrame:
     out = change_feed(ds, a, b).to_pandas()
     if out.empty and "conv_id" not in out.columns:
         out = pd.DataFrame(
-            columns=["conv_id", "turn_idx", "change_op", "before_text", "after_text"]
+            columns=[
+                "conv_id", "turn_idx", "change_op",
+                "before_text", "after_text", "after_role", "after_ts",
+            ]
         )
     return out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
 
@@ -59,6 +67,9 @@ def assert_feed_equal(got: pd.DataFrame, exp: pd.DataFrame):
     exp = exp.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
     got = got.astype({"turn_idx": "int64"})
     exp = exp.astype({"turn_idx": "int64"}) if len(exp) else exp
+    for df in (got, exp):
+        if len(df) and "after_ts" in df.columns:
+            df["after_ts"] = pd.to_datetime(df["after_ts"]).astype("datetime64[us]")
     assert len(got) == len(exp), (len(got), len(exp))
     if len(exp):
         pd.testing.assert_frame_equal(
@@ -130,6 +141,76 @@ def test_change_feed_edge_semantics(ray_session):
     assert set(got["conv_id"]) >= {"c3", "c5"}
     exp = feed_reference(_mk(rows), 10, 20)
     assert_feed_equal(got, exp)
+
+
+def test_change_feed_round_trip_upgrades_state(ray_session, tmp_path):
+    """The feed is itself a replayable change stream: replaying
+    change_feed(a, b) onto the AS-OF-a lake produces exactly the
+    AS-OF-b state (insert/update → upsert with the after-payload,
+    delete → tombstone)."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        apply_changes_reference,
+        write_change_log,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        replay_into_lake,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    changes = generate_changes(4000, n_convs=60, delete_frac=0.15, dup_frac=0.05)
+    a, b = 2000, 3999
+    lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+
+    root = str(tmp_path / "lake_a")
+    TranscriptLake.create(root, num_partitions=8)
+    write_change_log(changes.filter(pa.array(lsn <= a)), str(tmp_path / "wal_a"), n_files=3)
+    replay_into_lake(root, read_change_log(str(tmp_path / "wal_a")))
+
+    feed = change_feed(ray.data.from_arrow(changes).repartition(4), a, b).to_arrow_refs()
+    feed = pa.concat_tables([ray.get(r) for r in feed])
+    n = len(feed)
+    wal2 = pa.table(
+        {
+            "op": pa.compute.if_else(
+                pa.compute.equal(feed.column("change_op"), "delete"),
+                pa.scalar("delete"),
+                pa.scalar("update"),
+            ),
+            "lsn": pa.array(np.full(n, a + 1, np.int64)),
+            "conv_id": feed.column("conv_id"),
+            "turn_idx": feed.column("turn_idx"),
+            "role": feed.column("after_role"),
+            "text": feed.column("after_text"),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": feed.column("after_ts"),
+        }
+    )
+    write_change_log(wal2, str(tmp_path / "wal_feed"), n_files=2)
+    replay_into_lake(root, read_change_log(str(tmp_path / "wal_feed")))
+
+    exp = apply_changes_reference(None, changes.filter(pa.array(lsn <= b)))
+    got = (
+        TranscriptLake(root)
+        .read_all()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
+def test_change_feed_plan_shape(ray_session):
+    """ONE key-bucket exchange in the feed dataset (the bloom build is
+    a separate fixed-size aggregate, not a row shuffle)."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import QUERIES
+
+    stats = QUERIES["cdc_change_feed"]("/root/testdata/sf0.001").materialize().stats()
+    assert stats.count("SortReduce") <= 1, stats
 
 
 def test_change_feed_identical_payload_excluded(ray_session):
