@@ -546,12 +546,21 @@ class _MergeCommit:
 
     __name__ = "merge_commit"  # map_groups wraps fn and reads __name__
 
-    def __init__(self, lake_root: str, mode: str = "merge", compact_after: int = 8):
+    def __init__(
+        self,
+        lake_root: str,
+        mode: str = "merge",
+        compact_after: int = 8,
+        compact_policy: str = "tiered",
+    ):
         if mode not in ("merge", "delta", "snapshot"):
             raise ValueError(f"mode must be 'merge', 'delta' or 'snapshot', got {mode!r}")
+        if compact_policy not in ("tiered", "full"):
+            raise ValueError(f"compact_policy must be 'tiered' or 'full', got {compact_policy!r}")
         self.lake_root = lake_root
         self.mode = mode
         self.compact_after = compact_after
+        self.compact_policy = compact_policy
         self._lake = None
 
     def __getstate__(self):
@@ -559,6 +568,7 @@ class _MergeCommit:
             "lake_root": self.lake_root,
             "mode": self.mode,
             "compact_after": self.compact_after,
+            "compact_policy": self.compact_policy,
             "_lake": None,
         }
 
@@ -600,7 +610,15 @@ class _MergeCommit:
                 pid, run, high_lsn, lineage_record=lineage, mode="delta"
             )
             if self.compact_after and self.lake.run_count(pid) >= self.compact_after:
-                m = self.lake.compact_partition(pid)
+                # size-tiered by default: fold the (small) delta runs
+                # and leave the base alone until deltas amortize a
+                # full rewrite — K tails cost O(K·delta) + amortized
+                # O(partition), not K·O(partition)
+                m = (
+                    self.lake.compact_partition_adaptive(pid)
+                    if self.compact_policy == "tiered"
+                    else self.lake.compact_partition(pid)
+                )
         else:
             base = self.lake.read_partition(pid)
             merged = merge_partition(base, changes, keys=keys)
@@ -712,6 +730,7 @@ def replay_into_lake(
     concurrency: int | None = None,
     mode: str = "merge",
     compact_after: int = 8,
+    compact_policy: str = "tiered",
     salt: int | None = None,
     assume_tz: str | None = None,
     validate_sample: int | None = 500,
@@ -775,7 +794,9 @@ def replay_into_lake(
             num_partitions=lake.num_partitions,
         )
     metrics = ds.groupby(PART_COL).map_groups(
-        _MergeCommit(lake_root, mode=mode, compact_after=compact_after),
+        _MergeCommit(
+            lake_root, mode=mode, compact_after=compact_after, compact_policy=compact_policy
+        ),
         batch_format="pyarrow",
     )
     out = metrics.to_pandas()

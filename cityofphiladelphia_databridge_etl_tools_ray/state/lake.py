@@ -239,6 +239,73 @@ class TranscriptLake:
             mode="replace",
         )
 
+    def fold_delta_runs(self, pid: int) -> PartitionManifest | None:
+        """Collapse ALL delta runs into ONE key-sorted run, leaving
+        the base untouched — O(sum of delta bytes) instead of the full
+        compaction's O(partition).  Tombstones are PRESERVED (the fold
+        is ``dedup_last_writer``, not a resolve): the folded run is
+        still a delta, and LWW across runs is decided by lsn, so run
+        boundaries can be collapsed freely without changing the
+        resolved state.  Watermark unchanged; replaced runs become
+        vacuum orphans."""
+        m = self.manifest(pid)
+        if m is None:
+            return m
+        deltas = [f for f in m.files if f.get("kind") == "delta"]
+        if len(deltas) <= 1:
+            return m
+        from ..stages.merge import dedup_last_writer
+
+        tbls = [
+            pq.read_table(os.path.join(self.part_dir(pid), f["path"])) for f in deltas
+        ]
+        merged = (
+            tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls, promote_options="permissive")
+        )
+        folded = dedup_last_writer(merged, keys=self.primary_key)
+        entry = _write_data_file(self.part_dir(pid), folded, m.high_lsn)
+        entry["kind"] = "delta"
+        files = [f for f in m.files if f.get("kind") != "delta"] + [entry]
+        new_m = PartitionManifest(
+            partition_id=pid,
+            high_lsn=m.high_lsn,
+            files=files,
+            row_count=-1,
+            schema_json=_schema_to_json(folded.schema),
+            lineage=(
+                m.lineage
+                + [{"op": "fold_deltas", "runs_folded": len(deltas), "rows_after": len(folded)}]
+            )[-64:],
+        )
+        new_m.save(self._manifest_path(pid))
+        return new_m
+
+    def compact_partition_adaptive(
+        self, pid: int, full_ratio: float = 0.5
+    ) -> PartitionManifest | None:
+        """Size-tiered compaction trigger (the LSM write-amplification
+        fix for frequent small tails): while the accumulated delta
+        bytes are small relative to the base, only fold the deltas
+        (cheap, base file untouched on disk); rewrite the base only
+        once deltas reach ``full_ratio`` of its size — so a partition
+        receiving K small tails costs O(K · delta) + amortized
+        O(partition), not K · O(partition)."""
+        m = self.manifest(pid)
+        if m is None or len(m.files) <= 1:
+            return m
+
+        def nbytes(f):
+            try:
+                return os.path.getsize(os.path.join(self.part_dir(pid), f["path"]))
+            except OSError:
+                return 0
+
+        base_bytes = sum(nbytes(f) for f in m.files if f.get("kind") != "delta")
+        delta_bytes = sum(nbytes(f) for f in m.files if f.get("kind") == "delta")
+        if base_bytes == 0 or delta_bytes >= full_ratio * base_bytes:
+            return self.compact_partition(pid)
+        return self.fold_delta_runs(pid)
+
     # -- online partition rescale (split / coalesce) ------------------
     def split_partitions(self, factor: int = 2, *, parallel: bool = True) -> dict:
         """Online partition split: N → N·factor, preserving state and
