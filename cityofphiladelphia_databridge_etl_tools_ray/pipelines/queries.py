@@ -337,7 +337,7 @@ def cdc_snapshot_delete_stale(sf_dir: str):
     replay_into_lake(root, state.map_batches(to_snapshot, batch_format="pyarrow"), mode="snapshot")
 
     lake = TranscriptLake(root)
-    out = lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    out = lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
     return out
 
 
@@ -386,7 +386,7 @@ def cdc_replay_delta(sf_dir: str):
     replay_into_lake(root, slice_wal(q3, max_lsn), mode="delta", compact_after=2)
 
     lake = TranscriptLake(root)
-    return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
 
 
 def cdc_replay_rescale(sf_dir: str):
@@ -432,7 +432,7 @@ def cdc_replay_rescale(sf_dir: str):
     lake.coalesce_partitions(2)  # 16 → 8, generation 3
     lake.vacuum()
     lake = TranscriptLake(root)
-    return lake.dataset().select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
 
 
 def cdc_change_feed(sf_dir: str):
@@ -578,7 +578,7 @@ def cdc_replay_generic_pk(sf_dir: str):
         root, num_partitions=16, schema=GENERIC_PK_SCHEMA, primary_key=["user_id"]
     )
     replay_into_lake(root, _derive_user_changelog(sf_dir))
-    return TranscriptLake(root).dataset().select_columns(
+    return TranscriptLake(root).dataset(columns=
         ["user_id", "event_type", "value", "ts"]
     )
 
@@ -8130,7 +8130,7 @@ def cdc_replay_dead_letter(sf_dir: str):
     replay_into_lake(
         lake_dir, changes, invalid_ops="dead_letter", dead_letter_dir=dl_dir
     )
-    return TranscriptLake(lake_dir).dataset().select_columns(
+    return TranscriptLake(lake_dir).dataset(columns=
         ["conv_id", "turn_idx", "role", "text", "ts"]
     )
 
@@ -8168,7 +8168,7 @@ def cdc_replay_exactly_once_overlap(sf_dir: str):
         lake_dir,
         _derive_changelog(sf_dir).map_batches(lsn_above(rewind), batch_format="pyarrow"),
     )
-    return TranscriptLake(lake_dir).dataset().select_columns(
+    return TranscriptLake(lake_dir).dataset(columns=
         ["conv_id", "turn_idx", "role", "text", "ts"]
     )
 

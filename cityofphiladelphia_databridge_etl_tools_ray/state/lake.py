@@ -29,7 +29,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA
+from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA, conform
 from .manifest import PartitionManifest, write_json_atomic
 
 
@@ -136,22 +136,53 @@ class TranscriptLake:
     def min_watermark(self) -> int:
         return min(self.watermarks().values())
 
-    def read_partition(self, pid: int, *, resolve: bool = True) -> pa.Table:
+    def read_partition(
+        self, pid: int, *, resolve: bool = True, columns: list[str] | None = None
+    ) -> pa.Table:
         """Partition state.  With delta runs present, ``resolve=True``
         applies the LWW merge across runs (newest lsn wins, tombstones
         drop) — the read half of merge-on-read; ``resolve=False``
         returns the raw concatenation (op/lsn columns intact) for
-        compaction and debugging."""
+        compaction and debugging.
+
+        ``columns`` prunes at the parquet read (only the requested
+        columns plus what resolution itself needs — the primary key,
+        and op/lsn on delta runs — leave storage; resolution-only
+        columns are dropped again before returning).  A requested
+        column this partition predates (schema evolution) is absent
+        from the result; :meth:`dataset` null-fills it against the
+        lake-wide unified schema."""
         m = self.manifest(pid)
         if m is None or not m.files:
-            return self.base_schema.empty_table()
+            empty = self.base_schema.empty_table()
+            if columns is not None:
+                empty = empty.select([c for c in columns if c in empty.schema.names])
+            return empty
+        want_base = (
+            None
+            if columns is None
+            else list(dict.fromkeys([*self.primary_key, *columns]))
+        )
         base_tbls, delta_tbls = [], []
         for f in m.files:
-            t = pq.read_table(os.path.join(self.part_dir(pid), f["path"]))
+            path = os.path.join(self.part_dir(pid), f["path"])
+            if want_base is None:
+                t = pq.read_table(path)
+            else:
+                want = want_base + (["op", "lsn"] if f.get("kind") == "delta" else [])
+                names = set(pq.read_schema(path).names)
+                t = pq.read_table(path, columns=[c for c in want if c in names])
             (delta_tbls if f.get("kind") == "delta" else base_tbls).append(t)
+        def project(t: pa.Table) -> pa.Table:
+            if columns is None:
+                return t
+            return t.select([c for c in columns if c in t.schema.names])
+
         if not delta_tbls:
-            return base_tbls[0] if len(base_tbls) == 1 else pa.concat_tables(
-                base_tbls, promote_options="permissive"
+            return project(
+                base_tbls[0]
+                if len(base_tbls) == 1
+                else pa.concat_tables(base_tbls, promote_options="permissive")
             )
         deltas = (
             delta_tbls[0]
@@ -164,12 +195,13 @@ class TranscriptLake:
             else (base_tbls[0] if len(base_tbls) == 1 else pa.concat_tables(base_tbls, promote_options="permissive"))
         )
         if not resolve:
+            # raw runs keep op/lsn — they ARE the request here
             return deltas if base is None else pa.concat_tables(
                 [base, deltas], promote_options="permissive"
             )
         from ..stages.merge import merge_partition
 
-        return merge_partition(base, deltas, keys=self.primary_key)
+        return project(merge_partition(base, deltas, keys=self.primary_key))
 
     def run_count(self, pid: int) -> int:
         m = self.manifest(pid)
@@ -432,30 +464,70 @@ class TranscriptLake:
             for f in m.files
         )
 
-    def dataset(self):
+    def _unified_schema(self) -> pa.Schema:
+        """Lake-wide payload schema: the creation schema promoted with
+        every committed partition's schema (column-add / type-widen).
+        Run metadata is excluded: ``op`` always, ``lsn`` unless it is
+        a genuine payload column of this lake."""
+        from ..schema import promote_schemas
+
+        schema = self.base_schema
+        for p in range(self.num_partitions):
+            m = self.manifest(p)
+            if m and m.schema_json:
+                schema = promote_schemas(schema, _schema_from_json(m.schema_json))
+        drop = {"op"} | ({"lsn"} - set(self.base_schema.names))
+        return pa.schema([f for f in schema if f.name not in drop])
+
+    def dataset(self, columns: list[str] | None = None):
         """Committed lake state as a streaming ``ray.data.Dataset``
         (reads only manifest-referenced files — orphans invisible).
 
-        Fast path: all partitions compacted → plain ``read_parquet``.
-        With delta runs, one Ray task per partition performs the
-        merge-on-read resolution (partition-parallel, no shuffle)."""
+        Fast path: all partitions compacted → plain ``read_parquet``
+        (with ``columns`` pushed into the parquet read, so only the
+        requested columns leave storage).  With delta runs, one Ray
+        task per partition performs the merge-on-read resolution
+        (partition-parallel, no shuffle), reading only ``columns``
+        plus the key/op/lsn columns resolution needs; partitions that
+        predate a requested column (schema evolution) null-fill it
+        against the lake-wide unified schema."""
         import ray.data
 
         files = self.data_files()
+        unified = self._unified_schema()
+        if columns is not None:
+            missing = [c for c in columns if c not in unified.names]
+            if missing:
+                raise KeyError(f"columns {missing} not in lake schema {unified.names}")
+            target = pa.schema([unified.field(c) for c in columns])
+        else:
+            target = None
         if not files:
-            return ray.data.from_arrow(self.base_schema.empty_table())
+            empty = self.base_schema.empty_table()
+            return ray.data.from_arrow(conform(empty, target) if target else empty)
         if not self._has_deltas():
-            return ray.data.read_parquet(files)
+            if columns is None:
+                return ray.data.read_parquet(files)
+            if all(
+                set(columns) <= set(pq.read_schema(f).names) for f in files
+            ):
+                return ray.data.read_parquet(files, columns=list(columns))
+            # some partition predates a requested column: fall through
+            # to the per-partition path, which conforms (null-fills)
 
         root = self.root
 
         def resolve(batch: pa.Table) -> pa.Table:
             lake = TranscriptLake(root)
-            out = [lake.read_partition(int(p)) for p in batch.column("pid").to_pylist()]
+            out = [
+                lake.read_partition(int(p), columns=columns)
+                for p in batch.column("pid").to_pylist()
+            ]
             out = [t for t in out if len(t)]
             if not out:
-                return lake.base_schema.empty_table()
-            return pa.concat_tables(out, promote_options="permissive")
+                return conform(lake.base_schema.empty_table(), target) if target else lake.base_schema.empty_table()
+            got = pa.concat_tables(out, promote_options="permissive")
+            return conform(got, target) if target else got
 
         # one block per partition so resolution fans out across tasks
         # (from_arrow would yield a single block and run serially)
