@@ -142,6 +142,93 @@ CHANGE_FEED_SCHEMA = pa.schema(
 _FEED_BLOOM_LOG2_BITS = 20  # 128 KB mask, fixed regardless of window size
 
 
+def _feed_diff_kernel(g: pa.Table, lsn_a: int) -> pa.Table:
+    """Two-sided LWW diff of one co-located group: side A = the
+    state from rows with lsn <= lsn_a, side B = from all rows;
+    emits the net insert/update/delete per key (unchanged keys
+    dropped).  Pure vectorized Arrow/numpy — one key sort,
+    boundary masks, no per-key Python."""
+    if len(g) == 0:
+        return CHANGE_FEED_SCHEMA.empty_table()
+    sort_idx = pc.sort_indices(
+        g.select(["conv_id", "turn_idx", "lsn"]),
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("lsn", "ascending"),
+        ],
+    )
+    gs = g.take(sort_idx)
+    n = len(gs)
+    conv = gs.column("conv_id").combine_chunks()
+    turn = gs.column("turn_idx").combine_chunks()
+    if n > 1:
+        same_prev = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+    else:
+        same_prev = np.empty(0, bool)
+    gid = np.concatenate([[0], np.cumsum(~same_prev)])
+    ngroups = int(gid[-1]) + 1
+    lsn = gs.column("lsn").to_numpy(zero_copy_only=False)
+    idx = np.arange(n)
+    side_a = lsn <= lsn_a
+    # last (highest-lsn) row per key on each side: ascending
+    # assignment order makes the final write win
+    la = np.full(ngroups, -1, np.int64)
+    la[gid[side_a]] = idx[side_a]
+    lb = np.full(ngroups, -1, np.int64)
+    lb[gid] = idx
+    is_del = pc.equal(gs.column("op"), "delete").to_numpy(zero_copy_only=False)
+    exists_a = (la >= 0) & ~np.where(la >= 0, is_del[la], False)
+    exists_b = (lb >= 0) & ~np.where(lb >= 0, is_del[lb], False)
+
+    def ne(col: str, ia: np.ndarray, ib: np.ndarray):
+        x = gs.column(col).take(pa.array(ia))
+        y = gs.column(col).take(pa.array(ib))
+        eq = pc.fill_null(pc.equal(x, y), False)
+        both_null = pc.and_(pc.is_null(x), pc.is_null(y))
+        return pc.invert(pc.or_(eq, both_null)).to_numpy(zero_copy_only=False)
+
+    both = exists_a & exists_b
+    changed = np.zeros(ngroups, bool)
+    if both.any():
+        ia, ib = la[both], lb[both]
+        changed[both] = ne("role", ia, ib) | ne("text", ia, ib) | ne("ts", ia, ib)
+    emit = (exists_a != exists_b) | changed
+    if not emit.any():
+        return CHANGE_FEED_SCHEMA.empty_table()
+    op_out = np.where(
+        ~exists_a[emit], "insert", np.where(~exists_b[emit], "delete", "update")
+    )
+    # any row of the group carries the key columns
+    rep = np.where(lb >= 0, lb, la)[emit]
+    n_emit = int(emit.sum())
+    a_take = pa.array(np.where(la < 0, 0, la)[emit])
+    b_take = pa.array(np.where(lb < 0, 0, lb)[emit])
+    has_a, has_b = pa.array(exists_a[emit]), pa.array(exists_b[emit])
+
+    def side_col(name: str, mask, take):
+        col = gs.column(name)
+        return pc.if_else(mask, col.take(take), pa.nulls(n_emit, col.type))
+
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(rep)),
+            "turn_idx": turn.take(pa.array(rep)),
+            "change_op": pa.array(op_out, pa.string()),
+            "before_text": side_col("text", has_a, a_take),
+            # full after-payload so the feed is itself a replayable
+            # change stream (state_A + feed = state_B — pinned by
+            # the round-trip test)
+            "after_text": side_col("text", has_b, b_take),
+            "after_role": side_col("role", has_b, b_take),
+            "after_ts": side_col("ts", has_b, b_take),
+        }
+    )
+
+
 def change_feed(changes, lsn_a: int, lsn_b: int):
     """CDC egress: the NET per-key difference between the lake state
     AS OF ``lsn_a`` and AS OF ``lsn_b``, computed from the WAL without
@@ -221,91 +308,85 @@ def change_feed(changes, lsn_a: int, lsn_b: int):
         kh = kh[keep]
         return b.append_column("bucket", pa.array((kh % np.uint64(nb)).astype(np.int32)))
 
-    def diff_bucket(g: pa.Table) -> pa.Table:
-        if len(g) == 0:
-            return CHANGE_FEED_SCHEMA.empty_table()
-        sort_idx = pc.sort_indices(
-            g.select(["conv_id", "turn_idx", "lsn"]),
-            sort_keys=[
-                ("conv_id", "ascending"),
-                ("turn_idx", "ascending"),
-                ("lsn", "ascending"),
-            ],
-        )
-        gs = g.take(sort_idx)
-        n = len(gs)
-        conv = gs.column("conv_id").combine_chunks()
-        turn = gs.column("turn_idx").combine_chunks()
-        if n > 1:
-            same_prev = pc.and_(
-                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
-                pc.equal(turn.slice(1), turn.slice(0, n - 1)),
-            ).to_numpy(zero_copy_only=False)
-        else:
-            same_prev = np.empty(0, bool)
-        gid = np.concatenate([[0], np.cumsum(~same_prev)])
-        ngroups = int(gid[-1]) + 1
-        lsn = gs.column("lsn").to_numpy(zero_copy_only=False)
-        idx = np.arange(n)
-        side_a = lsn <= lsn_a
-        # last (highest-lsn) row per key on each side: ascending
-        # assignment order makes the final write win
-        la = np.full(ngroups, -1, np.int64)
-        la[gid[side_a]] = idx[side_a]
-        lb = np.full(ngroups, -1, np.int64)
-        lb[gid] = idx
-        is_del = pc.equal(gs.column("op"), "delete").to_numpy(zero_copy_only=False)
-        exists_a = (la >= 0) & ~np.where(la >= 0, is_del[la], False)
-        exists_b = (lb >= 0) & ~np.where(lb >= 0, is_del[lb], False)
-
-        def ne(col: str, ia: np.ndarray, ib: np.ndarray):
-            x = gs.column(col).take(pa.array(ia))
-            y = gs.column(col).take(pa.array(ib))
-            eq = pc.fill_null(pc.equal(x, y), False)
-            both_null = pc.and_(pc.is_null(x), pc.is_null(y))
-            return pc.invert(pc.or_(eq, both_null)).to_numpy(zero_copy_only=False)
-
-        both = exists_a & exists_b
-        changed = np.zeros(ngroups, bool)
-        if both.any():
-            ia, ib = la[both], lb[both]
-            changed[both] = ne("role", ia, ib) | ne("text", ia, ib) | ne("ts", ia, ib)
-        emit = (exists_a != exists_b) | changed
-        if not emit.any():
-            return CHANGE_FEED_SCHEMA.empty_table()
-        op_out = np.where(
-            ~exists_a[emit], "insert", np.where(~exists_b[emit], "delete", "update")
-        )
-        # any row of the group carries the key columns
-        rep = np.where(lb >= 0, lb, la)[emit]
-        n_emit = int(emit.sum())
-        a_take = pa.array(np.where(la < 0, 0, la)[emit])
-        b_take = pa.array(np.where(lb < 0, 0, lb)[emit])
-        has_a, has_b = pa.array(exists_a[emit]), pa.array(exists_b[emit])
-
-        def side_col(name: str, mask, take):
-            col = gs.column(name)
-            return pc.if_else(mask, col.take(take), pa.nulls(n_emit, col.type))
-
-        return pa.table(
-            {
-                "conv_id": conv.take(pa.array(rep)),
-                "turn_idx": turn.take(pa.array(rep)),
-                "change_op": pa.array(op_out, pa.string()),
-                "before_text": side_col("text", has_a, a_take),
-                # full after-payload so the feed is itself a replayable
-                # change stream (state_A + feed = state_B — pinned by
-                # the round-trip test)
-                "after_text": side_col("text", has_b, b_take),
-                "after_role": side_col("role", has_b, b_take),
-                "after_ts": side_col("ts", has_b, b_take),
-            }
-        )
-
     return (
         changes.map_batches(
             functools.partial(prep, bloom_ref=bloom_ref), batch_format="pyarrow"
         )
         .groupby("bucket")
-        .map_groups(diff_bucket, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(_feed_diff_kernel, lsn_a=lsn_a), batch_format="pyarrow"
+        )
     )
+
+
+def lake_change_feed(lake_root: str):
+    """Lake-native incremental feed: what changed since each
+    partition's base was last compacted — classified
+    insert/update/delete per key with before/after payload, computed
+    from the UNCOMPACTED delta runs against the base.
+
+    Scale shape: ZERO shuffle.  Keys are already co-located by the
+    lake's hash partitioning, so one Ray task per delta-bearing
+    partition reads that partition's runs and applies the same
+    two-sided LWW kernel as :func:`change_feed` with the base tagged
+    lsn = -1 (any delta beats any base row — the merge-kernel
+    contract).  Compacted partitions are skipped entirely: the feed's
+    cost is O(touched partitions), independent of lake size.
+
+    Requires the transcripts payload schema (conv_id, turn_idx, role,
+    text, ts); generic-PK lakes diff snapshots via
+    :func:`snapshot_diff` instead."""
+    import functools
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.lake import TranscriptLake
+
+    lake = TranscriptLake(lake_root)
+    touched = [
+        p
+        for p in range(lake.num_partitions)
+        if (m := lake.manifest(p)) and any(f.get("kind") == "delta" for f in m.files)
+    ]
+    if not touched:
+        return ray.data.from_arrow(CHANGE_FEED_SCHEMA.empty_table())
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        import os
+
+        lk = TranscriptLake(lake_root)
+        out = []
+        for pid in batch.column("pid").to_pylist():
+            m = lk.manifest(int(pid))
+            base_tbls, delta_tbls = [], []
+            for f in m.files:
+                t = pq.read_table(os.path.join(lk.part_dir(int(pid)), f["path"]))
+                (delta_tbls if f.get("kind") == "delta" else base_tbls).append(t)
+            if not delta_tbls:
+                continue
+            parts = []
+            for t in base_tbls:
+                t = t.append_column(
+                    "op", pa.array(np.full(len(t), "insert", dtype=object), pa.string())
+                )
+                parts.append(
+                    t.append_column("lsn", pa.array(np.full(len(t), -1, np.int64)))
+                )
+            parts.extend(delta_tbls)
+            combined = (
+                parts[0]
+                if len(parts) == 1
+                else pa.concat_tables(parts, promote_options="permissive")
+            )
+            out.append(_feed_diff_kernel(combined, lsn_a=-1))
+        if not out:
+            return CHANGE_FEED_SCHEMA.empty_table()
+        return out[0] if len(out) == 1 else pa.concat_tables(
+            out, promote_options="permissive"
+        )
+
+    pids = ray.data.from_items(
+        [{"pid": p} for p in touched], override_num_blocks=len(touched)
+    )
+    return pids.map_batches(per_partition, batch_format="pyarrow", batch_size=1)

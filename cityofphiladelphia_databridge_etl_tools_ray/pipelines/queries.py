@@ -447,6 +447,43 @@ def cdc_change_feed(sf_dir: str):
     return change_feed(_derive_changelog(sf_dir), max_lsn // 3, (2 * max_lsn) // 3)
 
 
+def cdc_lake_change_feed(sf_dir: str):
+    """Lake-native incremental feed (ZERO shuffle): replay the first
+    half of the WAL as a compacted base, the second half as
+    uncompacted delta runs, then emit what changed since compaction —
+    per-partition classification of the delta runs against the base
+    (keys already co-located by the lake's hash partitioning; cost is
+    O(touched partitions), independent of lake size).  See
+    :func:`..pipelines.diff.lake_change_feed`."""
+    from ..state.lake import TranscriptLake
+    from .diff import lake_change_feed
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+
+    root = _scratch_root("lakefeed", sf_dir)
+    TranscriptLake.create(root, num_partitions=16)
+
+    def lsn_range(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
+            )
+            return b.filter(keep)
+
+        return f
+
+    def slice_wal(lo, hi):
+        return _derive_changelog(sf_dir).map_batches(
+            lsn_range(lo, hi), batch_format="pyarrow"
+        )
+
+    replay_into_lake(root, slice_wal(-1, mid))
+    replay_into_lake(root, slice_wal(mid, max_lsn), mode="delta", compact_after=0)
+    return lake_change_feed(root)
+
+
 def cdc_replay_schema_evolution(sf_dir: str):
     """Schema evolution end-to-end through the lake merge path (the
     north rule's column-add / type-widen promotion at the merge stage;
@@ -9405,6 +9442,7 @@ QUERIES = {
     "cdc_replay_delta": cdc_replay_delta,
     "cdc_replay_rescale": cdc_replay_rescale,
     "cdc_change_feed": cdc_change_feed,
+    "cdc_lake_change_feed": cdc_lake_change_feed,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_generic_pk": cdc_replay_generic_pk,
     "cdc_replay_from_csv": cdc_replay_from_csv,
@@ -9655,6 +9693,38 @@ SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'del
     + """
 , bounds AS (
   SELECT MAX(event_id) // 3 AS lsn_a, (2 * MAX(event_id)) // 3 AS lsn_b FROM events
+),
+ra AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c, bounds WHERE c.lsn <= bounds.lsn_a
+),
+sa AS (SELECT conv_id, turn_idx, role, text, ts FROM ra WHERE rn = 1 AND op <> 'delete'),
+rb AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c, bounds WHERE c.lsn <= bounds.lsn_b
+),
+sb AS (SELECT conv_id, turn_idx, role, text, ts FROM rb WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
+       COALESCE(sa.turn_idx, sb.turn_idx) AS turn_idx,
+       CASE WHEN sa.conv_id IS NULL THEN 'insert'
+            WHEN sb.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       sa.text AS before_text,
+       sb.text AS after_text,
+       sb.role AS after_role,
+       sb.ts AS after_ts
+FROM sa FULL OUTER JOIN sb
+  ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
+WHERE sa.conv_id IS NULL OR sb.conv_id IS NULL
+   OR sa.role IS DISTINCT FROM sb.role
+   OR sa.text IS DISTINCT FROM sb.text
+   OR sa.ts IS DISTINCT FROM sb.ts
+""",
+    # lake-native feed: deltas-vs-base == state(max//2) vs state(max)
+    "cdc_lake_change_feed": _CHANGES_CTE
+    + """
+, bounds AS (
+  SELECT MAX(event_id) // 2 AS lsn_a, MAX(event_id) AS lsn_b FROM events
 ),
 ra AS (
   SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

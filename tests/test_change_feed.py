@@ -234,3 +234,48 @@ def test_change_feed_identical_payload_excluded(ray_session):
     assert got["change_op"].tolist() == ["update"]
     assert got["before_text"].tolist() == ["y"]
     assert got["after_text"].tolist() == ["CHANGED"]
+
+
+def test_lake_change_feed_zero_shuffle_and_equality(ray_session, tmp_path):
+    """The lake-native feed reads only delta-bearing partitions, runs
+    NO shuffle, and equals the WAL-window feed over the same bounds;
+    a fully compacted lake yields an empty feed."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.diff import (
+        lake_change_feed,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        replay_into_lake,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    changes = generate_changes(4000, n_convs=50, delete_frac=0.15, dup_frac=0.05)
+    lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+    mid = 2000
+    root = str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=8)
+    write_change_log(changes.filter(pa.array(lsn <= mid)), str(tmp_path / "w1"), n_files=2)
+    write_change_log(changes.filter(pa.array(lsn > mid)), str(tmp_path / "w2"), n_files=2)
+    replay_into_lake(root, read_change_log(str(tmp_path / "w1")))
+    replay_into_lake(
+        root, read_change_log(str(tmp_path / "w2")), mode="delta", compact_after=0
+    )
+
+    ds = lake_change_feed(root)
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    stats = ds.materialize().stats()
+    assert stats.count("SortReduce") == 0, stats
+
+    exp = run_feed(changes, mid, 3999)
+    assert_feed_equal(got, exp)
+    # brute force agrees too
+    assert_feed_equal(got, feed_reference(changes, mid, 3999))
+
+    # compacting everything empties the incremental feed
+    lake = TranscriptLake(root)
+    for p in range(8):
+        lake.compact_partition(p)
+    assert lake_change_feed(root).count() == 0
