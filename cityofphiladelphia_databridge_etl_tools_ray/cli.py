@@ -142,6 +142,16 @@ def cmd_rescale(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Integrity audit: manifest-referenced files exist, hashes and
+    row counts match, lineage watermarks are monotonic."""
+    from .state.lake import TranscriptLake
+
+    res = TranscriptLake(args.root).fsck(verify_hashes=not args.fast)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
 def cmd_view_create(args) -> int:
     from .pipelines.matview import create_view
 
@@ -406,6 +416,11 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("watermarks", help="committed high-LSN per partition")
     c.add_argument("root")
     c.set_defaults(fn=cmd_watermarks)
+
+    c = sub.add_parser("fsck", help="verify file hashes, row counts, watermark monotonicity")
+    c.add_argument("root")
+    c.add_argument("--fast", action="store_true", help="skip content-hash verification")
+    c.set_defaults(fn=cmd_fsck)
 
     c = sub.add_parser("vacuum", help="delete orphaned data files")
     c.add_argument("root")

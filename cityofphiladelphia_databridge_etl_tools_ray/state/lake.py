@@ -625,6 +625,72 @@ class TranscriptLake:
             "primaryKey": [k for k in self.primary_key if k in schema.names],
         }
 
+    def fsck(self, *, verify_hashes: bool = True) -> dict:
+        """Integrity audit of the committed state — the engine's analog
+        of the reference's count asserts after every load (e.g. the
+        post-COPY row-count verification, postgres/postgres.py, and the
+        Carto select-count check before the rename swap,
+        carto/carto_.py:471-490):
+
+        - every manifest-referenced data file exists, and (with
+          ``verify_hashes``) its bytes match the recorded sha256;
+        - non-delta manifests' ``row_count`` matches the parquet
+          metadata row count (footer only — no data read);
+        - lineage watermarks are monotonic (a commit never regressed
+          ``high_lsn``).
+
+        Returns ``{ok, partitions_checked, files_checked, errors}``
+        with one error string per violation; never raises."""
+        errors: list[str] = []
+        files_checked = 0
+        for pid in range(self.num_partitions):
+            m = self.manifest(pid)
+            if m is None:
+                continue
+            total_rows = 0
+            for f in m.files:
+                path = os.path.join(self.part_dir(pid), f["path"])
+                if not os.path.exists(path):
+                    errors.append(f"part {pid}: missing data file {f['path']}")
+                    continue
+                files_checked += 1
+                try:
+                    meta_rows = pq.read_metadata(path).num_rows
+                except Exception as e:  # corrupt footer
+                    errors.append(f"part {pid}: unreadable parquet {f['path']}: {e}")
+                    continue
+                if f.get("rows", -1) >= 0 and meta_rows != f["rows"]:
+                    errors.append(
+                        f"part {pid}: {f['path']} has {meta_rows} rows, "
+                        f"manifest says {f['rows']}"
+                    )
+                total_rows += meta_rows
+                if verify_hashes:
+                    h = hashlib.sha256()
+                    with open(path, "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            h.update(chunk)
+                    if h.hexdigest() != f["sha256"]:
+                        errors.append(f"part {pid}: sha mismatch on {f['path']}")
+            if m.row_count >= 0 and total_rows != m.row_count:
+                errors.append(
+                    f"part {pid}: manifest row_count {m.row_count} != "
+                    f"sum of file rows {total_rows}"
+                )
+            lsns = [r["lsn_hi"] for r in m.lineage if "lsn_hi" in r]
+            if any(b < a for a, b in zip(lsns, lsns[1:])):
+                errors.append(f"part {pid}: lineage watermark regressed: {lsns}")
+            if lsns and m.high_lsn < lsns[-1]:
+                errors.append(
+                    f"part {pid}: high_lsn {m.high_lsn} below last lineage {lsns[-1]}"
+                )
+        return {
+            "ok": not errors,
+            "partitions_checked": self.num_partitions,
+            "files_checked": files_checked,
+            "errors": errors,
+        }
+
     def vacuum(self) -> list[str]:
         """Delete files not referenced by the CURRENT generation:
         orphan data files (crashes between data write and manifest
