@@ -129,6 +129,8 @@ def cmd_compact(args) -> int:
 def cmd_rescale(args) -> int:
     """Online partition rescale (split or coalesce by an integer
     factor) — generation-flip protocol, crash-safe / resumable."""
+    ray = _ray_session(args.num_cpus)
+
     from .state.lake import TranscriptLake
 
     lake = TranscriptLake(args.root)
@@ -139,6 +141,7 @@ def cmd_rescale(args) -> int:
     if args.vacuum:
         res["vacuumed_files"] = len(lake.vacuum())
     print(json.dumps(res))
+    ray.shutdown()
     return 0
 
 

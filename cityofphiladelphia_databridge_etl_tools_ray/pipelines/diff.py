@@ -279,14 +279,21 @@ def change_feed(changes, lsn_a: int, lsn_b: int):
             kh.view(np.int64)
         ).words
 
-    words = changes.map_batches(window_only, batch_format="pyarrow").aggregate(
+    agg = changes.map_batches(window_only, batch_format="pyarrow").aggregate(
         AggregateFn(
             init=lambda k: np.zeros((1 << _FEED_BLOOM_LOG2_BITS) >> 6, dtype=np.uint64),
             merge=lambda a, b: np.bitwise_or(a, b),
             accumulate_block=acc_block,
             name="bloom",
         )
-    )["bloom"]
+    )
+    # Dataset.aggregate returns None on an empty dataset: an empty WAL
+    # (or empty window) means an empty feed, via an all-zero bloom
+    words = (
+        agg["bloom"]
+        if agg is not None
+        else np.zeros((1 << _FEED_BLOOM_LOG2_BITS) >> 6, dtype=np.uint64)
+    )
     bloom_ref = ray.put(
         Int64Bloom(
             log2_bits=_FEED_BLOOM_LOG2_BITS, words=np.asarray(words, dtype=np.uint64)

@@ -255,6 +255,19 @@ def _derive_changelog(sf_dir: str):
     return ds.map_batches(to_changes, batch_format="pyarrow")
 
 
+def _slice_wal(sf_dir: str, lo: int, hi: int):
+    """Derived WAL restricted to ``lo < lsn <= hi`` — the shared
+    window slicer for every multi-phase replay query (delta tails,
+    rescale halves, feed windows, index increments)."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.and_(pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi))
+        )
+
+    return _derive_changelog(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def cdc_replay_full(sf_dir: str):
     """Full WAL replay into final table state via the real merge path
     (hash-partition on conv_id → per-partition LWW merge)."""
@@ -367,23 +380,9 @@ def cdc_replay_delta(sf_dir: str):
     root = _scratch_root("delta_lake", sf_dir)
     TranscriptLake.create(root, num_partitions=16)
 
-    def lsn_range(lo: int, hi: int):
-        def f(b: pa.Table) -> pa.Table:
-            keep = pc.and_(
-                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
-            )
-            return b.filter(keep)
-
-        return f
-
-    def slice_wal(lo, hi):
-        return _derive_changelog(sf_dir).map_batches(
-            lsn_range(lo, hi), batch_format="pyarrow"
-        )
-
-    replay_into_lake(root, slice_wal(-1, mid))
-    replay_into_lake(root, slice_wal(mid, q3), mode="delta", compact_after=2)
-    replay_into_lake(root, slice_wal(q3, max_lsn), mode="delta", compact_after=2)
+    replay_into_lake(root, _slice_wal(sf_dir, -1, mid))
+    replay_into_lake(root, _slice_wal(sf_dir, mid, q3), mode="delta", compact_after=2)
+    replay_into_lake(root, _slice_wal(sf_dir, q3, max_lsn), mode="delta", compact_after=2)
 
     lake = TranscriptLake(root)
     return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
@@ -410,24 +409,10 @@ def cdc_replay_rescale(sf_dir: str):
     root = _scratch_root("rescale_lake", sf_dir)
     TranscriptLake.create(root, num_partitions=8)
 
-    def lsn_range(lo: int, hi: int):
-        def f(b: pa.Table) -> pa.Table:
-            keep = pc.and_(
-                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
-            )
-            return b.filter(keep)
-
-        return f
-
-    def slice_wal(lo, hi):
-        return _derive_changelog(sf_dir).map_batches(
-            lsn_range(lo, hi), batch_format="pyarrow"
-        )
-
-    replay_into_lake(root, slice_wal(-1, mid))
+    replay_into_lake(root, _slice_wal(sf_dir, -1, mid))
     lake = TranscriptLake(root)
     lake.split_partitions(2)  # 8 → 16, generation 2
-    replay_into_lake(root, slice_wal(mid, max_lsn))
+    replay_into_lake(root, _slice_wal(sf_dir, mid, max_lsn))
     lake = TranscriptLake(root)
     lake.coalesce_partitions(2)  # 16 → 8, generation 3
     lake.vacuum()
@@ -465,22 +450,8 @@ def cdc_lake_change_feed(sf_dir: str):
     root = _scratch_root("lakefeed", sf_dir)
     TranscriptLake.create(root, num_partitions=16)
 
-    def lsn_range(lo: int, hi: int):
-        def f(b: pa.Table) -> pa.Table:
-            keep = pc.and_(
-                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
-            )
-            return b.filter(keep)
-
-        return f
-
-    def slice_wal(lo, hi):
-        return _derive_changelog(sf_dir).map_batches(
-            lsn_range(lo, hi), batch_format="pyarrow"
-        )
-
-    replay_into_lake(root, slice_wal(-1, mid))
-    replay_into_lake(root, slice_wal(mid, max_lsn), mode="delta", compact_after=0)
+    replay_into_lake(root, _slice_wal(sf_dir, -1, mid))
+    replay_into_lake(root, _slice_wal(sf_dir, mid, max_lsn), mode="delta", compact_after=0)
     return lake_change_feed(root)
 
 
@@ -7205,22 +7176,8 @@ def conversation_dedup_index_incremental(sf_dir: str):
     max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
     mid = max_lsn // 2
 
-    def lsn_range(lo: int, hi: int):
-        def f(b: pa.Table) -> pa.Table:
-            keep = pc.and_(
-                pc.greater(b.column("lsn"), lo), pc.less_equal(b.column("lsn"), hi)
-            )
-            return b.filter(keep)
-
-        return f
-
-    def slice_wal(lo, hi):
-        return _derive_changelog(sf_dir).map_batches(
-            lsn_range(lo, hi), batch_format="pyarrow"
-        )
-
     # phase 1: initial load + index build (partition-parallel)
-    replay_into_lake(lake_dir, slice_wal(-1, mid))
+    replay_into_lake(lake_dir, _slice_wal(sf_dir, -1, mid))
 
     def build_index(batch: pa.Table) -> pa.Table:
         lake = TranscriptLake(lake_dir)
@@ -7243,7 +7200,7 @@ def conversation_dedup_index_incremental(sf_dir: str):
     pids.map_batches(build_index, batch_format="pyarrow").materialize()
 
     # phase 2: tail replay through the normal merge
-    replay_into_lake(lake_dir, slice_wal(mid, max_lsn))
+    replay_into_lake(lake_dir, _slice_wal(sf_dir, mid, max_lsn))
 
     # phase 3: per-partition index update driven by the tail's touched
     # keys (O(|tail|), co-partitioned with the lake by the SAME hash)
@@ -7261,7 +7218,7 @@ def conversation_dedup_index_incremental(sf_dir: str):
     sentinels = ray.data.from_items(
         [{"pid": np.int32(p), "conv_id": ""} for p in range(n_parts)]
     )
-    touched_ds = slice_wal(mid, max_lsn).map_batches(
+    touched_ds = _slice_wal(sf_dir, mid, max_lsn).map_batches(
         touch_partial, batch_format="pyarrow"
     ).union(sentinels)
 

@@ -229,14 +229,10 @@ class TranscriptLake:
         (high_lsn, content sha) so a retried task overwrites the same
         bytes at the same path, and the manifest replace is atomic.
         """
-        pdir = self.part_dir(pid)
-        entry = _write_data_file(pdir, table, high_lsn)
-        sha = entry["sha256"]
-        fname = entry["path"]
+        entry = _write_data_file(self.part_dir(pid), table, high_lsn)
 
         prev = self.manifest(pid)
         lineage = (prev.lineage if prev else []) + ([lineage_record] if lineage_record else [])
-        entry = {"path": fname, "rows": len(table), "sha256": sha}
         if mode == "delta":
             entry["kind"] = "delta"
             files = (prev.files if prev else []) + [entry]
@@ -398,7 +394,8 @@ class TranscriptLake:
             if prev != intent:
                 raise RuntimeError(
                     f"conflicting in-progress rescale {prev} != {intent}; "
-                    "finish or vacuum it first"
+                    "finish it by re-running the original rescale, or "
+                    "discard its progress with abort_rescale() first"
                 )
         else:
             write_json_atomic(intent_path, intent)
@@ -464,21 +461,6 @@ class TranscriptLake:
             for f in m.files
         )
 
-    def _unified_schema(self) -> pa.Schema:
-        """Lake-wide payload schema: the creation schema promoted with
-        every committed partition's schema (column-add / type-widen).
-        Run metadata is excluded: ``op`` always, ``lsn`` unless it is
-        a genuine payload column of this lake."""
-        from ..schema import promote_schemas
-
-        schema = self.base_schema
-        for p in range(self.num_partitions):
-            m = self.manifest(p)
-            if m and m.schema_json:
-                schema = promote_schemas(schema, _schema_from_json(m.schema_json))
-        drop = {"op"} | ({"lsn"} - set(self.base_schema.names))
-        return pa.schema([f for f in schema if f.name not in drop])
-
     def dataset(self, columns: list[str] | None = None):
         """Committed lake state as a streaming ``ray.data.Dataset``
         (reads only manifest-referenced files — orphans invisible).
@@ -493,9 +475,27 @@ class TranscriptLake:
         against the lake-wide unified schema."""
         import ray.data
 
-        files = self.data_files()
-        unified = self._unified_schema()
+        # ONE manifest pass serves file listing, delta detection, and
+        # (for projected reads) the schema checks — manifests may live
+        # on object storage, so repeated scans are round-trips
+        manifests = [
+            m for p in range(self.num_partitions) if (m := self.manifest(p)) is not None
+        ]
+        files = [
+            os.path.join(self.part_dir(m.partition_id), f["path"])
+            for m in manifests
+            for f in m.files
+        ]
+        has_deltas = any(f.get("kind") == "delta" for m in manifests for f in m.files)
         if columns is not None:
+            from ..schema import promote_schemas
+
+            unified = self.base_schema
+            for m in manifests:
+                if m.schema_json:
+                    unified = promote_schemas(unified, _schema_from_json(m.schema_json))
+            drop = {"op"} | ({"lsn"} - set(self.base_schema.names))
+            unified = pa.schema([f for f in unified if f.name not in drop])
             missing = [c for c in columns if c not in unified.names]
             if missing:
                 raise KeyError(f"columns {missing} not in lake schema {unified.names}")
@@ -505,11 +505,16 @@ class TranscriptLake:
         if not files:
             empty = self.base_schema.empty_table()
             return ray.data.from_arrow(conform(empty, target) if target else empty)
-        if not self._has_deltas():
+        if not has_deltas:
             if columns is None:
                 return ray.data.read_parquet(files)
+            # column presence from the recorded manifest schemas — no
+            # per-file footer I/O on the driver
             if all(
-                set(columns) <= set(pq.read_schema(f).names) for f in files
+                m.schema_json
+                and set(columns) <= set(_schema_from_json(m.schema_json).names)
+                for m in manifests
+                if m.files
             ):
                 return ray.data.read_parquet(files, columns=list(columns))
             # some partition predates a requested column: fall through
@@ -691,28 +696,77 @@ class TranscriptLake:
             "errors": errors,
         }
 
+    def _inflight_rescale_generation(self) -> int | None:
+        """Generation of an in-progress (crashed, not yet published)
+        rescale, i.e. an intent file for generation current+1."""
+        path = os.path.join(self.root, f"rescale-g{self.generation + 1}.json")
+        if os.path.exists(path):
+            return self.generation + 1
+        return None
+
+    def abort_rescale(self) -> list[str]:
+        """Discard an in-progress rescale's partial progress: delete
+        its next-generation manifests and intent file (the data files
+        they referenced become orphans for :meth:`vacuum`).  The
+        current generation is untouched — this is always safe, since
+        an unpublished rescale is invisible to readers."""
+        import glob
+
+        gen = self._inflight_rescale_generation()
+        if gen is None:
+            return []
+        removed = []
+        for path in glob.glob(
+            os.path.join(self.root, "part-*", f"manifest-g{gen}.json")
+        ):
+            os.unlink(path)
+            removed.append(path)
+        intent = os.path.join(self.root, f"rescale-g{gen}.json")
+        os.unlink(intent)
+        removed.append(intent)
+        return removed
+
     def vacuum(self) -> list[str]:
         """Delete files not referenced by the CURRENT generation:
         orphan data files (crashes between data write and manifest
         replace), stale previous-generation manifests, and emptied
-        beyond-range partition dirs left by a coalesce."""
+        beyond-range partition dirs left by a coalesce.
+
+        An IN-PROGRESS rescale's next-generation manifests and the
+        data files they reference are preserved (its intent file marks
+        it) so vacuuming between a crash and the resume cannot destroy
+        resumable progress; use :meth:`abort_rescale` to discard it
+        deliberately."""
         import glob
 
         removed = []
         cur_manifest = os.path.basename(self._manifest_path(0))
+        inflight = self._inflight_rescale_generation()
+        keep_manifests = {cur_manifest} | (
+            {f"manifest-g{inflight}.json"} if inflight else set()
+        )
         for pdir in sorted(glob.glob(os.path.join(self.root, "part-*"))):
             try:
                 pid = int(os.path.basename(pdir).split("-", 1)[1])
             except ValueError:
                 continue
-            m = self.manifest(pid) if pid < self.num_partitions else None
-            live = {f["path"] for f in m.files} if m else set()
+            live = set()
+            if pid < self.num_partitions and (m := self.manifest(pid)):
+                live |= {f["path"] for f in m.files}
+            if inflight:
+                nm = PartitionManifest.load(
+                    os.path.join(pdir, f"manifest-g{inflight}.json")
+                )
+                if nm:
+                    live |= {f["path"] for f in nm.files}
             for name in os.listdir(pdir):
                 path = os.path.join(pdir, name)
                 stale_data = (
                     name.startswith("data-") and name.endswith(".parquet") and name not in live
                 )
-                stale_manifest = name.startswith("manifest") and name != cur_manifest
+                stale_manifest = (
+                    name.startswith("manifest") and name not in keep_manifests
+                )
                 if stale_data or stale_manifest or name.endswith(".tmp"):
                     os.unlink(path)
                     removed.append(path)

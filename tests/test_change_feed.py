@@ -279,3 +279,11 @@ def test_lake_change_feed_zero_shuffle_and_equality(ray_session, tmp_path):
     for p in range(8):
         lake.compact_partition(p)
     assert lake_change_feed(root).count() == 0
+
+
+def test_change_feed_empty_wal(ray_session):
+    """An empty change stream yields an empty feed (Dataset.aggregate
+    returns None on empty input — must not crash)."""
+    empty = _mk([])
+    ds = ray.data.from_arrow(empty)
+    assert change_feed(ds, 0, 100).count() == 0

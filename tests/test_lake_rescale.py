@@ -239,3 +239,53 @@ def test_conflicting_inflight_rescale_rejected(ray_session, seeded_lake):
         json.dump({"from": 8, "to": 32, "generation": 2}, f)
     with pytest.raises(RuntimeError, match="conflicting in-progress rescale"):
         TranscriptLake(root).split_partitions(2)
+
+
+def test_vacuum_preserves_inflight_rescale_progress(ray_session, seeded_lake):
+    """Vacuuming between a crashed split and its resume must NOT
+    destroy the next-generation manifests or their data files — the
+    resume still skips already-split parents."""
+    root, _ = seeded_lake
+    before = state_df(root)
+    lake = TranscriptLake(root)
+    # intent on disk + half the parents split = a crashed split
+    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
+        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    for p in range(4):
+        _split_parent(root, p, 2, next_gen=2)
+    child_files = {
+        c: TranscriptLake(root)._manifest_path(c, 2) for c in [0, 8, 1, 9]
+    }
+    removed = lake.vacuum()
+    for path in child_files.values():
+        assert os.path.exists(path), f"vacuum deleted in-flight manifest {path}"
+    assert not any("manifest-g2" in r for r in removed)
+    # resume completes and the already-split parents were not redone
+    res = TranscriptLake(root).split_partitions(2)
+    assert res["num_partitions"] == 16
+    assert_text_equal(state_df(root), before)
+
+
+def test_abort_rescale_discards_progress(ray_session, seeded_lake):
+    root, _ = seeded_lake
+    before = state_df(root)
+    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
+        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    for p in range(3):
+        _split_parent(root, p, 2, next_gen=2)
+    lake = TranscriptLake(root)
+    # a DIFFERENT rescale is rejected while the intent exists
+    with pytest.raises(RuntimeError, match="abort_rescale"):
+        lake.coalesce_partitions(2)
+    removed = lake.abort_rescale()
+    assert any("manifest-g2" in r for r in removed) and any(
+        "rescale-g2" in r for r in removed
+    )
+    lake.vacuum()  # orphaned child data files reclaimed
+    assert_text_equal(state_df(root), before)
+    # and the other rescale can now proceed
+    res = TranscriptLake(root).coalesce_partitions(2)
+    assert res["num_partitions"] == 4
+    assert_text_equal(state_df(root), before)
+    # no-op when nothing is in flight
+    assert TranscriptLake(root).abort_rescale() == []
