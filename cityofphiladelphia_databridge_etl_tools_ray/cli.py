@@ -78,12 +78,10 @@ def cmd_create_lake(args) -> int:
 
 def cmd_replay(args) -> int:
     ray = _ray_session(args.num_cpus)
-    from .pipelines.replay import replay_into_lake
+    from .pipelines.replay import follow_wal, replay_into_lake
     from .sources.changelog import read_change_log
 
-    metrics = replay_into_lake(
-        args.root,
-        read_change_log(args.wal),
+    kwargs = dict(
         rename_map=_parse_rename(args.rename_map),
         invalid_ops=args.invalid_ops,
         dead_letter_dir=args.dead_letter_dir,
@@ -91,6 +89,17 @@ def cmd_replay(args) -> int:
         compact_after=args.compact_after,
         assume_tz=args.assume_tz,
     )
+    if args.follow:
+        metrics = follow_wal(
+            args.root,
+            args.wal,
+            poll_interval=args.poll_interval,
+            max_cycles=args.max_cycles,
+            idle_stop=args.idle_stop,
+            **kwargs,
+        )
+    else:
+        metrics = replay_into_lake(args.root, read_change_log(args.wal), **kwargs)
     print(metrics.to_json(orient="records"))
     ray.shutdown()
     return 0
@@ -392,6 +401,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--assume-tz",
         default=None,
         help="localize naive timestamps as this zone (e.g. US/Eastern), normalized to UTC",
+    )
+    c.add_argument(
+        "--follow",
+        action="store_true",
+        help="continuous tail: poll the WAL dir and replay new segments until idle",
+    )
+    c.add_argument("--poll-interval", type=float, default=2.0, help="seconds between cycles")
+    c.add_argument("--max-cycles", type=int, default=None)
+    c.add_argument(
+        "--idle-stop",
+        type=int,
+        default=3,
+        help="stop after this many consecutive cycles with nothing to apply",
     )
     c.set_defaults(fn=cmd_replay)
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -671,7 +672,12 @@ def validate_replay_sample(
     # take_batch alone (no .limit): Ray's limit-pushdown rewrite drops
     # children from a ≥3-way Union plan (plan_union_op asserts ≥2) —
     # take_batch already stops after `sample` rows with backpressure
-    head = changes_ds.take_batch(sample, batch_format="pyarrow")
+    try:
+        head = changes_ds.take_batch(sample, batch_format="pyarrow")
+    except ValueError:
+        # empty stream (e.g. an idle follow_wal cycle, or a fully
+        # watermark-pruned WAL): nothing to validate, replay no-ops
+        return
     missing = [c for c in ("op", "lsn", *keys) if c not in head.column_names]
     if missing:
         raise ValueError(f"replay sample missing required columns: {missing}")
@@ -869,3 +875,75 @@ def _truncate_unseen_partitions(lake, *, touched: set, snapshot_lsn: int):
 
     tables = ray.get([truncate.remote(p) for p in candidates])
     return pa.concat_tables(tables).to_pandas()
+
+
+def follow_wal(
+    lake_root: str,
+    wal_dir: str,
+    *,
+    poll_interval: float = 2.0,
+    max_cycles: int | None = None,
+    idle_stop: int | None = 3,
+    sleep=None,
+    mode: str = "delta",
+    **replay_kwargs,
+):
+    """Continuous WAL tail — the binlog ``follow`` loop (the always-on
+    version of the reference's cron-scheduled extract→upsert jobs):
+    poll the WAL directory, replay everything above the lake's MIN
+    committed watermark, record a per-cycle lag row, repeat.
+
+    Cost of a quiet cycle is one directory listing: segment filenames
+    encode their lsn range, so fully-applied files are pruned before
+    any read (sources/changelog.py), and per-partition watermarks make
+    redelivery of the boundary segment a no-op (exactly-once).  A
+    producer may keep appending segments while the loop runs — each
+    cycle picks up whatever is new.
+
+    Stops after ``idle_stop`` consecutive cycles that applied nothing
+    (``None`` = run forever) or after ``max_cycles`` total.  ``sleep``
+    is a seam for tests (it doubles as the producer hook: tests append
+    WAL segments from it).  Returns one metrics row per cycle:
+    (cycle, events_applied, cycle_sec, events_per_sec, min_watermark,
+    max_watermark, watermark_lag, idle)."""
+    import time as _time
+
+    from ..sources.changelog import read_change_log
+    from ..state.lake import TranscriptLake
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    lake = TranscriptLake(lake_root)
+    cycles = []
+    idle = 0
+    c = 0
+    while max_cycles is None or c < max_cycles:
+        wm = lake.min_watermark()
+        t0 = time.perf_counter()
+        m = replay_into_lake(
+            lake_root,
+            read_change_log(wal_dir, min_lsn_exclusive=wm),
+            mode=mode,
+            **replay_kwargs,
+        )
+        dt = time.perf_counter() - t0
+        applied = int(m["events_applied"].sum()) if len(m) else 0
+        wms = lake.watermarks().values()
+        lo, hi = min(wms), max(wms)
+        cycles.append(
+            {
+                "cycle": c,
+                "events_applied": applied,
+                "cycle_sec": round(dt, 4),
+                "events_per_sec": round(applied / dt) if dt > 0 else 0,
+                "min_watermark": lo,
+                "max_watermark": hi,
+                "watermark_lag": hi - lo,
+                "idle": applied == 0,
+            }
+        )
+        c += 1
+        idle = idle + 1 if applied == 0 else 0
+        if idle_stop is not None and idle >= idle_stop:
+            break
+        do_sleep(poll_interval)
+    return pd.DataFrame(cycles)

@@ -1,0 +1,104 @@
+"""Continuous WAL tail (pipelines/replay.py follow_wal): a producer
+keeps appending segments while the loop runs; the tail must converge
+to the sequential oracle exactly-once, report per-cycle lag, skip
+fully-applied segments by filename, and stop when idle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+    apply_changes_reference,
+    generate_base,
+    generate_changes,
+    write_change_log,
+)
+from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import follow_wal
+from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+
+def _seed(tmp_path, n_convs=50):
+    base = generate_base(n_convs=n_convs, max_turns=10)
+    root = str(tmp_path / "lake")
+    lake = TranscriptLake.create(root, num_partitions=8)
+    pids = partition_ids(base.column("conv_id"), 8)
+    for p in range(8):
+        lake.commit_partition(p, base.filter(pa.array(pids == p)), high_lsn=-1)
+    return root, base
+
+
+def test_follow_converges_with_live_producer(ray_session, tmp_path):
+    root, base = _seed(tmp_path)
+    changes = generate_changes(3000, n_convs=60, delete_frac=0.15, dup_frac=0.05)
+    lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+    wal = str(tmp_path / "wal")
+    # chunk 0 is on disk before the loop starts; the producer appends
+    # one chunk per poll from the sleep seam
+    bounds = [(-1, 1000), (1000, 2000), (2000, 2999)]
+    write_change_log(
+        changes.filter(pa.array((lsn > bounds[0][0]) & (lsn <= bounds[0][1]))),
+        wal, n_files=2,
+    )
+    pending = list(bounds[1:])
+
+    def producer(_interval):
+        if pending:
+            lo, hi = pending.pop(0)
+            write_change_log(
+                changes.filter(pa.array((lsn > lo) & (lsn <= hi))),
+                wal, n_files=2,
+            )
+
+    m = follow_wal(root, wal, sleep=producer, idle_stop=2, poll_interval=0)
+    # all three chunks applied, then two idle cycles
+    assert m["events_applied"].sum() > 0
+    assert list(m["idle"])[-2:] == [True, True]
+    assert m["max_watermark"].iloc[-1] == 2999
+    # watermark_lag reflects partitions the last chunk didn't touch
+    # (watermarks advance per partition) — it's the skew/lag indicator,
+    # not an error; exactly-once holds regardless (idle cycles above)
+    assert m["watermark_lag"].iloc[-1] >= 0
+
+    exp = apply_changes_reference(base, changes)
+    got = (
+        TranscriptLake(root)
+        .read_all()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
+def test_follow_idle_cycles_are_cheap_and_exactly_once(ray_session, tmp_path):
+    root, base = _seed(tmp_path)
+    changes = generate_changes(1500, n_convs=50, delete_frac=0.1)
+    wal = str(tmp_path / "wal")
+    write_change_log(changes, wal, n_files=3)
+
+    m1 = follow_wal(root, wal, sleep=lambda _: None, idle_stop=1, poll_interval=0)
+    state1 = TranscriptLake(root).read_all().sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    # a second follow over the same WAL applies nothing (watermark
+    # no-op) and leaves the state byte-identical
+    m2 = follow_wal(root, wal, sleep=lambda _: None, idle_stop=1, poll_interval=0)
+    assert m2["events_applied"].sum() == 0
+    assert bool(m2["idle"].all())
+    state2 = TranscriptLake(root).read_all().sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert state1.equals(state2)
+
+
+def test_follow_max_cycles_bound(ray_session, tmp_path):
+    root, _ = _seed(tmp_path)
+    wal = str(tmp_path / "wal_empty")
+    import os
+
+    os.makedirs(wal, exist_ok=True)
+    m = follow_wal(root, wal, sleep=lambda _: None, idle_stop=None, max_cycles=4, poll_interval=0)
+    assert len(m) == 4 and bool(m["idle"].all())
