@@ -886,6 +886,7 @@ def follow_wal(
     idle_stop: int | None = 3,
     sleep=None,
     mode: str = "delta",
+    advance_watermarks: bool = True,
     **replay_kwargs,
 ):
     """Continuous WAL tail — the binlog ``follow`` loop (the always-on
@@ -927,6 +928,19 @@ def follow_wal(
         )
         dt = time.perf_counter() - t0
         applied = int(m["events_applied"].sum()) if len(m) else 0
+        if applied and advance_watermarks:
+            # watermark heartbeat: the cycle consumed the WAL up to the
+            # highest lsn any partition applied, so partitions that
+            # received nothing have still seen everything below it —
+            # stamp them forward (metadata-only) so a quiet partition
+            # cannot pin min_watermark and force every later cycle to
+            # re-decode already-applied segments.  Sound under the WAL
+            # contract the whole engine assumes: segments deliver in
+            # lsn order (no late arrivals below a delivered range).
+            high = int(m["watermark_after"].max())
+            for pid, wm in lake.watermarks().items():
+                if wm < high:
+                    lake.stamp_watermark(pid, high)
         wms = lake.watermarks().values()
         lo, hi = min(wms), max(wms)
         cycles.append(

@@ -251,6 +251,33 @@ class TranscriptLake:
         m.save(self._manifest_path(pid))
         return m
 
+    def stamp_watermark(self, pid: int, lsn: int) -> PartitionManifest | None:
+        """Advance a partition's watermark WITHOUT touching its data —
+        the CDC heartbeat (Debezium's low-watermark advancement): after
+        a replay consumed the WAL up to ``lsn``, a partition that
+        received no events has still SEEN everything ≤ ``lsn``, so its
+        watermark may advance.  Without this, one quiet partition pins
+        ``min_watermark`` forever and every tail cycle re-decodes all
+        segments above it.  No-op if the watermark is already ≥ lsn."""
+        m = self.manifest(pid)
+        if m is None:
+            m = PartitionManifest(
+                partition_id=pid,
+                high_lsn=lsn,
+                files=[],
+                row_count=0,
+                schema_json=_schema_to_json(self.base_schema),
+                lineage=[{"op": "stamp", "lsn_hi": lsn}],
+            )
+            m.save(self._manifest_path(pid))
+            return m
+        if m.high_lsn >= lsn:
+            return m
+        m.high_lsn = lsn
+        m.lineage = (m.lineage + [{"op": "stamp", "lsn_hi": lsn}])[-64:]
+        m.save(self._manifest_path(pid))
+        return m
+
     def compact_partition(self, pid: int) -> PartitionManifest | None:
         """Fold all runs into one base run (same watermark).  The
         write-aside + manifest-swap makes it safe to run any time; the
