@@ -130,8 +130,11 @@ def cmd_compact(args) -> int:
     from .state.lake import TranscriptLake
 
     lake = TranscriptLake(args.root)
-    done = [p for p in range(lake.num_partitions) if lake.run_count(p) > 1 and lake.compact_partition(p)]
-    print(json.dumps({"compacted_partitions": done}))
+    fold = (
+        lake.compact_partition_adaptive if args.policy == "tiered" else lake.compact_partition
+    )
+    done = [p for p in range(lake.num_partitions) if lake.run_count(p) > 1 and fold(p)]
+    print(json.dumps({"compacted_partitions": done, "policy": args.policy}))
     return 0
 
 
@@ -419,6 +422,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="fold delta runs into base runs")
     c.add_argument("root")
+    c.add_argument(
+        "--policy",
+        choices=["full", "tiered"],
+        default="full",
+        help="full = rewrite each partition; tiered = fold small deltas, rewrite base only when warranted",
+    )
     c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser(
