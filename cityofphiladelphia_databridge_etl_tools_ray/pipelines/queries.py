@@ -455,6 +455,44 @@ def cdc_lake_change_feed(sf_dir: str):
     return lake_change_feed(root)
 
 
+def cdc_replay_follow(sf_dir: str):
+    """Continuous-tail replay (``follow_wal`` / ``replay --follow``)
+    driven through the driver gate: the WAL arrives in three lsn
+    chunks APPENDED BY A PRODUCER from the poll hook while the loop
+    runs — each cycle replays only segments above the lake's min
+    watermark (filename-lsn pruning), and the watermark heartbeat
+    stamps untouched partitions to the consumed high-lsn so the tail
+    converges to zero lag.  Final state must equal the one-shot LWW
+    replay (the oracle): the loop loses nothing and applies nothing
+    twice across chunk boundaries."""
+    from ..datagen import write_change_log
+    from ..state.lake import TranscriptLake
+    from .replay import follow_wal
+
+    t = _interchange_changes(sf_dir)
+    lsn = _np(t.column("lsn"))
+    max_lsn = int(lsn.max())
+    b1, b2 = max_lsn // 3, (2 * max_lsn) // 3
+
+    root = _scratch_root("follow_lake", sf_dir)
+    TranscriptLake.create(root, num_partitions=16)
+    wal_dir = _scratch_root("follow_wal", sf_dir)
+    write_change_log(t.filter(pa.array(lsn <= b1)), wal_dir, n_files=4)
+    pending = [(b1, b2), (b2, max_lsn)]
+
+    def producer(_interval):
+        if pending:
+            lo, hi = pending.pop(0)
+            write_change_log(
+                t.filter(pa.array((lsn > lo) & (lsn <= hi))), wal_dir, n_files=4
+            )
+
+    follow_wal(root, wal_dir, sleep=producer, idle_stop=2, poll_interval=0)
+    lake = TranscriptLake(root)
+    assert lake.metrics()["watermark_lag"] == 0  # heartbeat converged
+    return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
+
+
 def cdc_replay_schema_evolution(sf_dir: str):
     """Schema evolution end-to-end through the lake merge path (the
     north rule's column-add / type-widen promotion at the merge stage;
@@ -9400,6 +9438,7 @@ QUERIES = {
     "cdc_replay_rescale": cdc_replay_rescale,
     "cdc_change_feed": cdc_change_feed,
     "cdc_lake_change_feed": cdc_lake_change_feed,
+    "cdc_replay_follow": cdc_replay_follow,
     "cdc_replay_schema_evolution": cdc_replay_schema_evolution,
     "cdc_replay_generic_pk": cdc_replay_generic_pk,
     "cdc_replay_from_csv": cdc_replay_from_csv,
@@ -9676,6 +9715,15 @@ WHERE sa.conv_id IS NULL OR sb.conv_id IS NULL
    OR sa.role IS DISTINCT FROM sb.role
    OR sa.text IS DISTINCT FROM sb.text
    OR sa.ts IS DISTINCT FROM sb.ts
+""",
+    # continuous tail over a producer-appended WAL == one-shot replay
+    "cdc_replay_follow": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
     # lake-native feed: deltas-vs-base == state(max//2) vs state(max)
     "cdc_lake_change_feed": _CHANGES_CTE
