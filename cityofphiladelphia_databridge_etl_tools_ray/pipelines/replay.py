@@ -762,6 +762,17 @@ def replay_into_lake(
     from ..state.lake import TranscriptLake
 
     lake = TranscriptLake(lake_root)
+    if (gen := lake._inflight_rescale_generation()) is not None:
+        # writing during a rescale can publish stale children: a split
+        # child snapshots its parent at watermark W; a commit advancing
+        # the parent past W lands only in the CURRENT generation's
+        # files, and the flip would silently drop it.  (The rescale
+        # also re-verifies watermarks before flipping — this guard
+        # gives writers the clear error instead of racing it.)
+        raise RuntimeError(
+            f"lake {lake_root} has a rescale to generation {gen} in progress; "
+            "finish it (re-run the rescale) or lake.abort_rescale() before replaying"
+        )
     keys = lake.primary_key
     if validate_sample:
         # fail-fast head-N gate before any shuffle work; op-enum check

@@ -453,6 +453,14 @@ class TranscriptLake:
         else:
             moved = sum(worker(root, u, factor, next_gen).get("rows", 0) for u in units)
 
+        # pre-flip verification: if any parent advanced between its
+        # rewrite and now (a writer raced the replay-side guard), its
+        # next-generation output is stale — the resume check inside the
+        # worker detects the watermark mismatch and re-processes; in
+        # the normal case this pass is manifest reads only
+        for u in units:
+            worker(root, u, factor, next_gen)
+
         # publish: the ONE atomic metadata swap that makes the new
         # layout visible; everything before this line is invisible to
         # readers and safely re-runnable

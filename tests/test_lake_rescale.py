@@ -289,3 +289,45 @@ def test_abort_rescale_discards_progress(ray_session, seeded_lake):
     assert_text_equal(state_df(root), before)
     # no-op when nothing is in flight
     assert TranscriptLake(root).abort_rescale() == []
+
+
+def test_replay_rejected_during_inflight_rescale(ray_session, seeded_lake, tmp_path):
+    """Writers must not race a rescale (a commit landing after a
+    parent was split would be dropped by the flip): replay raises a
+    clear error while the intent exists and works after abort."""
+    root, _ = seeded_lake
+    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
+        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    changes = generate_changes(500, n_convs=30)
+    write_change_log(changes, str(tmp_path / "wal"), n_files=2)
+    with pytest.raises(RuntimeError, match="rescale to generation 2 in progress"):
+        replay_into_lake(root, read_change_log(str(tmp_path / "wal")))
+    TranscriptLake(root).abort_rescale()
+    replay_into_lake(root, read_change_log(str(tmp_path / "wal")))  # now fine
+
+
+def test_split_reverifies_stale_children_before_flip(ray_session, seeded_lake):
+    """Children written from an older parent snapshot (watermark
+    mismatch) are re-split before the metadata flip — the pre-flip
+    verification pass."""
+    root, base = seeded_lake
+    # stale children of parent 0 at watermark -1
+    for p in range(8):
+        _split_parent(root, p, 2, next_gen=2)
+    # parent 0 advances afterwards (simulating a writer that raced)
+    lake = TranscriptLake(root)
+    pids = partition_ids(base.column("conv_id"), 8)
+    part0 = base.filter(pa.array(pids == 0))
+    new_row = part0.slice(0, 1).set_column(
+        part0.schema.get_field_index("text"), "text", pa.array(["RACED"])
+    )
+    lake.commit_partition(0, pa.concat_tables([part0.slice(1), new_row]), high_lsn=99)
+
+    TranscriptLake(root).split_partitions(2)
+    fresh = TranscriptLake(root)
+    # children of parent 0 carry the advanced watermark and the new row
+    assert fresh.watermark(0) == 99 and fresh.watermark(8) == 99
+    texts = pa.concat_tables(
+        [fresh.read_partition(0), fresh.read_partition(8)]
+    ).column("text").to_pylist()
+    assert "RACED" in texts
