@@ -148,8 +148,10 @@ def cmd_rescale(args) -> int:
     lake = TranscriptLake(args.root)
     if args.mode == "split":
         res = lake.split_partitions(args.factor)
-    else:
+    elif args.mode == "coalesce":
         res = lake.coalesce_partitions(args.factor)
+    else:  # abort: discard an in-progress rescale's partial progress
+        res = {"aborted_files": len(lake.abort_rescale())}
     if args.vacuum:
         res["vacuumed_files"] = len(lake.vacuum())
     print(json.dumps(res))
@@ -434,7 +436,7 @@ def build_parser() -> argparse.ArgumentParser:
         "rescale", help="online partition split/coalesce (generation flip, resumable)"
     )
     c.add_argument("root")
-    c.add_argument("mode", choices=["split", "coalesce"])
+    c.add_argument("mode", choices=["split", "coalesce", "abort"])
     c.add_argument("--factor", type=int, default=2)
     c.add_argument("--vacuum", action="store_true", help="reclaim stale generations after")
     c.set_defaults(fn=cmd_rescale)

@@ -151,3 +151,30 @@ def test_legacy_lake_json_defaults_to_transcript_pk(tmp_path):
     meta.pop("primary_key")
     json.dump(meta, open(os.path.join(root, "lake.json"), "w"))
     assert TranscriptLake(root).primary_key == ["conv_id", "turn_idx"]
+
+
+def test_generic_pk_rescale_mid_replay(ray_session, lake_root):
+    """Online rescale on an int64-PK lake: the split hashes
+    primary_key[0] (item_id), so rescaling mid-replay must preserve
+    routing, state and exactly-once just like the transcripts lake."""
+    import ray.data
+
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import (
+        partition_ids,
+    )
+
+    t = _changes(n=600)
+    lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+    replay_into_lake(lake_root, ray.data.from_arrow(t.filter(pa.array(lsn <= 300))))
+    lake = TranscriptLake(lake_root)
+    lake.split_partitions(2)  # 8 -> 16
+    replay_into_lake(lake_root, ray.data.from_arrow(t.filter(pa.array(lsn > 300))))
+    assert _lake_state(lake_root) == _reference_state(t)
+    fresh = TranscriptLake(lake_root)
+    for p in range(16):
+        part = fresh.read_partition(p)
+        if len(part):
+            assert (partition_ids(part.column("item_id"), 16) == p).all()
+    fresh.coalesce_partitions(4)  # 16 -> 4
+    assert _lake_state(lake_root) == _reference_state(t)
+    assert fresh.fsck(verify_hashes=False)["ok"]
