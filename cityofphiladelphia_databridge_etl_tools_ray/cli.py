@@ -159,6 +159,43 @@ def cmd_rescale(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot lifecycle: record / list / drop lake snapshots
+    (metadata-only, Iceberg-style; time-travel reads via
+    ``publish --snapshot`` or ``TranscriptLake.dataset(snapshot=)``)."""
+    from .state.lake import TranscriptLake
+
+    lake = TranscriptLake(args.root)
+    if args.action == "create":
+        print(json.dumps({"snapshot_id": lake.snapshot(note=args.note or "")}))
+    elif args.action == "list":
+        print(json.dumps(lake.snapshots()))
+    else:  # drop
+        if args.id is None:
+            print("snapshot drop requires --id", file=sys.stderr)
+            return 2
+        lake.drop_snapshot(args.id)
+        print(json.dumps({"dropped": args.id}))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """Point lookup by primary-key-prefix values: reads only the
+    owning hash partitions (the reference's AGO per-row PK lookup,
+    lake-native)."""
+    ray = _ray_session(args.num_cpus)
+
+    from .state.lake import TranscriptLake
+
+    lake = TranscriptLake(args.root)
+    cols = args.columns.split(",") if args.columns else None
+    ds = lake.lookup(args.values, columns=cols)
+    df = ds.to_pandas()
+    print(df.to_csv(index=False))
+    ray.shutdown()
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Integrity audit: manifest-referenced files exist, hashes and
     row counts match, lineage watermarks are monotonic."""
@@ -218,7 +255,7 @@ def cmd_publish(args) -> int:
     else:
         from .state.lake import TranscriptLake
 
-        ds = TranscriptLake(args.root).dataset()
+        ds = TranscriptLake(args.root).dataset(snapshot=args.snapshot)
     manifest = write_csv_gzip(ds, args.out, level=args.gzip_level)
     print(
         json.dumps(
@@ -462,6 +499,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("root")
     c.set_defaults(fn=cmd_vacuum)
 
+    c = sub.add_parser("snapshot", help="record / list / drop time-travel snapshots")
+    c.add_argument("action", choices=["create", "list", "drop"])
+    c.add_argument("root")
+    c.add_argument("--note", default="", help="free-text note stored with the snapshot")
+    c.add_argument("--id", type=int, default=None, help="snapshot id (for drop)")
+    c.set_defaults(fn=cmd_snapshot)
+
+    c = sub.add_parser("lookup", help="point lookup by primary-key values (routed read)")
+    c.add_argument("root")
+    c.add_argument("values", nargs="+", help="primary_key[0] values to fetch")
+    c.add_argument("--columns", default=None, help="comma-separated output columns")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_lookup)
+
     c = sub.add_parser("view-create", help="initialise an incremental materialized view")
     c.add_argument("root")
     c.add_argument("--partitions", type=int, default=16)
@@ -479,6 +530,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="input tables for --query")
     c.add_argument("--out", required=True)
     c.add_argument("--gzip-level", type=int, default=7)
+    c.add_argument(
+        "--snapshot", type=int, default=None, help="publish a time-travel snapshot of the lake"
+    )
     c.set_defaults(fn=cmd_publish)
 
     c = sub.add_parser("diff", help="keyed snapshot diff of two parquet tables (recorddiff)")

@@ -11747,3 +11747,136 @@ ORACLE_SQL["cdc_replay_exactly_once_overlap"] = _CHANGES_CTE + """
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
+
+
+# --------------------------------------------------------------------
+# lake pruned reads + snapshot time travel (round-3 session batch)
+# --------------------------------------------------------------------
+
+
+def cdc_lake_point_lookup(sf_dir: str):
+    """Point lookup on the replayed lake: hash-route the requested
+    conv_ids to their owning partitions and read ONLY those — the
+    reference's AGO per-row PK remote lookup (ago/ago.py:1063-1086)
+    served lake-native by the same stable routing that placed the
+    rows.
+
+    Scale shape: the lookup reads ≤ |keys| of N partitions
+    (``lookup_plan``; pinned in tests) and streams one vectorized
+    ``is_in`` membership filter — cost is O(owning partitions),
+    independent of lake size."""
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    root = _scratch_root("lookup_lake", sf_dir)
+    TranscriptLake.create(root, num_partitions=32)
+    replay_into_lake(root, _derive_changelog(sf_dir))
+    lake = TranscriptLake(root)
+    keys = [f"conv-{u}" for u in (1, 2, 3, 5, 8, 13, 21)]
+    return lake.lookup(keys, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+
+
+def cdc_lake_pruned_scan(sf_dir: str):
+    """Zone-map range scan over the replayed lake state: per-file
+    [min, max] column stats recorded at commit time prune whole
+    partitions before any data I/O; a vectorized residual filter
+    finishes the window ``ts ∈ [mn + 2/5·span, mn + 3/5·span]``
+    (bounds in exact integer epoch-µs arithmetic so the oracle can
+    reproduce them bit-for-bit).
+
+    Pruning is partition-level — the correct unit under LWW
+    merge-on-read (a run inside the window can be overwritten by one
+    outside it, so runs never prune individually; see
+    ``TranscriptLake.scan_plan``).  On this uniform WAL every
+    partition spans the full ts range, so nothing prunes here —
+    value-correlated layouts (time-ordered tails, Z-order) do; the
+    pruning itself is pinned in tests with a correlated lake."""
+    root = _scratch_root("scan_lake", sf_dir)
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    TranscriptLake.create(root, num_partitions=16)
+    replay_into_lake(root, _derive_changelog(sf_dir))
+    lake = TranscriptLake(root)
+
+    def mm(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {"mn": pa.array([pc.min(c).as_py()]), "mx": pa.array([pc.max(c).as_py()])}
+        )
+
+    part = (
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(mm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mn, mx = int(part["mn"].min()), int(part["mx"].max())
+    lo = mn + (mx - mn) * 2 // 5
+    hi = mn + (mx - mn) * 3 // 5
+    return lake.scan("ts", lo, hi, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+
+
+def cdc_time_travel_snapshot(sf_dir: str):
+    """Iceberg-style snapshot time travel through the real lake path:
+    replay the first half of the WAL, record a snapshot (metadata-only
+    copy of every partition manifest), replay the rest (copy-on-write
+    rewrites every touched partition), then VACUUM — and read the lake
+    AS OF the snapshot.  The read must equal the LWW state at the cut
+    exactly, proving (a) vacuum retains snapshot-referenced data files
+    while still reclaiming true orphans and (b) later commits cannot
+    disturb a recorded snapshot.  The WAL-replay twin is
+    [cdc_replay_asof] (recompute from the log); this is the O(metadata)
+    stored-version read a 10^10-event lake actually serves audits
+    from."""
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+    root = _scratch_root("snaptt_lake", sf_dir)
+    TranscriptLake.create(root, num_partitions=16)
+    replay_into_lake(root, _slice_wal(sf_dir, -1, mid))
+    lake = TranscriptLake(root)
+    sid = lake.snapshot(note="asof-mid")
+    replay_into_lake(root, _slice_wal(sf_dir, mid, max_lsn))
+    lake.vacuum()
+    return lake.dataset(
+        columns=["conv_id", "turn_idx", "role", "text", "ts"], snapshot=sid
+    )
+
+
+QUERIES["cdc_lake_point_lookup"] = cdc_lake_point_lookup
+QUERIES["cdc_lake_pruned_scan"] = cdc_lake_pruned_scan
+QUERIES["cdc_time_travel_snapshot"] = cdc_time_travel_snapshot
+
+ORACLE_SQL["cdc_lake_point_lookup"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+  AND conv_id IN ('conv-1','conv-2','conv-3','conv-5','conv-8','conv-13','conv-21')
+"""
+
+ORACLE_SQL["cdc_lake_pruned_scan"] = _CHANGES_CTE + """
+, b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked, b
+WHERE rn = 1 AND op <> 'delete'
+  AND epoch_us(ts) >= mn + (mx - mn) * 2 // 5
+  AND epoch_us(ts) <= mn + (mx - mn) * 3 // 5
+"""
+
+ORACLE_SQL["cdc_time_travel_snapshot"] = _CHANGES_CTE + """
+, cut AS (SELECT max(event_id) // 2 AS cut_lsn FROM events),
+ranked AS (
+  SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes c WHERE c.lsn <= (SELECT cut_lsn FROM cut)
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""

@@ -27,17 +27,69 @@ import os
 import tempfile
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA, conform
 from .manifest import PartitionManifest, write_json_atomic
 
 
+def _column_stats(table: pa.Table) -> dict:
+    """Zone-map statistics for a data file: ``{col: [min, max]}`` for
+    every non-all-null numeric / temporal column (timestamps and dates
+    recorded as epoch int64 so the JSON stays portable).  Computed on
+    the already-in-memory table at commit time — one vectorized
+    ``min_max`` per column, no extra I/O.  Strings/binary are skipped:
+    hash partitioning scatters key strings, so their ranges never
+    prune, and truncation-safe string bounds add complexity for
+    nothing."""
+    stats: dict[str, list] = {}
+    if len(table) == 0:
+        return stats
+    for i, f in enumerate(table.schema):
+        t = f.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+        ):
+            continue
+        col = table.column(i)
+        if col.null_count == len(table):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"], mm["max"]
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            lo, hi = lo.cast(pa.int64()), hi.cast(pa.int64())
+        stats[f.name] = [lo.as_py(), hi.as_py()]
+    return stats
+
+
+def _stat_bound(v):
+    """Normalize a scan bound to the zone-map domain: temporal values
+    compare as epoch int64 (mirroring :func:`_column_stats`), numerics
+    pass through."""
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, np.datetime64):
+        return int(v.astype("datetime64[us]").astype(np.int64))
+    if isinstance(v, datetime.datetime):
+        s = pa.scalar(v, pa.timestamp("us"))
+        return s.cast(pa.int64()).as_py()
+    if isinstance(v, datetime.date):
+        return pa.scalar(v, pa.date32()).cast(pa.int64()).as_py()
+    return v
+
+
 def _write_data_file(pdir: str, table: pa.Table, high_lsn: int) -> dict:
     """Content-named Parquet data file write (tmp → fsync →
     ``os.replace``): idempotent under retry because the name derives
     from (high_lsn, content sha) — a re-run lands on the same path
-    with the same bytes.  Returns the manifest file entry."""
+    with the same bytes.  Returns the manifest file entry (with
+    zone-map column stats for scan pruning)."""
     os.makedirs(pdir, exist_ok=True)
     buf = io.BytesIO()
     pq.write_table(table, buf, compression="zstd")
@@ -52,7 +104,7 @@ def _write_data_file(pdir: str, table: pa.Table, high_lsn: int) -> dict:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, fpath)
-    return {"path": fname, "rows": len(table), "sha256": sha}
+    return {"path": fname, "rows": len(table), "sha256": sha, "stats": _column_stats(table)}
 
 
 def _schema_to_json(schema: pa.Schema) -> str:
@@ -137,7 +189,12 @@ class TranscriptLake:
         return min(self.watermarks().values())
 
     def read_partition(
-        self, pid: int, *, resolve: bool = True, columns: list[str] | None = None
+        self,
+        pid: int,
+        *,
+        resolve: bool = True,
+        columns: list[str] | None = None,
+        manifest: PartitionManifest | None = None,
     ) -> pa.Table:
         """Partition state.  With delta runs present, ``resolve=True``
         applies the LWW merge across runs (newest lsn wins, tombstones
@@ -151,8 +208,13 @@ class TranscriptLake:
         columns are dropped again before returning).  A requested
         column this partition predates (schema evolution) is absent
         from the result; :meth:`dataset` null-fills it against the
-        lake-wide unified schema."""
-        m = self.manifest(pid)
+        lake-wide unified schema.
+
+        ``manifest`` overrides the committed pointer — time-travel
+        reads pass a snapshot's recorded manifest here (the files it
+        references are retained by the snapshot-aware :meth:`vacuum`).
+        """
+        m = manifest if manifest is not None else self.manifest(pid)
         if m is None or not m.files:
             empty = self.base_schema.empty_table()
             if columns is not None:
@@ -496,7 +558,13 @@ class TranscriptLake:
             for f in m.files
         )
 
-    def dataset(self, columns: list[str] | None = None):
+    def dataset(
+        self,
+        columns: list[str] | None = None,
+        *,
+        snapshot: int | None = None,
+        pids: list[int] | None = None,
+    ):
         """Committed lake state as a streaming ``ray.data.Dataset``
         (reads only manifest-referenced files — orphans invisible).
 
@@ -507,14 +575,38 @@ class TranscriptLake:
         (partition-parallel, no shuffle), reading only ``columns``
         plus the key/op/lsn columns resolution needs; partitions that
         predate a requested column (schema evolution) null-fill it
-        against the lake-wide unified schema."""
+        against the lake-wide unified schema.
+
+        ``snapshot`` time-travels: reads the partition manifests
+        recorded by :meth:`snapshot` instead of the committed pointers
+        (snapshot manifests are metadata-small and ship to the
+        resolution tasks by closure; a deployment with ≥10^5
+        partitions would shard them).  ``pids`` restricts the read to
+        a partition subset — the pruning hook :meth:`scan` and
+        :meth:`lookup` use."""
         import ray.data
 
         # ONE manifest pass serves file listing, delta detection, and
         # (for projected reads) the schema checks — manifests may live
         # on object storage, so repeated scans are round-trips
+        if snapshot is not None:
+            snap = self._load_snapshot(snapshot)
+            snap_manifests = {
+                int(p): PartitionManifest.from_json(mj)
+                for p, mj in snap["manifests"].items()
+            }
+            all_pids = sorted(snap_manifests)
+        else:
+            snap_manifests = None
+            all_pids = list(range(self.num_partitions))
+        if pids is not None:
+            want = set(pids)
+            all_pids = [p for p in all_pids if p in want]
         manifests = [
-            m for p in range(self.num_partitions) if (m := self.manifest(p)) is not None
+            m
+            for p in all_pids
+            if (m := (snap_manifests[p] if snap_manifests is not None else self.manifest(p)))
+            is not None
         ]
         files = [
             os.path.join(self.part_dir(m.partition_id), f["path"])
@@ -556,11 +648,24 @@ class TranscriptLake:
             # to the per-partition path, which conforms (null-fills)
 
         root = self.root
+        snap_json = (
+            None
+            if snap_manifests is None
+            else {p: m.to_json() for p, m in snap_manifests.items()}
+        )
 
         def resolve(batch: pa.Table) -> pa.Table:
             lake = TranscriptLake(root)
             out = [
-                lake.read_partition(int(p), columns=columns)
+                lake.read_partition(
+                    int(p),
+                    columns=columns,
+                    manifest=(
+                        PartitionManifest.from_json(snap_json[int(p)])
+                        if snap_json is not None
+                        else None
+                    ),
+                )
                 for p in batch.column("pid").to_pylist()
             ]
             out = [t for t in out if len(t)]
@@ -571,11 +676,170 @@ class TranscriptLake:
 
         # one block per partition so resolution fans out across tasks
         # (from_arrow would yield a single block and run serially)
-        pids = ray.data.from_items(
-            [{"pid": p} for p in range(self.num_partitions)],
-            override_num_blocks=self.num_partitions,
+        pid_ds = ray.data.from_items(
+            [{"pid": p} for p in all_pids],
+            override_num_blocks=max(1, len(all_pids)),
         )
-        return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+        return pid_ds.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+
+    # -- pruned reads (zone maps + hash routing) -----------------------
+    def scan_plan(self, col: str, lo, hi) -> list[int]:
+        """Partition ids a range scan ``lo <= col <= hi`` must read,
+        decided from the zone-map stats recorded at commit time
+        (:func:`_column_stats`): a partition is skipped only when EVERY
+        run's [min, max] for ``col`` misses the window.
+
+        Partition-level (never run-level) pruning is the correct unit
+        under LWW merge-on-read: a row's final value comes from exactly
+        one run, so if no run intersects the window no resolved row
+        can either — but a run inside the window may still be
+        overwritten by one outside it, so runs are never skipped
+        individually.  Files without stats for ``col`` (all-null, old
+        writers, non-numeric) keep their partition — pruning is always
+        conservative.  Whether anything prunes depends on layout:
+        value-correlated runs (e.g. time-ordered tails) prune; columns
+        uniform across hash partitions don't (see the Z-order query
+        for layout-aware file pruning on the write side)."""
+        lo, hi = _stat_bound(lo), _stat_bound(hi)
+        keep = []
+        for pid in range(self.num_partitions):
+            m = self.manifest(pid)
+            if m is None or not m.files:
+                continue
+            ranges = [f.get("stats", {}).get(col) for f in m.files]
+            if any(r is None for r in ranges) or any(
+                not (r[1] < lo or r[0] > hi) for r in ranges
+            ):
+                keep.append(pid)
+        return keep
+
+    def scan(self, col: str, lo, hi, *, columns: list[str] | None = None):
+        """Range scan ``lo <= col <= hi`` (inclusive) over the resolved
+        lake state as a streaming Dataset: zone-map partition pruning
+        (:meth:`scan_plan`) + projected per-partition reads + a
+        vectorized residual filter.  ``col`` must be numeric or
+        temporal (the stats domain)."""
+        read_cols = (
+            None if columns is None else list(dict.fromkeys([*columns, col]))
+        )
+        ds = self.dataset(read_cols, pids=self.scan_plan(col, lo, hi))
+
+        def residual(b: pa.Table) -> pa.Table:
+            c = b.column(col)
+            lo_s = pa.scalar(lo).cast(c.type) if not isinstance(lo, pa.Scalar) else lo.cast(c.type)
+            hi_s = pa.scalar(hi).cast(c.type) if not isinstance(hi, pa.Scalar) else hi.cast(c.type)
+            b = b.filter(pc.and_(pc.greater_equal(c, lo_s), pc.less_equal(c, hi_s)))
+            return b.select(columns) if columns is not None else b
+
+        return ds.map_batches(residual, batch_format="pyarrow")
+
+    def lookup_plan(self, values) -> list[int]:
+        """Partitions owning the given primary-key-prefix values under
+        the lake's stable hash routing — the read half of the routing
+        that placed them."""
+        from ..functions.hashing import partition_ids
+
+        arr = pa.array(values, type=self.base_schema.field(self.primary_key[0]).type)
+        return sorted(set(partition_ids(arr, self.num_partitions).tolist()))
+
+    def lookup(self, values, *, columns: list[str] | None = None):
+        """Point lookup by ``primary_key[0]`` values: hash-route to the
+        owning partitions and read ONLY those (≤ |values| of N), with a
+        residual membership filter — the reference's AGO per-row PK
+        lookup (ago/ago.py:1063-1086) made lake-native: one routed
+        partition read instead of one remote query per row.  Returns a
+        streaming Dataset (resolved, delta runs included)."""
+        key = self.primary_key[0]
+        read_cols = (
+            None if columns is None else list(dict.fromkeys([*columns, key]))
+        )
+        ds = self.dataset(read_cols, pids=self.lookup_plan(values))
+        want = pa.array(values, type=self.base_schema.field(key).type)
+
+        def member(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b.column(key), value_set=want))
+            return b.select(columns) if columns is not None else b
+
+        return ds.map_batches(member, batch_format="pyarrow")
+
+    # -- snapshots (time travel) ---------------------------------------
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.root, "snapshots")
+
+    def _snapshot_path(self, sid: int) -> str:
+        return os.path.join(self._snapshot_dir(), f"snap-{sid:06d}.json")
+
+    def _load_snapshot(self, sid: int) -> dict:
+        path = self._snapshot_path(sid)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot {sid} at {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshot(self, note: str | None = None) -> int:
+        """Record the current committed state as a named, immutable
+        snapshot (Iceberg-style): copies every partition's manifest
+        CONTENTS into one metadata file, so later commits / compactions
+        / rescales can't disturb it, and :meth:`vacuum` retains every
+        data file a live snapshot references.  Metadata-only — no data
+        is copied.  Returns the snapshot id for
+        ``dataset(snapshot=id)`` time-travel reads; drop with
+        :meth:`drop_snapshot` to let vacuum reclaim the files.
+
+        The reference's publish protocol keeps exactly one past
+        version implicitly (the pre-swap table, carto/carto_.py:
+        422-436); snapshots generalize that to N retained versions
+        with explicit lifecycle."""
+        existing = self.snapshots()
+        sid = (max((s["id"] for s in existing), default=0)) + 1
+        manifests = {
+            str(p): m.to_json()
+            for p in range(self.num_partitions)
+            if (m := self.manifest(p)) is not None
+        }
+        write_json_atomic(
+            self._snapshot_path(sid),
+            {
+                "id": sid,
+                "generation": self.generation,
+                "num_partitions": self.num_partitions,
+                "note": note or "",
+                "manifests": manifests,
+            },
+        )
+        return sid
+
+    def snapshots(self) -> list[dict]:
+        """Live snapshots, oldest first: ``{id, generation,
+        num_partitions, note}`` (manifest payloads omitted)."""
+        import glob
+
+        out = []
+        for path in sorted(glob.glob(os.path.join(self._snapshot_dir(), "snap-*.json"))):
+            with open(path) as f:
+                s = json.load(f)
+            out.append({k: s[k] for k in ("id", "generation", "num_partitions", "note")})
+        return out
+
+    def drop_snapshot(self, sid: int) -> None:
+        """Delete a snapshot's metadata; its exclusively-referenced
+        data files become vacuum-reclaimable orphans."""
+        path = self._snapshot_path(sid)
+        if os.path.exists(path):
+            os.unlink(path)
+
+    def _snapshot_live_files(self) -> dict[int, set]:
+        """pid → data-file names referenced by ANY live snapshot (the
+        vacuum retention set)."""
+        import glob
+
+        live: dict[int, set] = {}
+        for path in glob.glob(os.path.join(self._snapshot_dir(), "snap-*.json")):
+            with open(path) as f:
+                s = json.load(f)
+            for p, mj in s["manifests"].items():
+                live.setdefault(int(p), set()).update(f["path"] for f in mj["files"])
+        return live
 
     def read_all(self) -> pa.Table:
         """Full lake as one Arrow table — small lakes / tests only."""
@@ -771,7 +1035,9 @@ class TranscriptLake:
         data files they reference are preserved (its intent file marks
         it) so vacuuming between a crash and the resume cannot destroy
         resumable progress; use :meth:`abort_rescale` to discard it
-        deliberately."""
+        deliberately.  Data files referenced by any live snapshot
+        (:meth:`snapshot`) are likewise retained — time-travel reads
+        survive compaction and rescale until :meth:`drop_snapshot`."""
         import glob
 
         removed = []
@@ -780,12 +1046,13 @@ class TranscriptLake:
         keep_manifests = {cur_manifest} | (
             {f"manifest-g{inflight}.json"} if inflight else set()
         )
+        snap_live = self._snapshot_live_files()
         for pdir in sorted(glob.glob(os.path.join(self.root, "part-*"))):
             try:
                 pid = int(os.path.basename(pdir).split("-", 1)[1])
             except ValueError:
                 continue
-            live = set()
+            live = set(snap_live.get(pid, ()))
             if pid < self.num_partitions and (m := self.manifest(pid)):
                 live |= {f["path"] for f in m.files}
             if inflight:
