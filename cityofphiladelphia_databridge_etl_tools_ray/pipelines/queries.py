@@ -11880,3 +11880,77 @@ ranked AS (
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
+
+
+def cdc_replay_transactional(sf_dir: str):
+    """The multi-table router ([cdc_replay_multi_table]) under
+    ALL-OR-NOTHING visibility: each LSN window lands in BOTH lakes
+    atomically via the cross-table transaction protocol (stage → one
+    atomic record = the commit point → publish; state/txn.py) — the
+    reference's single-DB-transaction truncate-and-load
+    (db2/db2.py:358-594) generalized to independent lakes.  Two
+    windows run as two transactions, so the recovery pre-pass and the
+    publish path both execute; crash points are pinned in
+    tests/test_txn_replay.py.  Final states must equal the
+    non-transactional router's — which the shared oracle expresses."""
+    from ..state.lake import TranscriptLake
+    from .replay import replay_transactional
+
+    root = _scratch_root("txn_lake", sf_dir)
+    t_root, u_root = f"{root}/transcripts", f"{root}/users"
+    TranscriptLake.create(t_root, num_partitions=16)
+    TranscriptLake.create(
+        u_root, num_partitions=16, schema=GENERIC_PK_SCHEMA, primary_key=["user_id"]
+    )
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+
+    def window(lo: int, hi: int, users: bool):
+        base = _derive_user_changelog(sf_dir) if users else _derive_changelog(sf_dir)
+
+        def f(b: pa.Table) -> pa.Table:
+            l = _np(b.column("lsn"))
+            keep = (l % 3 == 0) if users else (l % 3 != 0)
+            return b.filter(pa.array(keep & (l > lo) & (l <= hi)))
+
+        return base.map_batches(f, batch_format="pyarrow")
+
+    txn_dir = f"{root}/txns"
+    for tid, (lo, hi) in (("w1", (-1, mid)), ("w2", (mid, max_lsn))):
+        replay_transactional(
+            [(t_root, window(lo, hi, False)), (u_root, window(lo, hi, True))],
+            txn_dir,
+            tid,
+        )
+
+    tds = TranscriptLake(t_root).dataset()
+    uds = TranscriptLake(u_root).dataset()
+    t_n = tds.count()
+    t_ck = int(
+        tds.map_batches(
+            lambda b: pa.table({"c": pc.cast(pc.utf8_length(b.column("text")), pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("c")
+        or 0
+    )
+    u_n = uds.count()
+    u_ck = int(
+        uds.map_batches(
+            lambda b: pa.table({"c": _cents(b.column("value"))}), batch_format="pyarrow"
+        ).sum("c")
+        or 0
+    )
+    return pd.DataFrame(
+        {
+            "table_name": ["transcripts", "users"],
+            "n_rows": np.array([t_n, u_n], np.int64),
+            "checksum": np.array([t_ck, u_ck], np.int64),
+        }
+    )
+
+
+QUERIES["cdc_replay_transactional"] = cdc_replay_transactional
+
+# the transactional router must converge to the same per-table states
+# as the plain router — same oracle
+ORACLE_SQL["cdc_replay_transactional"] = ORACLE_SQL["cdc_replay_multi_table"]

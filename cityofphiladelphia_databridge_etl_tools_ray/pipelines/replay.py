@@ -553,6 +553,7 @@ class _MergeCommit:
         mode: str = "merge",
         compact_after: int = 8,
         compact_policy: str = "tiered",
+        txn: str | None = None,
     ):
         if mode not in ("merge", "delta", "snapshot"):
             raise ValueError(f"mode must be 'merge', 'delta' or 'snapshot', got {mode!r}")
@@ -562,6 +563,7 @@ class _MergeCommit:
         self.mode = mode
         self.compact_after = compact_after
         self.compact_policy = compact_policy
+        self.txn = txn
         self._lake = None
 
     def __getstate__(self):
@@ -570,6 +572,7 @@ class _MergeCommit:
             "mode": self.mode,
             "compact_after": self.compact_after,
             "compact_policy": self.compact_policy,
+            "txn": self.txn,
             "_lake": None,
         }
 
@@ -608,9 +611,15 @@ class _MergeCommit:
             dt = time.perf_counter() - t0
             lineage.update({"rows_after": -1, "merge_sec": round(dt, 4)})
             m = self.lake.commit_partition(
-                pid, run, high_lsn, lineage_record=lineage, mode="delta"
+                pid, run, high_lsn, lineage_record=lineage, mode="delta", txn=self.txn
             )
-            if self.compact_after and self.lake.run_count(pid) >= self.compact_after:
+            # compaction publishes directly, so it must not run inside
+            # a staged (not-yet-committed) transaction
+            if (
+                self.txn is None
+                and self.compact_after
+                and self.lake.run_count(pid) >= self.compact_after
+            ):
                 # size-tiered by default: fold the (small) delta runs
                 # and leave the base alone until deltas amortize a
                 # full rewrite — K tails cost O(K·delta) + amortized
@@ -645,7 +654,9 @@ class _MergeCommit:
                     "events_per_sec": round(n_events / dt, 1) if dt > 0 else None,
                 }
             )
-            m = self.lake.commit_partition(pid, merged, high_lsn, lineage_record=lineage)
+            m = self.lake.commit_partition(
+                pid, merged, high_lsn, lineage_record=lineage, txn=self.txn
+            )
         return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
 
 
@@ -740,6 +751,7 @@ def replay_into_lake(
     salt: int | None = None,
     assume_tz: str | None = None,
     validate_sample: int | None = 500,
+    txn: str | None = None,
 ):
     """Replay a change stream into an existing lake. Exactly-once:
     events at or below each partition's committed watermark are
@@ -761,6 +773,10 @@ def replay_into_lake(
     one row per touched partition)."""
     from ..state.lake import TranscriptLake
 
+    if txn is not None and mode == "snapshot":
+        # the unseen-partition truncation sweep publishes directly;
+        # staging it would need a txn-aware sweep nobody needs yet
+        raise ValueError("mode='snapshot' cannot run inside a transaction")
     lake = TranscriptLake(lake_root)
     if (gen := lake._inflight_rescale_generation()) is not None:
         # writing during a rescale can publish stale children: a split
@@ -812,7 +828,11 @@ def replay_into_lake(
         )
     metrics = ds.groupby(PART_COL).map_groups(
         _MergeCommit(
-            lake_root, mode=mode, compact_after=compact_after, compact_policy=compact_policy
+            lake_root,
+            mode=mode,
+            compact_after=compact_after,
+            compact_policy=compact_policy,
+            txn=txn,
         ),
         batch_format="pyarrow",
     )
@@ -826,6 +846,43 @@ def replay_into_lake(
 
             out = pd.concat([out, stale], ignore_index=True)
     return out
+
+
+def replay_transactional(
+    tables: list[tuple[str, object]],
+    txn_dir: str,
+    txn_id: str,
+    **replay_kwargs,
+):
+    """Replay one LSN window into SEVERAL lakes with all-or-nothing
+    visibility — the binlog-router transaction (a consumer must never
+    observe table A advanced past table B for the same window; the
+    reference gets this from a single DB transaction,
+    db2/db2.py:358-594, which multiple independent lakes don't have).
+
+    ``tables`` is ``[(lake_root, changes_dataset), ...]``.  Protocol
+    (state/txn.py): recover any crashed transaction first (roll
+    committed ones forward, roll orphaned stages back), stage every
+    lake's replay under ``txn_id`` (manifests invisible), write the
+    ONE atomic transaction record — the commit point — then publish
+    each lake's staged manifests and retire the record.  A crash at
+    any point either fully disappears (pre-record: stages roll back
+    and the published watermarks make the re-replay exactly-once) or
+    fully lands (post-record: recovery finishes the publishes).
+
+    Returns per-table metrics DataFrames (same shape as
+    :func:`replay_into_lake`)."""
+    from ..state.txn import TxnLog
+
+    roots = [r for r, _ in tables]
+    log = TxnLog(txn_dir)
+    log.recover(roots)
+    metrics = [
+        replay_into_lake(root, ds, txn=txn_id, **replay_kwargs) for root, ds in tables
+    ]
+    log.commit(txn_id, roots)  # the commit point
+    log.publish(txn_id, roots)
+    return metrics
 
 
 def _truncate_unseen_partitions(lake, *, touched: set, snapshot_lsn: int):

@@ -277,6 +277,7 @@ class TranscriptLake:
         high_lsn: int,
         lineage_record: dict | None = None,
         mode: str = "replace",
+        txn: str | None = None,
     ) -> PartitionManifest:
         """Write ``table`` as the partition's new state.
 
@@ -290,6 +291,13 @@ class TranscriptLake:
         Idempotent under retry: the data file name is derived from
         (high_lsn, content sha) so a retried task overwrites the same
         bytes at the same path, and the manifest replace is atomic.
+
+        ``txn`` STAGES the commit instead of publishing it: the
+        manifest lands at ``<current>.txn-<id>`` — invisible to every
+        reader — until :meth:`publish_txn` flips it (or
+        :meth:`abort_txn` discards it).  One staged commit per
+        partition per txn; the cross-table commit point is the
+        transaction record (state/txn.py), not any single manifest.
         """
         entry = _write_data_file(self.part_dir(pid), table, high_lsn)
 
@@ -310,8 +318,39 @@ class TranscriptLake:
             schema_json=_schema_to_json(table.schema),
             lineage=lineage[-64:],  # bounded history
         )
-        m.save(self._manifest_path(pid))
+        path = self._manifest_path(pid)
+        m.save(path + f".txn-{txn}" if txn else path)
         return m
+
+    # -- cross-table transactions (staged manifests) -------------------
+    def staged_txn_manifests(self, txn: str | None = None) -> list[str]:
+        """Staged (unpublished) manifest paths — for one txn id, or all."""
+        import glob
+
+        pat = f"manifest*.txn-{txn}" if txn else "manifest*.txn-*"
+        return sorted(glob.glob(os.path.join(self.root, "part-*", pat)))
+
+    def publish_txn(self, txn: str) -> int:
+        """Flip every manifest staged under ``txn`` to current — the
+        per-lake half of the cross-table commit (run only AFTER the
+        transaction record exists; state/txn.py owns the ordering).
+        Idempotent: re-running after a partial publish replaces the
+        remaining staged files and skips the already-flipped ones."""
+        n = 0
+        for staged in self.staged_txn_manifests(txn):
+            os.replace(staged, staged[: -len(f".txn-{txn}")])
+            n += 1
+        return n
+
+    def abort_txn(self, txn: str) -> int:
+        """Discard a txn's staged manifests (their data files become
+        vacuum orphans).  The published state is untouched — staged
+        manifests were never visible."""
+        n = 0
+        for staged in self.staged_txn_manifests(txn):
+            os.unlink(staged)
+            n += 1
+        return n
 
     def stamp_watermark(self, pid: int, lsn: int) -> PartitionManifest | None:
         """Advance a partition's watermark WITHOUT touching its data —
@@ -1061,13 +1100,23 @@ class TranscriptLake:
                 )
                 if nm:
                     live |= {f["path"] for f in nm.files}
+            # staged txn manifests and the files they reference belong
+            # to txn recovery (publish/abort, state/txn.py) — vacuuming
+            # them mid-transaction would break roll-forward
+            for name in os.listdir(pdir):
+                if ".txn-" in name and name.startswith("manifest"):
+                    sm = PartitionManifest.load(os.path.join(pdir, name))
+                    if sm:
+                        live |= {f["path"] for f in sm.files}
             for name in os.listdir(pdir):
                 path = os.path.join(pdir, name)
                 stale_data = (
                     name.startswith("data-") and name.endswith(".parquet") and name not in live
                 )
                 stale_manifest = (
-                    name.startswith("manifest") and name not in keep_manifests
+                    name.startswith("manifest")
+                    and ".txn-" not in name
+                    and name not in keep_manifests
                 )
                 if stale_data or stale_manifest or name.endswith(".tmp"):
                     os.unlink(path)
