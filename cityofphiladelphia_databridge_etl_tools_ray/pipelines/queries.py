@@ -11954,3 +11954,163 @@ QUERIES["cdc_replay_transactional"] = cdc_replay_transactional
 # the transactional router must converge to the same per-table states
 # as the plain router — same oracle
 ORACLE_SQL["cdc_replay_transactional"] = ORACLE_SQL["cdc_replay_multi_table"]
+
+
+def weighted_sample_orders(sf_dir: str):
+    """Weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    A-Res), deterministic and oracle-checkable: each order draws a
+    hash-seeded uniform u = ((key·48271 mod (2³¹−1)) + 1) / 2³¹ and
+    the sample is the 100 LARGEST by ln(u)/w (the monotone form of the
+    classic u^(1/w) key), w = order value in cents — so expensive
+    orders are proportionally likelier, the training-data op of
+    sampling a corpus by quality weight.  Uniform-sampling twin:
+    [reservoir_sample_events].
+
+    Scale shape: each batch prunes locally to its top-100 keys (the
+    distributed-reservoir merge), so the driver combine sees
+    ≤ 100·blocks rows and the stream is never shuffled."""
+    N = 100
+
+    def local(b: pa.Table) -> pa.Table:
+        ids = _np(b.column("o_orderkey"))
+        w = _np(_cents(b.column("o_totalprice"))).astype(np.float64)
+        u = (((ids * _RES_A) % _RES_M) + 1.0) / 2147483648.0
+        key = np.log(u) / w
+        order = np.lexsort((ids, -key))[: min(N, len(ids))]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ids[order]),
+                "weight_cents": pa.array(w[order].astype(np.int64)),
+                "key": pa.array(key[order]),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .map_batches(local, batch_format="pyarrow")
+        .to_pandas()  # ≤ N·blocks rows
+    )
+    cand = cand.sort_values(["key", "o_orderkey"], ascending=[False, True]).head(N)
+    return cand[["o_orderkey", "weight_cents"]].reset_index(drop=True)
+
+
+_CHANGE_CLASSES = ["delete", "first", "reinsert", "effective_update", "noop_update"]
+
+
+def _classify_changes_kernel(g: pa.Table) -> pa.Table:
+    """Per-bucket churn classifier: Arrow ``sort_indices`` on
+    (conv, turn, lsn) + shifted-slice neighbour compares, emitting 5
+    class counters.  Requires every row of a (conv_id, turn_idx) key
+    to be in the same bucket.  Property-tested against a sequential
+    reference in tests/test_churn_weighted.py."""
+    idx = pc.sort_indices(
+        g,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("lsn", "ascending"),
+        ],
+    )
+    t = g.take(idx)
+    n = len(t)
+    conv, op, text = t.column("conv_id"), t.column("op"), t.column("text")
+    turn = _np(t.column("turn_idx"))
+    same_key = np.zeros(n, bool)
+    prev_del = np.zeros(n, bool)
+    same_text = np.zeros(n, bool)
+    if n > 1:
+        same_conv = pc.equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        same_key[1:] = same_conv & (turn[1:] == turn[:-1])
+        prev_del[1:] = pc.equal(op.slice(0, n - 1), "delete").to_numpy(
+            zero_copy_only=False
+        )
+        eq = pc.equal(text.slice(1), text.slice(0, n - 1))
+        both_null = pc.and_(
+            pc.is_null(text.slice(1)), pc.is_null(text.slice(0, n - 1))
+        )
+        # IS NOT DISTINCT FROM: null == null counts as identical
+        same_text[1:] = (
+            pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            | both_null.to_numpy(zero_copy_only=False)
+        )
+    is_del = pc.equal(op, "delete").to_numpy(zero_copy_only=False)
+    cls = np.where(
+        is_del,
+        0,
+        np.where(~same_key, 1, np.where(prev_del, 2, np.where(same_text, 4, 3))),
+    )
+    counts = np.bincount(cls, minlength=5)
+    return pa.table(
+        {"cls": pa.array(np.arange(5, dtype=np.int64)), "n": pa.array(counts.astype(np.int64))}
+    )
+
+
+def cdc_effective_change_ratio(sf_dir: str):
+    """WAL churn audit: classify every change event against its key's
+    PREVIOUS version (by lsn) — delete / first-write / re-insert after
+    delete / effective update / no-op update (payload identical) —
+    the observability view that sizes no-op suppression and write
+    amplification for a CDC pipeline (how much of the log is churn).
+
+    Scale shape: ONE conv-hash bucket shuffle (the replay's own
+    partitioning axis), then a per-bucket vectorized kernel — Arrow
+    ``sort_indices`` on (conv, turn, lsn) + shifted-slice neighbour
+    compares (the events_user_lag_gaps pattern on a string key) — and
+    ≤ 5 counter rows per bucket to the driver."""
+    from ..functions.hashing import stable_hash_strings
+
+    ds = _derive_changelog(sf_dir)
+    nb = _nb()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = stable_hash_strings(b.column("conv_id"))
+        return b.append_column("bucket", pa.array((h & np.uint64(nb - 1)).astype(np.int32)))
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_classify_changes_kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = out.groupby("cls", as_index=False)["n"].sum()
+    agg["change_class"] = agg["cls"].map(dict(enumerate(_CHANGE_CLASSES)))
+    agg = agg[agg["n"] > 0]
+    return (
+        agg[["change_class", "n"]]
+        .astype({"n": np.int64})
+        .sort_values("change_class")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["weighted_sample_orders"] = weighted_sample_orders
+QUERIES["cdc_effective_change_ratio"] = cdc_effective_change_ratio
+
+ORACLE_SQL["weighted_sample_orders"] = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents
+FROM orders
+ORDER BY ln(((o_orderkey * 48271) % 2147483647 + 1) / 2147483648.0)
+         / CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+         o_orderkey
+LIMIT 100
+"""
+
+ORACLE_SQL["cdc_effective_change_ratio"] = _CHANGES_CTE + """
+, lagged AS (
+  SELECT op, text,
+         lag(op)   OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS prev_op,
+         lag(text) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS prev_text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS rn
+  FROM changes
+)
+SELECT CASE WHEN op = 'delete' THEN 'delete'
+            WHEN rn = 1 THEN 'first'
+            WHEN prev_op = 'delete' THEN 'reinsert'
+            WHEN text IS NOT DISTINCT FROM prev_text THEN 'noop_update'
+            ELSE 'effective_update' END AS change_class,
+       CAST(count(*) AS BIGINT) AS n
+FROM lagged GROUP BY 1
+"""
