@@ -11764,7 +11764,9 @@ def cdc_lake_point_lookup(sf_dir: str):
     Scale shape: the lookup reads ≤ |keys| of N partitions
     (``lookup_plan``; pinned in tests) and streams one vectorized
     ``is_in`` membership filter — cost is O(owning partitions),
-    independent of lake size."""
+    independent of lake size.  The two absent keys exercise the
+    per-run PK Bloom short-circuit: their owners are pruned with zero
+    data I/O unless a real key shares the partition."""
     from ..state.lake import TranscriptLake
     from .replay import replay_into_lake
 
@@ -11772,7 +11774,10 @@ def cdc_lake_point_lookup(sf_dir: str):
     TranscriptLake.create(root, num_partitions=32)
     replay_into_lake(root, _derive_changelog(sf_dir))
     lake = TranscriptLake(root)
-    keys = [f"conv-{u}" for u in (1, 2, 3, 5, 8, 13, 21)]
+    keys = [f"conv-{u}" for u in (1, 2, 3, 5, 8, 13, 21)] + [
+        "conv-absent-a",
+        "conv-absent-b",
+    ]
     return lake.lookup(keys, columns=["conv_id", "turn_idx", "role", "text", "ts"])
 
 
@@ -11857,7 +11862,8 @@ ORACLE_SQL["cdc_lake_point_lookup"] = _CHANGES_CTE + """
 )
 SELECT conv_id, turn_idx, role, text, ts FROM ranked
 WHERE rn = 1 AND op <> 'delete'
-  AND conv_id IN ('conv-1','conv-2','conv-3','conv-5','conv-8','conv-13','conv-21')
+  AND conv_id IN ('conv-1','conv-2','conv-3','conv-5','conv-8','conv-13','conv-21',
+                  'conv-absent-a','conv-absent-b')
 """
 
 ORACLE_SQL["cdc_lake_pruned_scan"] = _CHANGES_CTE + """

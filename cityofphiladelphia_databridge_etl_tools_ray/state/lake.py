@@ -26,6 +26,7 @@ import json
 import os
 import tempfile
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -82,6 +83,50 @@ def _stat_bound(v):
     if isinstance(v, datetime.date):
         return pa.scalar(v, pa.date32()).cast(pa.int64()).as_py()
     return v
+
+
+def _pk_bloom_entry(table: pa.Table, pk0: str) -> dict | None:
+    """LSM-style per-run primary-key Bloom filter, stored in the
+    manifest entry: ~10 bits/key (FP ≈ 1%), sized to the run
+    (2^10..2^22 bits) and zlib+base64'd so small runs cost ~100 bytes
+    of JSON.  Lets :meth:`TranscriptLake.lookup_plan` short-circuit
+    definite misses with ZERO data I/O — the standard LSM read-path
+    optimization (and Parquet/Iceberg's column bloom analog).  Keys
+    are the stable partition hash of ``pk0`` (functions/hashing.py),
+    so any PK type works; tombstone keys are included (conservative).
+    """
+    import zlib
+
+    if pk0 not in table.schema.names or len(table) == 0:
+        return None
+    from ..functions.hashing import stable_hash_any
+
+    h = stable_hash_any(table.column(pk0)).view(np.int64)
+    log2_bits = int(np.clip(np.ceil(np.log2(max(len(h), 1) * 10)), 10, 22))
+    from ..functions.lookup import Int64Bloom
+
+    bloom = Int64Bloom(log2_bits=log2_bits, k=4)
+    bloom.add(h)
+    packed = zlib.compress(bloom.words.tobytes(), 6)
+    return {
+        "log2_bits": log2_bits,
+        "k": 4,
+        "zb64": base64.b64encode(packed).decode(),
+    }
+
+
+def _bloom_maybe(entry: dict, hashes) -> bool:
+    """True if ANY of the int64 key hashes may be present per the
+    stored bloom (no false negatives)."""
+    import zlib
+
+    from ..functions.lookup import Int64Bloom
+
+    words = np.frombuffer(
+        zlib.decompress(base64.b64decode(entry["zb64"])), dtype=np.uint64
+    ).copy()
+    bloom = Int64Bloom(log2_bits=entry["log2_bits"], k=entry["k"], words=words)
+    return bool(bloom.contains(hashes).any())
 
 
 def _write_data_file(pdir: str, table: pa.Table, high_lsn: int) -> dict:
@@ -300,6 +345,8 @@ class TranscriptLake:
         transaction record (state/txn.py), not any single manifest.
         """
         entry = _write_data_file(self.part_dir(pid), table, high_lsn)
+        if (b := _pk_bloom_entry(table, self.primary_key[0])) is not None:
+            entry["pk_bloom"] = b
 
         prev = self.manifest(pid)
         lineage = (prev.lineage if prev else []) + ([lineage_record] if lineage_record else [])
@@ -420,6 +467,8 @@ class TranscriptLake:
         )
         folded = dedup_last_writer(merged, keys=self.primary_key)
         entry = _write_data_file(self.part_dir(pid), folded, m.high_lsn)
+        if (b := _pk_bloom_entry(folded, self.primary_key[0])) is not None:
+            entry["pk_bloom"] = b
         entry["kind"] = "delta"
         files = [f for f in m.files if f.get("kind") != "delta"] + [entry]
         new_m = PartitionManifest(
@@ -773,13 +822,31 @@ class TranscriptLake:
         return ds.map_batches(residual, batch_format="pyarrow")
 
     def lookup_plan(self, values) -> list[int]:
-        """Partitions owning the given primary-key-prefix values under
-        the lake's stable hash routing — the read half of the routing
-        that placed them."""
-        from ..functions.hashing import partition_ids
+        """Partitions a point lookup must read: hash routing narrows
+        to the owning partitions, then each owner's per-run PK Bloom
+        filters (:func:`_pk_bloom_entry`) short-circuit definite
+        misses with no data I/O — a lookup of absent keys reads
+        NOTHING, the LSM read path.  No false negatives: a kept pid is
+        pruned only when every run's bloom rejects every routed key;
+        runs without a bloom (old writers) keep their partition."""
+        from ..functions.hashing import stable_hash_any
 
         arr = pa.array(values, type=self.base_schema.field(self.primary_key[0]).type)
-        return sorted(set(partition_ids(arr, self.num_partitions).tolist()))
+        h = stable_hash_any(arr)
+        pids = (h % np.uint64(self.num_partitions)).astype(np.int32)
+        hi64 = h.view(np.int64)
+        keep = []
+        for pid in sorted(set(pids.tolist())):
+            m = self.manifest(pid)
+            if m is None or not m.files:
+                continue  # definite miss: partition never written
+            routed = hi64[pids == pid]
+            blooms = [f.get("pk_bloom") for f in m.files]
+            if any(b is None for b in blooms) or any(
+                _bloom_maybe(b, routed) for b in blooms
+            ):
+                keep.append(pid)
+        return keep
 
     def lookup(self, values, *, columns: list[str] | None = None):
         """Point lookup by ``primary_key[0]`` values: hash-route to the
@@ -1169,6 +1236,8 @@ def _split_parent(root: str, p: int, factor: int, next_gen: int) -> dict:
         entry = _write_data_file(
             os.path.join(root, f"part-{c:05d}"), child, parent_m.high_lsn
         )
+        if (b := _pk_bloom_entry(child, lake.primary_key[0])) is not None:
+            entry["pk_bloom"] = b
         m = PartitionManifest(
             partition_id=c,
             high_lsn=parent_m.high_lsn,
@@ -1218,6 +1287,8 @@ def _coalesce_group(root: str, c: int, factor: int, next_gen: int) -> dict:
     else:
         merged = pa.concat_tables(tables, promote_options="permissive")
     entry = _write_data_file(os.path.join(root, f"part-{c:05d}"), merged, high_lsn)
+    if (b := _pk_bloom_entry(merged, lake.primary_key[0])) is not None:
+        entry["pk_bloom"] = b
     m = PartitionManifest(
         partition_id=c,
         high_lsn=high_lsn,

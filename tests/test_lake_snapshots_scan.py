@@ -225,3 +225,55 @@ def test_snapshot_survives_rescale(ray_session, tmp_path):
     # current layout reads the same rows through the new partitions
     cur = _sorted_state(lake.read_all().to_pandas())
     pd.testing.assert_frame_equal(cur, expected)
+
+
+# -- per-run primary-key Bloom filters (LSM read path) ----------------
+
+
+def test_lookup_plan_prunes_absent_keys_via_bloom(ray_session, tmp_path):
+    root, base = _routed_lake(tmp_path)
+    lake = TranscriptLake(root)
+    assert all(
+        "pk_bloom" in f for p in range(N_PARTS) for f in lake.manifest(p).files
+    )
+    # absent keys: every routed partition's blooms reject -> nothing read
+    absent = [f"conv-nope-{i}" for i in range(40)]
+    assert lake.lookup_plan(absent) == []
+    assert lake.lookup(absent).count() == 0
+    # no false negatives: every present conv's owner stays in the plan
+    present = sorted(set(base.column("conv_id").to_pylist()))
+    plan = lake.lookup_plan(present)
+    owners = sorted(set(partition_ids(pa.array(present), N_PARTS).tolist()))
+    assert plan == owners
+
+
+def test_lookup_plan_conservative_without_bloom(ray_session, tmp_path):
+    root, base = _routed_lake(tmp_path)
+    lake = TranscriptLake(root)
+    # simulate an old-writer run with no bloom on one partition
+    m = lake.manifest(1)
+    m.files[0].pop("pk_bloom")
+    m.save(lake._manifest_path(1))
+    absent = [f"conv-nope-{i}" for i in range(40)]
+    plan = lake.lookup_plan(absent)
+    routed = set(partition_ids(pa.array(absent), N_PARTS).tolist())
+    assert plan == ([1] if 1 in routed else [])
+
+
+def test_bloom_survives_delta_runs_and_compaction(ray_session, tmp_path):
+    root, base = _routed_lake(tmp_path)
+    c1 = generate_changes(400, n_convs=60, start_lsn=1, seed=5)
+    _replay(root, c1, mode="delta", compact_after=0)
+    lake = TranscriptLake(root)
+    # delta runs carry blooms too
+    assert all(
+        "pk_bloom" in f
+        for p in range(N_PARTS)
+        for f in lake.manifest(p).files
+    )
+    for p in range(N_PARTS):
+        lake.compact_partition(p)
+    lake = TranscriptLake(root)
+    assert lake.lookup_plan([f"conv-nope-{i}" for i in range(40)]) == []
+    some = lake.read_partition(0).column("conv_id")[0].as_py()
+    assert lake.lookup_plan([some]) != []
