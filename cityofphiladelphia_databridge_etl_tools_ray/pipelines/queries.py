@@ -12120,3 +12120,116 @@ SELECT CASE WHEN op = 'delete' THEN 'delete'
        CAST(count(*) AS BIGINT) AS n
 FROM lagged GROUP BY 1
 """
+
+
+def cdc_replay_rename_map(sf_dir: str):
+    """Column-mapping replay — the reference's user-supplied rename
+    dict applied at COPY time (``ast.literal_eval`` mapping + header
+    fixups, postgres/postgres.py:203-228) through the real path: the
+    producer's WAL arrives with ITS header names (mixed-case ``SEQ /
+    Author / Body / MsgTime``); the normalizer lowercases headers
+    (opendata/opendata.py:82-84) and applies the rename map BEFORE
+    validation, so the merge sees the lake schema.  Final state must
+    be identical to the canonical-schema replay — the shared oracle.
+
+    Upgrades SURVEY §2.3's column-mapping row from pytest-only to
+    driver-checked."""
+    src = _derive_changelog(sf_dir)
+
+    def to_source_headers(b: pa.Table) -> pa.Table:
+        # (op, lsn, conv_id, turn_idx, role, text, tool, ts) →
+        # producer names, positionally
+        return b.rename_columns(
+            ["op", "SEQ", "conv_id", "turn_idx", "Author", "Body", "tool", "MsgTime"]
+        )
+
+    out = replay_to_table(
+        src.map_batches(to_source_headers, batch_format="pyarrow"),
+        num_partitions=32,
+        rename_map={"seq": "lsn", "author": "role", "body": "text", "msgtime": "ts"},
+        keep_lsn=True,
+    )
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
+def events_value_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of the value series (ordered by
+    ts, event_id within each user), folded into ONE global Pearson
+    coefficient over all adjacent pairs — the time-series memory audit
+    (is a user's next spend predictable from the last?).
+
+    Scale shape: one user-bucket shuffle, per-bucket lexsort + shifted
+    slices form the (x, lag x) pairs, and each bucket emits a single
+    row of integer-cents sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — bit-exact under any batching; the final float ops happen
+    once on the driver, mirroring the SQL expression exactly."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    nb = _nb()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b.column("user_id"), nb - 1), pa.int32())
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        u = _np(g.column("user_id"))
+        ts = _np(pc.cast(g.column("ts"), pa.int64()))
+        eid = _np(g.column("event_id"))
+        v = _np(_cents(g.column("value")))
+        order = np.lexsort((eid, ts, u))
+        u, v = u[order], v[order]
+        same = u[1:] == u[:-1]
+        x, y = v[:-1][same], v[1:][same]  # (prev, next) within user
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    part = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(part["n"].sum())
+    sx, sy = int(part["sx"].sum()), int(part["sy"].sum())
+    sxy, sxx, syy = int(part["sxy"].sum()), int(part["sxx"].sum()), int(part["syy"].sum())
+    num = float(n * sxy - sx * sy)
+    den = float(np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)))
+    return pd.DataFrame(
+        {"n_pairs": np.array([n], np.int64), "autocorr_lag1": [num / den]}
+    )
+
+
+QUERIES["cdc_replay_rename_map"] = cdc_replay_rename_map
+QUERIES["events_value_autocorr"] = events_value_autocorr
+
+# the rename-mapped replay converges to the canonical replay's state
+ORACLE_SQL["cdc_replay_rename_map"] = ORACLE_SQL["cdc_replay_full"]
+
+ORACLE_SQL["events_value_autocorr"] = """
+WITH pairs AS (
+  SELECT CAST(round(lag(value) OVER w * 100) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (SELECT x, y FROM pairs WHERE x IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p
+)
+SELECT n AS n_pairs,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS autocorr_lag1
+FROM s
+"""
