@@ -127,13 +127,46 @@ def cmd_watermarks(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    """Fold delta runs across partitions — one Ray task per
+    multi-run partition (the rescale fan-out pattern), not a driver
+    loop: compaction of a 10^4-partition lake is embarrassingly
+    parallel and each unit is an independent write-aside +
+    manifest-swap."""
     from .state.lake import TranscriptLake
 
     lake = TranscriptLake(args.root)
-    fold = (
-        lake.compact_partition_adaptive if args.policy == "tiered" else lake.compact_partition
-    )
-    done = [p for p in range(lake.num_partitions) if lake.run_count(p) > 1 and fold(p)]
+    todo = [p for p in range(lake.num_partitions) if lake.run_count(p) > 1]
+    if len(todo) <= 1:
+        fold = (
+            lake.compact_partition_adaptive
+            if args.policy == "tiered"
+            else lake.compact_partition
+        )
+        done = [p for p in todo if fold(p)]
+    else:
+        ray = _ray_session(args.num_cpus)
+        import pyarrow as pa
+        import ray.data as rd
+
+        root, policy = args.root, args.policy
+
+        def run(b: pa.Table) -> pa.Table:
+            lk = TranscriptLake(root)
+            fold = (
+                lk.compact_partition_adaptive
+                if policy == "tiered"
+                else lk.compact_partition
+            )
+            out = [int(p) for p in b.column("p").to_pylist() if fold(int(p))]
+            return pa.table({"p": pa.array(out, pa.int64())})
+
+        done = sorted(
+            rd.from_items([{"p": p} for p in todo], override_num_blocks=len(todo))
+            .map_batches(run, batch_format="pyarrow", batch_size=1)
+            .to_pandas()["p"]
+            .tolist()
+        )
+        ray.shutdown()
     print(json.dumps({"compacted_partitions": done, "policy": args.policy}))
     return 0
 
@@ -467,6 +500,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="full",
         help="full = rewrite each partition; tiered = fold small deltas, rewrite base only when warranted",
     )
+    c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser(

@@ -361,6 +361,9 @@ def dedup_exact(sf_dir: str):
     the shuffle key is the 64-bit fingerprint, and fingerprint
     collisions are resolved by grouping on full text within the
     (tiny) fingerprint group."""
+    from .queries import _nb  # late import: queries imports corpus
+
+    nb = _nb()
 
     def local(b: pa.Table) -> pa.Table:
         g = b.group_by("text").aggregate([("doc_id", "min"), ("doc_id", "count")])
@@ -370,24 +373,28 @@ def dedup_exact(sf_dir: str):
         ).astype(np.int64)
         return pa.table(
             {
-                "fp": pa.array(fp),
+                # shuffle on a COARSE fp bucket, not the raw fp: one
+                # vectorized resolve per bucket instead of one Python
+                # call per distinct text (the per-group map_groups
+                # anti-pattern, VERDICT r2)
+                "bucket": pa.array((fp & (nb - 1)).astype(np.int32)),
                 "text": txt,
                 "min_doc": g.column("doc_id_min"),
                 "cnt": g.column("doc_id_count"),
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("text", sort=False).agg(
-            doc_id=("min_doc", "min"), n_copies=("cnt", "sum")
+    def resolve(g: pa.Table) -> pa.Table:
+        a = g.group_by("text").aggregate([("min_doc", "min"), ("cnt", "sum")])
+        return pa.table(
+            {"doc_id": a.column("min_doc_min"), "n_copies": a.column("cnt_sum")}
         )
-        return out.reset_index(drop=True)
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(local, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(resolve, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 
@@ -501,6 +508,8 @@ def corpus_clean_pipeline(sf_dir: str):
 
     from ..stages.text import STOPWORD_RE, TOKEN_SPLIT
 
+    from .queries import _nb  # late import: queries imports corpus
+
     def gate_and_combine(b: pa.Table) -> pa.Table:
         t = b.column("text")
         n_tokens = pc.cast(
@@ -523,7 +532,9 @@ def corpus_clean_pipeline(sf_dir: str):
         ).astype(np.int64)
         return pa.table(
             {
-                "fp": pa.array(fp),
+                # coarse fp bucket (see dedup_exact): one vectorized
+                # resolve per bucket, not one Python call per text
+                "bucket": pa.array((fp & (_nb() - 1)).astype(np.int32)),
                 "text": txt,
                 "min_doc": g.column("doc_id_min"),
                 "cnt": g.column("doc_id_count"),
@@ -531,17 +542,23 @@ def corpus_clean_pipeline(sf_dir: str):
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("text", sort=False).agg(
-            doc_id=("min_doc", "min"), n_tokens=("ntok", "min"), n_copies=("cnt", "sum")
+    def resolve(g: pa.Table) -> pa.Table:
+        a = g.group_by("text").aggregate(
+            [("min_doc", "min"), ("ntok", "min"), ("cnt", "sum")]
         )
-        return out.reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": a.column("min_doc_min"),
+                "n_tokens": a.column("ntok_min"),
+                "n_copies": a.column("cnt_sum"),
+            }
+        )
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(gate_and_combine, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(resolve, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 
