@@ -12233,3 +12233,105 @@ SELECT n AS n_pairs,
               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS autocorr_lag1
 FROM s
 """
+
+
+def wal_constraint_audit(sf_dir: str):
+    """Declarative data-contract audit over the change stream — the
+    reference's pre-load sanity gates (row/geometry checks,
+    databridge_etl_tools/postgres/postgres.py:523-569 in-engine twin;
+    type asserts in the extract CLIs) generalized to a rule table.
+
+    Violations are injected deterministically by lsn (the PII-redaction
+    precedent) so the audit has real positives the oracle reproduces:
+    ``lsn % 97 == 0`` nulls text, ``lsn % 101 == 0`` corrupts turn_idx
+    to -1, ``lsn % 103 == 0`` rewrites role to 'mystery'.  Five rules
+    run over the dirty stream; each batch emits ONE partial row per
+    rule (vectorized null/set/range kernels, no row loop), and the
+    driver folds ≤ 5·n_blocks tiny partials — O(rules) result no
+    matter the WAL size, shuffle-free."""
+    src = _derive_changelog(sf_dir)
+    allowed_roles = pa.array(["click", "view", "purchase", "signup", "error"])
+
+    def audit(b: pa.Table) -> pa.Table:
+        lsn = _np(b.column("lsn"))
+        null_text = pa.array(lsn % 97 == 0)
+        bad_turn = pa.array(lsn % 101 == 0)
+        bad_role = pa.array(lsn % 103 == 0)
+        text = pc.if_else(null_text, pa.scalar(None, pa.string()), b.column("text"))
+        turn = pc.if_else(bad_turn, pa.scalar(-1, pa.int32()), b.column("turn_idx"))
+        role = pc.if_else(bad_role, pa.scalar("mystery"), b.column("role"))
+        op = b.column("op")
+        n = len(b)
+        viol = {
+            "not_null_text": pc.sum(
+                pc.and_(pc.not_equal(op, "delete"), pc.is_null(text))
+            ).as_py()
+            or 0,
+            "turn_idx_range": pc.sum(
+                pc.or_(pc.less(turn, 0), pc.greater_equal(turn, 100))
+            ).as_py()
+            or 0,
+            "role_domain": pc.sum(
+                pc.invert(pc.is_in(role, value_set=allowed_roles))
+            ).as_py()
+            or 0,
+            "op_domain": pc.sum(
+                pc.invert(pc.is_in(op, value_set=pa.array(["insert", "update", "delete"])))
+            ).as_py()
+            or 0,
+            "pk_not_null": pc.sum(
+                pc.or_(pc.is_null(b.column("conv_id")), pc.is_null(turn))
+            ).as_py()
+            or 0,
+        }
+        return pa.table(
+            {
+                "rule": pa.array(list(viol.keys()), pa.string()),
+                "n_violations": pa.array([int(v) for v in viol.values()], pa.int64()),
+                "n_checked": pa.array([n] * len(viol), pa.int64()),
+            }
+        )
+
+    part = src.map_batches(audit, batch_format="pyarrow").to_pandas()
+    out = (
+        part.groupby("rule", as_index=False)[["n_violations", "n_checked"]]
+        .sum()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+QUERIES["wal_constraint_audit"] = wal_constraint_audit
+
+ORACLE_SQL["wal_constraint_audit"] = _CHANGES_CTE + """
+, dirty AS (
+  SELECT op,
+         CASE WHEN lsn % 97 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN lsn % 101 = 0 THEN -1 ELSE turn_idx END AS turn_idx,
+         CASE WHEN lsn % 103 = 0 THEN 'mystery' ELSE role END AS role,
+         conv_id
+  FROM changes
+)
+SELECT rule, n_violations, n_checked FROM (
+  SELECT 'not_null_text' AS rule,
+         CAST(count(*) FILTER (WHERE op <> 'delete' AND text IS NULL) AS BIGINT) AS n_violations,
+         CAST(count(*) AS BIGINT) AS n_checked FROM dirty
+  UNION ALL
+  SELECT 'turn_idx_range',
+         CAST(count(*) FILTER (WHERE turn_idx < 0 OR turn_idx >= 100) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM dirty
+  UNION ALL
+  SELECT 'role_domain',
+         CAST(count(*) FILTER (WHERE role NOT IN ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM dirty
+  UNION ALL
+  SELECT 'op_domain',
+         CAST(count(*) FILTER (WHERE op NOT IN ('insert', 'update', 'delete')) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM dirty
+  UNION ALL
+  SELECT 'pk_not_null',
+         CAST(count(*) FILTER (WHERE conv_id IS NULL OR turn_idx IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM dirty
+) ORDER BY rule
+"""
