@@ -1733,3 +1733,114 @@ def corpus_unigram_surprisal(sf_dir: str, vocab_k: int = _SURPRISAL_VOCAB_K):
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# ranked retrieval
+# --------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("merge", "window", "scan")
+
+
+def bm25_topk(sf_dir: str, k: int = 20):
+    """BM25-family ranked retrieval: score every document against a
+    fixed conjunctive keyword query and return the global top-k — the
+    retrieval twin of ``corpus_tfidf_top_terms`` (keyword extraction).
+
+    Integer-exact scoring surrogate (the tf-idf op's "log-free"
+    precedent): with the standard BM25 constants k1=6/5, b=3/4 the
+    per-term weight reduces to pure int64 arithmetic
+
+        idf_e6  = (N - df + 1) * 1_000_000 // (N + 1)
+        term_w  = idf_e6 * 44 * SD * tf
+                  // (20 * SD * tf + 6 * SD + 18 * dl * N)
+
+    where N = #docs with ≥1 token, SD = Σ dl (corpus token count),
+    dl = doc token length: numerator/denominator are the BM25
+    tf-saturation term multiplied through by 20·SD, and idf_e6 is the
+    Robertson–Spärck-Jones idf with the log dropped (monotone in df,
+    bounded ≤ 1e6) — every division is a floor over positive int64, so
+    engine and DuckDB oracle agree bit-exact at every rank boundary.
+    Precondition (documented like ``_SAMPLE_MULT``): idf_e6·44·SD·tf
+    must fit int64 — holds through ~10^11 corpus tokens with common
+    query terms; beyond that drop the e6 scale to e3.
+
+    Scale shape — two streaming passes, NO shuffle:
+    1. stats pass: each batch emits ONE row of partials
+       (n_docs, Σdl, per-term distinct-doc df) — O(1)/batch, driver
+       folds a tiny table;
+    2. score pass: vectorized per-batch tf matrix (offsets-level
+       explode + bincount, no row loop), int64 weight kernel, local
+       top-k per batch → driver folds k·n_blocks candidate rows.
+    """
+    import pyarrow.compute as pc
+
+    terms = BM25_QUERY_TERMS
+
+    def _doc_term_matrix(b: pa.Table):
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy()
+        vals = toks.values
+        n = len(b)
+        doc_idx = np.repeat(np.arange(n), np.diff(off))
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+        tf = np.zeros((n, len(terms)), np.int64)
+        for j, term in enumerate(terms):
+            m = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            tf[:, j] = np.bincount(doc_idx[m], minlength=n)
+        return dl, tf
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        dl, tf = _doc_term_matrix(b)
+        row = {
+            "n_docs": [int((dl > 0).sum())],
+            "sum_dl": [int(dl.sum())],
+        }
+        for j, term in enumerate(terms):
+            row[f"df_{j}"] = [int((tf[:, j] > 0).sum())]
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in row.items()})
+
+    stats = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    N, SD = int(stats["n_docs"]), int(stats["sum_dl"])
+    idf_e6 = np.array(
+        [(N - int(stats[f"df_{j}"]) + 1) * 1_000_000 // (N + 1) for j in range(len(terms))],
+        np.int64,
+    )
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        dl, tf = _doc_term_matrix(b)
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.zeros(len(dl), np.int64)
+        for j in range(len(terms)):
+            t = tf[:, j]
+            den = 20 * SD * t + 6 * SD + 18 * dl * N
+            score += np.where(t > 0, idf_e6[j] * 44 * SD * t // np.maximum(den, 1), 0)
+        keep = tf.any(axis=1)
+        doc, score, dl = doc[keep], score[keep], dl[keep]
+        order = np.lexsort((doc, -score))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order]),
+                "score_e6": pa.array(score[order]),
+                "dl": pa.array(dl[order]),
+            }
+        )
+
+    cand = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 from ..functions.lookup import Int64Bloom, SortedIntMap, deref as _deref
 from .corpus import (
+    bm25_topk,
     corpus_clean_pipeline,
     corpus_hapax_stats,
     corpus_oov_rate,
@@ -12334,4 +12335,41 @@ SELECT rule, n_violations, n_checked FROM (
          CAST(count(*) FILTER (WHERE conv_id IS NULL OR turn_idx IS NULL) AS BIGINT),
          CAST(count(*) AS BIGINT) FROM dirty
 ) ORDER BY rule
+"""
+
+
+QUERIES["bm25_topk"] = bm25_topk
+
+ORACLE_SQL["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tk AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sd FROM dl
+), q(term) AS (
+  VALUES ('merge'), ('window'), ('scan')
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tk WHERE term IN (SELECT term FROM q) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(((s.n - df.df + 1) * 1000000 // (s.n + 1)) * 44 * s.sd * tf.tf
+                  // (20 * s.sd * tf.tf + 6 * s.sd + 18 * dl.dl * s.n)) AS BIGINT)
+           AS score_e6
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN s
+  GROUP BY tf.doc_id
+)
+SELECT scored.doc_id, score_e6, dl.dl
+FROM scored JOIN dl ON scored.doc_id = dl.doc_id
+ORDER BY score_e6 DESC, scored.doc_id
+LIMIT 20
 """
