@@ -12373,3 +12373,102 @@ FROM scored JOIN dl ON scored.doc_id = dl.doc_id
 ORDER BY score_e6 DESC, scored.doc_id
 LIMIT 20
 """
+
+
+def conversation_context_windows(sf_dir: str):
+    """Training-example context construction over the replayed
+    transcript state: for every turn with at least one predecessor,
+    emit the target turn plus the concatenation of its previous ≤3
+    turns ("role: text" lines, newline-joined) — the W-turn
+    generalization of ``dialogue_pairs`` (the shape an SFT data
+    builder feeds a chat template with rolling context).
+
+    Zero extra shuffle: convs are co-located by the merge
+    partitioning (``batch_size=None`` ⇒ batch == merge block, convs
+    never split).  The window is THREE shifted-slice compares + two
+    guarded prepends (``pc.if_else`` over ``binary_join``), no per-row
+    or per-group Python; contiguity of the sorted block means
+    same(i, i-2) ⇒ same(i, i-1), so the prepend chain never touches a
+    null."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("n_context", pa.int64()),
+            ("context", pa.string()),
+        ]
+    )
+
+    def windows(b: pa.Table) -> pa.Table:
+        if len(b) < 2:
+            return out_schema.empty_table()
+        b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = len(b)
+        conv = b.column("conv_id").combine_chunks()
+        line = pc.binary_join_element_wise(
+            b.column("role"), pa.scalar(": "), b.column("text"), ""
+        ).combine_chunks()
+
+        def shifted(k: int):
+            prev = pa.concat_arrays(
+                [pa.nulls(k, line.type), line.slice(0, n - k)]
+            )
+            same = pa.concat_arrays(
+                [
+                    pa.array([False] * k),
+                    pc.equal(conv.slice(k, n - k), conv.slice(0, n - k)),
+                ]
+            )
+            return prev, pc.fill_null(same, False)
+
+        p1, s1 = shifted(1)
+        p2, s2 = shifted(2)
+        p3, s3 = shifted(3)
+        ctx = p1
+        ctx = pc.if_else(s2, pc.binary_join_element_wise(p2, ctx, "\n"), ctx)
+        ctx = pc.if_else(s3, pc.binary_join_element_wise(p3, ctx, "\n"), ctx)
+        n_ctx = pc.add(
+            pc.add(pc.cast(s1, pa.int64()), pc.cast(s2, pa.int64())),
+            pc.cast(s3, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "turn_idx": pc.cast(b.column("turn_idx"), pa.int64()),
+                "role": b.column("role"),
+                "text": b.column("text"),
+                "n_context": n_ctx,
+                "context": ctx,
+            }
+        )
+        return t.filter(s1)
+
+    return state.map_batches(windows, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["conversation_context_windows"] = conversation_context_windows
+
+ORACLE_SQL["conversation_context_windows"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+), w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role || ': ' || text, 1) OVER win AS p1,
+         lag(role || ': ' || text, 2) OVER win AS p2,
+         lag(role || ': ' || text, 3) OVER win AS p3
+  FROM state
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+       CAST((p1 IS NOT NULL)::INT + (p2 IS NOT NULL)::INT + (p3 IS NOT NULL)::INT
+            AS BIGINT) AS n_context,
+       concat_ws(chr(10), p3, p2, p1) AS context
+FROM w WHERE p1 IS NOT NULL
+"""
