@@ -12472,3 +12472,316 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
        concat_ws(chr(10), p3, p2, p1) AS context
 FROM w WHERE p1 IS NOT NULL
 """
+
+
+_RATE_LIMIT_K = 3
+_DAY_US = 86_400_000_000
+
+_RATE_LIMIT_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("slot", pa.int64()),
+    ]
+)
+
+
+def events_rate_limit(sf_dir: str):
+    """Throttle sampling — keep the first K=3 events per (user, day)
+    in (ts, event_id) order (the per-key rate limiter an ingest tier
+    puts in front of a firehose so one hot key cannot flood a batch).
+    Scale shape: ONE coarse user-bucket shuffle, then a vectorized
+    multi-user run-length kernel per bucket (lexsort + cumcount with
+    (user, day) boundary reset) — the `sessionize_events` shape, no
+    per-user Python and no per-(user, day) group materialization."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _RATE_LIMIT_SCHEMA.empty_table()
+        user = _np(g.column("user_id"))
+        eid = _np(g.column("event_id"))
+        ts_us = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        hour = ts_us // _DAY_US
+        order = np.lexsort((eid, ts_us, hour, user))
+        user_s, eid_s, ts_s, hour_s = user[order], eid[order], ts_us[order], hour[order]
+        n = len(user_s)
+        new_grp = np.r_[
+            True, (user_s[1:] != user_s[:-1]) | (hour_s[1:] != hour_s[:-1])
+        ]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.r_[starts, n])
+        slot = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        keep = slot < _RATE_LIMIT_K
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[keep]),
+                "user_id": pa.array(user_s[keep]),
+                "ts": pa.array(ts_s[keep].view("datetime64[us]")),
+                "slot": pa.array(slot[keep] + 1),
+            }
+        )
+
+    return (
+        ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+QUERIES["events_rate_limit"] = events_rate_limit
+
+ORACLE_SQL["events_rate_limit"] = """
+SELECT event_id, user_id, ts, CAST(rn AS BIGINT) AS slot FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+"""
+
+
+_PREF_PAIRS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("chosen_turn_idx", pa.int64()),
+        ("chosen_len", pa.int64()),
+        ("rejected_turn_idx", pa.int64()),
+        ("rejected_len", pa.int64()),
+        ("margin", pa.int64()),
+    ]
+)
+
+
+def preference_pairs(sf_dir: str):
+    """RLHF-style preference-pair mining over the REPLAYED transcript
+    state: for every conversation with >= 2 live turns, emit the
+    (chosen, rejected) turn pair under a deterministic per-turn score
+    (text length in codepoints, null -> -1).  Chosen = first by
+    (score DESC, turn_idx ASC); rejected = first by (score ASC,
+    turn_idx DESC) — the two orders always pick distinct rows when a
+    conversation has >= 2 turns, even under all-equal scores.
+
+    Zero extra shuffle: convs are co-located by the merge partitioning
+    (batch == merge block), and the kernel is two lexsorts + group
+    boundary gathers over ALL the block's conversations at once."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _PREF_PAIRS_SCHEMA.empty_table()
+        conv = b.column("conv_id").combine_chunks()
+        turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
+        score = _np(
+            pc.fill_null(pc.cast(pc.utf8_length(b.column("text")), pa.int64()), -1)
+        )
+        codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
+        n_turns = np.bincount(inverse, minlength=len(codes))
+        # chosen: (conv, -score, turn) ascending == score DESC, turn ASC
+        o1 = np.lexsort((turn, -score, inverse))
+        starts1 = np.flatnonzero(np.r_[True, inverse[o1][1:] != inverse[o1][:-1]])
+        chosen = o1[starts1]  # one row per conv, conv order = codes order
+        # rejected: (conv, score, -turn) ascending == score ASC, turn DESC
+        o2 = np.lexsort((-turn, score, inverse))
+        starts2 = np.flatnonzero(np.r_[True, inverse[o2][1:] != inverse[o2][:-1]])
+        rejected = o2[starts2]
+        keep = n_turns >= 2
+        return pa.table(
+            {
+                "conv_id": pa.array(codes[keep]),
+                "chosen_turn_idx": pa.array(turn[chosen][keep]),
+                "chosen_len": pa.array(score[chosen][keep]),
+                "rejected_turn_idx": pa.array(turn[rejected][keep]),
+                "rejected_len": pa.array(score[rejected][keep]),
+                "margin": pa.array(score[chosen][keep] - score[rejected][keep]),
+            }
+        )
+
+    return state.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["preference_pairs"] = preference_pairs
+
+ORACLE_SQL["preference_pairs"] = _CHANGES_CTE + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, coalesce(length(text), -1) AS len
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+), ch AS (
+  SELECT conv_id, turn_idx, len,
+         row_number() OVER (PARTITION BY conv_id ORDER BY len DESC, turn_idx ASC) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM state
+), rj AS (
+  SELECT conv_id, turn_idx, len,
+         row_number() OVER (PARTITION BY conv_id ORDER BY len ASC, turn_idx DESC) AS rn
+  FROM state
+)
+SELECT ch.conv_id,
+       CAST(ch.turn_idx AS BIGINT) AS chosen_turn_idx,
+       CAST(ch.len AS BIGINT) AS chosen_len,
+       CAST(rj.turn_idx AS BIGINT) AS rejected_turn_idx,
+       CAST(rj.len AS BIGINT) AS rejected_len,
+       CAST(ch.len - rj.len AS BIGINT) AS margin
+FROM ch JOIN rj ON ch.conv_id = rj.conv_id AND rj.rn = 1
+WHERE ch.rn = 1 AND ch.n_turns >= 2
+"""
+
+
+_CURR_STAGES = 4
+
+
+def _ntile_of_rank(rank: np.ndarray, total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from exact 1-based global ranks: the first
+    ``total % k`` tiles hold ``total // k + 1`` rows, the rest hold
+    ``total // k`` (ANSI / DuckDB semantics)."""
+    q, rem = divmod(total, k)
+    big = q + 1
+    cut = rem * big
+    lo = 1 + (rank - 1) // big if big else np.ones_like(rank)
+    hi = rem + 1 + (rank - cut - 1) // max(q, 1)
+    return np.where(rank <= cut, lo, hi).astype(np.int64)
+
+
+def curriculum_ntile_stages(sf_dir: str):
+    """Curriculum construction: assign every document a global
+    NTILE(4) difficulty stage ordered by (n_tokens, doc_id) and report
+    per (stage, source) doc counts and token sums — the "sort the
+    corpus easy->hard, then schedule stages" step of curriculum
+    training, as an EXACT distributed global ntile.
+
+    Scale shape (the bounded-domain variant of the TeraSort rank,
+    lineitem_global_rank): (1) one tiny (n_tokens) histogram aggregate
+    fixes the exact global rank offset of every distinct token count —
+    O(domain) rows, not O(docs); (2) docs shuffle ONCE on a token-count
+    hash bucket, each bucket lexsorts (n_tokens, doc_id), numbers the
+    intra-count runs by cumcount reset, adds the broadcast offsets, and
+    collapses straight to (stage, source) partials; (3) a final
+    O(k x sources) groupby.  No stage holds more than a bucket; the
+    driver sees only the histogram."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = token_counts(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_tokens": toks.column("n_tokens"),
+            }
+        )
+
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow")
+
+    # (1) exact histogram over the token-count domain
+    def hist(b: pa.Table) -> pa.Table:
+        g = pa.table({"n_tokens": b.column("n_tokens")}).group_by("n_tokens").aggregate(
+            [("n_tokens", "count")]
+        )
+        return pa.table(
+            {
+                "n_tokens": g.column("n_tokens"),
+                "pn": pc.cast(g.column("n_tokens_count"), pa.int64()),
+            }
+        )
+
+    h = (
+        toks.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    tok_vals = h["n_tokens"].to_numpy().astype(np.int64)
+    counts = h["n"].to_numpy().astype(np.int64)
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]  # rank offset per distinct count
+    total = int(counts.sum())
+
+    nb = _nb()
+
+    def bucket_prep(b: pa.Table) -> pa.Table:
+        tok = _np(b.column("n_tokens"))
+        return b.append_column(
+            "bucket", pa.array(((tok * _SAMPLE_MULT) % 1_000_000_007 & (nb - 1)).astype(np.int32))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("stage", pa.int64()),
+            ("source", pa.string()),
+            ("pn", pa.int64()),
+            ("ptok", pa.int64()),
+        ]
+    )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        tok = _np(g.column("n_tokens"))
+        did = _np(g.column("doc_id"))
+        order = np.lexsort((did, tok))
+        tok_s, did_s = tok[order], did[order]
+        n = len(tok_s)
+        starts = np.flatnonzero(np.r_[True, tok_s[1:] != tok_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        intra = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        rank = offsets[np.searchsorted(tok_vals, tok_s)] + intra + 1
+        stage = _ntile_of_rank(rank, total, _CURR_STAGES)
+        src = np.asarray(g.column("source").combine_chunks())[order]
+        t = pa.table(
+            {
+                "stage": pa.array(stage),
+                "source": pa.array(src),
+                "one": pa.array(np.ones(n, np.int64)),
+                "tk": pa.array(tok_s),
+            }
+        )
+        p = t.group_by(["stage", "source"]).aggregate([("one", "sum"), ("tk", "sum")])
+        return pa.table(
+            {
+                "stage": p.column("stage"),
+                "source": p.column("source"),
+                "pn": p.column("one_sum"),
+                "ptok": p.column("tk_sum"),
+            }
+        )
+
+    partials = (
+        toks.map_batches(bucket_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+    agg = partials.groupby(["stage", "source"]).aggregate(
+        Sum("pn", alias_name="n_docs"), Sum("ptok", alias_name="sum_tokens")
+    )
+    return agg.to_pandas()[["stage", "source", "n_docs", "sum_tokens"]]
+
+
+QUERIES["curriculum_ntile_stages"] = curriculum_ntile_stages
+
+ORACLE_SQL["curriculum_ntile_stages"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), st AS (
+  SELECT source, n_tokens,
+         ntile(4) OVER (ORDER BY n_tokens, doc_id) AS stage
+  FROM toks
+)
+SELECT CAST(stage AS BIGINT) AS stage, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM st GROUP BY stage, source
+"""

@@ -1,0 +1,177 @@
+"""Edge cases for the rate-limit / preference-pair / curriculum-ntile
+operators on crafted data:
+
+- events_rate_limit: same-day overflow drops slot>3; ts ties broken by
+  event_id; day boundaries reset the budget; keys split across blocks;
+- preference_pairs: 1-turn convs excluded; all-equal scores pick
+  (min turn, max turn); null text scores -1; delete tombstones leave
+  the conversation before pairing;
+- curriculum_ntile_stages: ties on n_tokens straddling a stage
+  boundary split by doc_id exactly as SQL NTILE does, for totals both
+  divisible and non-divisible by 4 (uneven tile sizes).
+Compared against the registered DuckDB oracles (same compare as the
+driver gate).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+    _ntile_of_rank,
+)
+
+
+def _cmp(got, exp, keys):
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert sorted(got.columns) == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def _oracle(sf_dir: str, name: str, tables) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(ORACLE_SQL[name]).fetchdf()
+
+
+def _write_events(tmp_path, rows):
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array([r[4] for r in rows]),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_rate_limit_overflow_ties_and_day_reset(ray_session, tmp_path):
+    # user 1 day 1: five events, two sharing ts (tie -> event_id) —
+    # keep 3; user 1 day 2: budget resets; user 2 independent.
+    rows = [
+        (10, "2024-01-01T10:00:00", 1, "click", None),
+        (11, "2024-01-01T10:00:00", 1, "click", None),  # ts tie with 10
+        (12, "2024-01-01T11:00:00", 1, "click", None),
+        (13, "2024-01-01T12:00:00", 1, "click", None),  # slot 4 -> drop
+        (14, "2024-01-01T23:59:59", 1, "click", None),  # slot 5 -> drop
+        (15, "2024-01-02T00:00:00", 1, "click", None),  # new day, slot 1
+        (16, "2024-01-01T05:00:00", 2, "view", None),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = QUERIES["events_rate_limit"](sf).to_pandas()
+    exp = _oracle(sf, "events_rate_limit", ["events"])
+    _cmp(got, exp, ["event_id"])
+    kept = set(got["event_id"])
+    assert kept == {10, 11, 12, 15, 16}
+    slots = got.set_index("event_id")["slot"]
+    assert slots[10] == 1 and slots[11] == 2 and slots[12] == 3 and slots[15] == 1
+
+
+def test_preference_pairs_singleton_ties_nulls_and_deletes(ray_session, tmp_path):
+    # conv-1 (user 1): three live turns, scores 9/2/9 -> chosen is the
+    #   LOWER turn of the len-9 tie, rejected is the len-2 turn;
+    # conv-2 (user 2): single live turn -> excluded;
+    # conv-3 (user 3): two turns with EQUAL scores -> chosen=min turn,
+    #   rejected=max turn;
+    # conv-4 (user 4): null text (len -1) loses to a real turn;
+    # conv-5 (user 5): two inserts then a delete of one -> singleton,
+    #   excluded.
+    rows = [
+        (101, "2024-01-01T00:00:01", 1, "signup", "x" * 9),
+        (102, "2024-01-01T00:00:02", 1, "click", "yy"),
+        (103, "2024-01-01T00:00:03", 1, "click", "z" * 9),
+        (201, "2024-01-01T00:00:01", 2, "signup", "solo"),
+        (301, "2024-01-01T00:00:01", 3, "signup", "aaaa"),
+        (302, "2024-01-01T00:00:02", 3, "click", "bbbb"),
+        (401, "2024-01-01T00:00:01", 4, "signup", None),
+        (402, "2024-01-01T00:00:02", 4, "click", "ok"),
+        (501, "2024-01-01T00:00:01", 5, "signup", "live"),
+        (502, "2024-01-01T00:00:02", 5, "click", "dead"),
+        # turn_idx = event_id % 100, so lsn 602 deletes conv-5 turn 2 (=502)
+        (602, "2024-01-01T00:00:03", 5, "error", None),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = QUERIES["preference_pairs"](sf).to_pandas()
+    exp = _oracle(sf, "preference_pairs", ["events"])
+    _cmp(got, exp, ["conv_id"])
+    r = got.set_index("conv_id")
+    assert set(r.index) == {"conv-1", "conv-3", "conv-4"}
+    assert r.loc["conv-1", "chosen_turn_idx"] == 1  # tie -> lower turn
+    assert r.loc["conv-1", "rejected_turn_idx"] == 2
+    assert r.loc["conv-1", "margin"] == 7
+    assert r.loc["conv-3", "chosen_turn_idx"] == 1  # all-equal: min turn
+    assert r.loc["conv-3", "rejected_turn_idx"] == 2  # all-equal: max turn
+    assert r.loc["conv-3", "margin"] == 0
+    assert r.loc["conv-4", "rejected_len"] == -1  # null text
+
+
+@pytest.mark.parametrize("n_docs", [16, 17, 18, 19])
+def test_curriculum_ntile_tie_splits(ray_session, tmp_path, n_docs):
+    # All docs share ONE of two token counts so the stage boundary
+    # falls inside a tie run; doc_id must split it exactly like NTILE.
+    rows = []
+    for i in range(n_docs):
+        tok = 2 if i < n_docs - 3 else 5  # big tie run + a small tail
+        rows.append((1000 + i, " ".join(["w"] * tok), "en", f"src{i % 2}", 1))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = QUERIES["curriculum_ntile_stages"](str(tmp_path))
+    exp = _oracle(str(tmp_path), "curriculum_ntile_stages", ["documents"])
+    _cmp(got, exp, ["stage", "source"])
+    assert got["n_docs"].sum() == n_docs
+
+
+def test_ntile_of_rank_matches_duckdb():
+    for total in (1, 2, 3, 4, 5, 7, 8, 100, 101, 103):
+        ranks = np.arange(1, total + 1, dtype=np.int64)
+        got = _ntile_of_rank(ranks, total, 4)
+        exp = (
+            duckdb.sql(
+                f"SELECT ntile(4) OVER (ORDER BY r) FROM (SELECT unnest(range(1, {total + 1})) r)"
+            )
+            .fetchnumpy()
+        )
+        exp = exp[list(exp.keys())[0]].astype(np.int64)
+        assert (got == exp).all(), total
+
+
+def test_new_ops_plan_shapes(ray_session):
+    """Exchange budgets at sf0.001: rate limit = one bucket exchange;
+    preference pairs = the replay's ONE shuffle, nothing extra;
+    curriculum = histogram agg + bucket exchange + tiny (stage, source)
+    sum — <= 3 all-to-alls, none over O(rows) wide data twice."""
+    sf = "/root/testdata/sf0.001"
+    budgets = {"events_rate_limit": 1, "preference_pairs": 1, "curriculum_ntile_stages": 3}
+    for name, budget in budgets.items():
+        res = QUERIES[name](sf)
+        if isinstance(res, pd.DataFrame):
+            continue  # curriculum returns the final tiny frame
+        stats = res.materialize().stats()
+        assert stats.count("SortReduce") <= budget, (name, stats)
