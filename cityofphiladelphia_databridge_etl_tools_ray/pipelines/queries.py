@@ -12785,3 +12785,168 @@ SELECT CAST(stage AS BIGINT) AS stage, source,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM st GROUP BY stage, source
 """
+
+
+_PARTIAL_STATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _derive_sparse_changelog(sf_dir: str):
+    """The partial-update (Debezium-style patch) variant of the derived
+    WAL: update events carry NULL for columns they do not touch —
+    deterministically, role is omitted when event_id % 3 == 0 and text
+    when event_id % 2 == 0 — and a NULL column means KEEP the prior
+    value, not "set to null".  Inserts and deletes are unchanged."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "props"])
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        is_upd = pc.invert(pc.is_in(et, pa.array(["error", "signup"])))
+        op = pc.if_else(
+            pc.equal(et, "error"),
+            pa.scalar("delete"),
+            pc.if_else(pc.equal(et, "signup"), pa.scalar("insert"), pa.scalar("update")),
+        )
+        eid = _np(b.column("event_id"))
+        conv = pc.binary_join_element_wise(
+            pa.scalar("conv-"), pc.cast(b.column("user_id"), pa.string()), ""
+        )
+        null_role = pc.and_(is_upd, pa.array(eid % 3 == 0))
+        null_text = pc.and_(is_upd, pa.array(eid % 2 == 0))
+        return pa.table(
+            {
+                "op": op,
+                "lsn": b.column("event_id"),
+                "conv_id": conv,
+                "turn_idx": pa.array((eid % 100).astype(np.int32)),
+                "role": pc.if_else(null_role, pa.nulls(len(b), pa.string()), et),
+                "text": pc.if_else(null_text, pa.nulls(len(b), pa.string()), b.column("props")),
+                "ts": b.column("ts"),
+            }
+        )
+
+    return ds.map_batches(to_changes, batch_format="pyarrow")
+
+
+def cdc_replay_partial_updates(sf_dir: str):
+    """Partial-update (patch-event) CDC merge: replay a WAL whose
+    update events only carry the columns they change (NULL = keep
+    prior value) into final per-key state.  Per column the winner is
+    the LAST NON-NULL writer at an lsn after the key's last tombstone;
+    the key exists iff any insert/update survives the last tombstone.
+    This is the per-column generalization of the whole-row LWW merge
+    (stages/merge.py) for sources that emit sparse diffs instead of
+    full row images (reference upsert ships whole rows,
+    databridge_etl_tools/postgres/postgres.py upsert_csv — the sparse
+    form is what a binlog/Debezium feed delivers).
+
+    Scale shape: the payload ships ONCE through one conv-hash bucketed
+    exchange (no pre-reduce — partial merges need every change row,
+    unlike LWW where the combiner keeps only the latest per key), then
+    one vectorized kernel per bucket: lexsort (conv, turn, lsn),
+    segmented maxima (np.maximum.reduceat) locate the last tombstone
+    and each column's last non-null writer per key run, one gather per
+    column.  No per-key Python."""
+
+    changes = _derive_sparse_changelog(sf_dir)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _PARTIAL_STATE_SCHEMA.empty_table()
+        conv = np.asarray(g.column("conv_id").combine_chunks())
+        turn = _np(pc.cast(g.column("turn_idx"), pa.int64()))
+        lsn = _np(g.column("lsn"))
+        codes, inverse = np.unique(conv, return_inverse=True)
+        order = np.lexsort((lsn, turn, inverse))
+        inv_s, turn_s, lsn_s = inverse[order], turn[order], lsn[order]
+        n = len(order)
+        starts = np.flatnonzero(
+            np.r_[True, (inv_s[1:] != inv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
+        )
+        sizes = np.diff(np.r_[starts, n])
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        pos = np.arange(n, dtype=np.int64)
+
+        op_s = g.column("op").combine_chunks().take(pa.array(order))
+        is_del = _np(pc.equal(op_s, pa.scalar("delete")))
+        # last tombstone position per run (-1 if none)
+        last_del = np.maximum.reduceat(np.where(is_del, pos, -1), starts)
+        live = ~is_del & (pos > last_del[run_id])
+
+        alive_runs = np.maximum.reduceat(np.where(live, pos, -1), starts) >= 0
+        keep_runs = np.flatnonzero(alive_runs)
+        if len(keep_runs) == 0:
+            return _PARTIAL_STATE_SCHEMA.empty_table()
+
+        def last_nonnull(col_name: str) -> pa.Array:
+            col = g.column(col_name).combine_chunks().take(pa.array(order))
+            vc = live & _np(pc.is_valid(col))
+            idx = np.maximum.reduceat(np.where(vc, pos, -1), starts)[keep_runs]
+            take_idx = pa.array(
+                np.where(idx >= 0, idx, 0), mask=(idx < 0)
+            )  # masked index -> null output
+            return col.take(take_idx)
+
+        first = starts[keep_runs]
+        return pa.table(
+            {
+                "conv_id": pa.array(codes[inv_s[first]]),
+                "turn_idx": pa.array(turn_s[first].astype(np.int32)),
+                "role": last_nonnull("role"),
+                "text": last_nonnull("text"),
+                "ts": last_nonnull("ts"),
+            }
+        )
+
+    return (
+        changes.map_batches(_conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+QUERIES["cdc_replay_partial_updates"] = cdc_replay_partial_updates
+
+_SPARSE_CTE = """
+WITH sparse AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'signup' THEN 'insert'
+              ELSE 'update' END AS op,
+         event_id AS lsn,
+         'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 100 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type NOT IN ('error', 'signup') AND event_id % 3 = 0
+              THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type NOT IN ('error', 'signup') AND event_id % 2 = 0
+              THEN NULL ELSE props END AS text,
+         ts
+  FROM events
+)
+"""
+
+ORACLE_SQL["cdc_replay_partial_updates"] = _SPARSE_CTE + """
+, dl AS (
+  SELECT conv_id, turn_idx, max(lsn) FILTER (WHERE op = 'delete') AS del_lsn
+  FROM sparse GROUP BY conv_id, turn_idx
+), live AS (
+  SELECT s.* FROM sparse s JOIN dl USING (conv_id, turn_idx)
+  WHERE s.op <> 'delete' AND (dl.del_lsn IS NULL OR s.lsn > dl.del_lsn)
+), merged AS (
+  SELECT conv_id, turn_idx,
+         last_value(role IGNORE NULLS) OVER w AS role,
+         last_value(text IGNORE NULLS) OVER w AS text,
+         last_value(ts IGNORE NULLS) OVER w AS ts,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, turn_idx, role, text, ts FROM merged WHERE rn = 1
+"""

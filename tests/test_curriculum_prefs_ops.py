@@ -175,3 +175,51 @@ def test_new_ops_plan_shapes(ray_session):
             continue  # curriculum returns the final tiny frame
         stats = res.materialize().stats()
         assert stats.count("SortReduce") <= budget, (name, stats)
+
+
+def test_partial_updates_patch_semantics(ray_session, tmp_path):
+    """Sparse-WAL merge rules, crafted per key (turn_idx = id % 100;
+    updates null role when id%3==0 and text when id%2==0):
+
+    - conv-7/51: insert(role=signup, text=v1) then a patch with role
+      omitted and text=v2 -> role falls through to signup, text=v2;
+    - conv-8/52: insert(w1), DELETE, then a patch with text omitted ->
+      row exists with text NULL (tombstone cleared pre-delete history);
+    - conv-9/53: insert then delete, nothing after -> gone;
+    - conv-10/54: a single patch upsert with text omitted -> role from
+      the patch, text NULL;
+    - conv-11/55: three text writers -> the last non-null (lsn 555)
+      wins text, while its omitted role falls back to lsn 355's.
+    """
+    rows = [
+        (151, "2024-01-01T00:00:01", 7, "signup", "v1"),
+        (351, "2024-01-01T00:00:02", 7, "click", "v2"),   # 351%3==0: role omitted
+        (152, "2024-01-01T00:00:01", 8, "signup", "w1"),
+        (252, "2024-01-01T00:00:02", 8, "error", None),    # delete
+        (352, "2024-01-01T00:00:03", 8, "click", "w2"),    # 352%2==0: text omitted
+        (153, "2024-01-01T00:00:01", 9, "signup", "x1"),
+        (253, "2024-01-01T00:00:02", 9, "error", None),    # delete, final
+        (554, "2024-01-01T00:00:01", 10, "click", "y1"),   # 554%2==0: text omitted
+        (155, "2024-01-01T00:00:01", 11, "signup", "a"),
+        (355, "2024-01-01T00:00:02", 11, "click", "b"),
+        (555, "2024-01-01T00:00:03", 11, "view", "c"),     # 555%3==0: role omitted
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = QUERIES["cdc_replay_partial_updates"](sf).to_pandas()
+    exp = _oracle(sf, "cdc_replay_partial_updates", ["events"])
+    _cmp(got, exp, ["conv_id", "turn_idx"])
+    r = got.set_index(["conv_id", "turn_idx"])
+    assert ("conv-9", 53) not in r.index
+    assert r.loc[("conv-7", 51), "role"] == "signup" and r.loc[("conv-7", 51), "text"] == "v2"
+    assert r.loc[("conv-8", 52), "role"] == "click" and pd.isna(r.loc[("conv-8", 52), "text"])
+    assert r.loc[("conv-10", 54), "role"] == "click" and pd.isna(r.loc[("conv-10", 54), "text"])
+    assert r.loc[("conv-11", 55), "text"] == "c" and r.loc[("conv-11", 55), "role"] == "click"
+
+
+def test_partial_updates_plan_shape(ray_session):
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        cdc_replay_partial_updates,
+    )
+
+    stats = cdc_replay_partial_updates("/root/testdata/sf0.001").materialize().stats()
+    assert stats.count("SortReduce") <= 1, stats
