@@ -12950,3 +12950,123 @@ ORACLE_SQL["cdc_replay_partial_updates"] = _SPARSE_CTE + """
 )
 SELECT conv_id, turn_idx, role, text, ts FROM merged WHERE rn = 1
 """
+
+
+_DRIFT_SPLIT = np.datetime64("2024-01-16T00:00:00", "us")
+
+
+def events_value_decile_drift(sf_dir: str):
+    """Distribution-drift monitor: decile boundaries of the value
+    distribution are fit per event_type on the BASELINE cohort (events
+    before 2024-01-16), then both cohorts are bucketed against those
+    boundaries — the per-(type, decile) count table is exactly what a
+    PSI / KL drift score derives from, kept integer-exact so the
+    oracle hashes bit-for-bit.  Bucket rule: 1 + #(boundaries < v);
+    boundary d = min cents with A-CDF >= ceil(d*nA/10) (integer ceil),
+    the house histogram-CDF percentile convention
+    (events_type_percentiles).  Types unseen in the baseline land in
+    decile 1.
+
+    Scale shape: ONE (type, cohort, cents) histogram aggregate —
+    O(types x 2 x value-domain) rows leave the cluster, not O(events);
+    the driver folds the tiny histogram into boundaries and bucket
+    counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cohort": pa.array((ts >= _DRIFT_SPLIT).astype(np.int32)),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cohort", "cents"]).aggregate([("one", "sum")])
+        return _agg_select(
+            g, ["event_type", "cohort", "cents"], [("one_sum", "pn")]
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cohort", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+
+    out = []
+    for et, grp in h.groupby("event_type", sort=True):
+        a = grp[grp["cohort"] == 0].sort_values("cents")
+        cents_a, cnt_a = a["cents"].to_numpy(), a["n"].to_numpy()
+        if len(cents_a):
+            cum = np.cumsum(cnt_a)
+            tn = int(cum[-1])
+            targets = (np.arange(1, 10, dtype=np.int64) * tn + 9) // 10
+            bounds = cents_a[np.searchsorted(cum, targets, side="left")]
+        else:
+            bounds = np.empty(0, dtype=np.int64)
+        for cohort in (0, 1):
+            c = grp[grp["cohort"] == cohort]
+            if len(c) == 0:
+                continue
+            # decile = 1 + #(bounds strictly below v)
+            dec = np.searchsorted(bounds, c["cents"].to_numpy(), side="left") + 1
+            agg = np.bincount(dec, weights=c["n"].to_numpy(), minlength=11)
+            for d in np.flatnonzero(agg):
+                out.append((et, int(d), cohort, int(agg[d])))
+    f = pd.DataFrame(out, columns=["event_type", "decile", "cohort", "n"])
+    piv = (
+        f.pivot_table(
+            index=["event_type", "decile"], columns="cohort", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .reset_index()
+    )
+    piv.columns = ["event_type", "decile", "n_a", "n_b"]
+    piv["decile"] = piv["decile"].astype(np.int64)
+    piv["n_a"] = piv["n_a"].astype(np.int64)
+    piv["n_b"] = piv["n_b"].astype(np.int64)
+    return piv
+
+
+QUERIES["events_value_decile_drift"] = events_value_decile_drift
+
+ORACLE_SQL["events_value_decile_drift"] = """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS cohort,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), na AS (
+  SELECT event_type, count(*) AS tn FROM c WHERE cohort = 0 GROUP BY event_type
+), ha AS (
+  SELECT event_type, cents, count(*) AS cnt FROM c WHERE cohort = 0
+  GROUP BY event_type, cents
+), cdf AS (
+  SELECT event_type, cents,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM ha
+), bounds AS (
+  SELECT na.event_type, d.d AS d,
+         (SELECT min(cents) FROM cdf
+           WHERE cdf.event_type = na.event_type
+             AND cum >= (d.d * na.tn + 9) // 10) AS b
+  FROM na, (SELECT unnest(range(1, 10)) AS d) d
+), bucketed AS (
+  SELECT c.event_type, c.cohort,
+         1 + (SELECT count(*) FROM bounds bo
+               WHERE bo.event_type = c.event_type AND bo.b < c.cents) AS decile
+  FROM c
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+       CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b
+FROM bucketed GROUP BY event_type, decile
+"""

@@ -223,3 +223,40 @@ def test_partial_updates_plan_shape(ray_session):
 
     stats = cdc_replay_partial_updates("/root/testdata/sf0.001").materialize().stats()
     assert stats.count("SortReduce") <= 1, stats
+
+
+def test_value_decile_drift_edges(ray_session, tmp_path):
+    """Drift bucketing edges: a type with NO baseline rows lands every
+    drifted row in decile 1; an all-constant baseline puts every equal
+    value in decile 1 (boundaries are never strictly below it) and
+    larger values in decile 10; boundary ties use strictly-less."""
+    rows = []
+    eid = 1
+    # type 'flat': baseline all 2.00, drifted half 2.00 / half 9.99
+    for _ in range(20):
+        rows.append((eid, "2024-01-05T00:00:00", 1, "flat", 2.0)); eid += 1
+    for _ in range(5):
+        rows.append((eid, "2024-01-20T00:00:00", 1, "flat", 2.0)); eid += 1
+    for _ in range(5):
+        rows.append((eid, "2024-01-20T00:00:00", 1, "flat", 9.99)); eid += 1
+    # type 'new': no baseline rows at all
+    for _ in range(4):
+        rows.append((eid, "2024-01-25T00:00:00", 2, "new", 123.45)); eid += 1
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([float(r[4]) for r in rows]),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    got = QUERIES["events_value_decile_drift"](str(tmp_path))
+    exp = _oracle(str(tmp_path), "events_value_decile_drift", ["events"])
+    _cmp(got, exp, ["event_type", "decile"])
+    r = got.set_index(["event_type", "decile"])
+    assert r.loc[("flat", 1), "n_a"] == 20 and r.loc[("flat", 1), "n_b"] == 5
+    assert r.loc[("flat", 10), "n_b"] == 5  # drifted mass lands past all bounds
+    assert r.loc[("new", 1), "n_b"] == 4 and r.loc[("new", 1), "n_a"] == 0
