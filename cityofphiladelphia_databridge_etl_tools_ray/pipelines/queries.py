@@ -13070,3 +13070,121 @@ SELECT event_type, CAST(decile AS BIGINT) AS decile,
        CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b
 FROM bucketed GROUP BY event_type, decile
 """
+
+
+from .similarity import contrastive_hard_negatives  # noqa: E402
+
+QUERIES["contrastive_hard_negatives"] = contrastive_hard_negatives
+
+ORACLE_SQL["contrastive_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id % 25 = 0
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql
+), r AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+  FROM s
+)
+SELECT qid, nid FROM r WHERE rnk = 1
+"""
+
+
+_LOSS_MASK_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("role", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("tok_start", pa.int64()),
+        ("tok_end", pa.int64()),
+        ("loss_mask", pa.int64()),
+    ]
+)
+
+
+def loss_mask_spans(sf_dir: str):
+    """SFT loss-masking span construction over the replayed transcript
+    state: concatenate each conversation's turns in turn order and
+    emit every turn's [tok_start, tok_end) token span plus a loss_mask
+    flag (1 on 'purchase' turns — the deterministic assistant-role
+    stand-in) — the offsets a chat-template packer needs to mask
+    non-target tokens out of the loss.  Token counts use the engine's
+    whitespace tokenizer (stages/text.py token_counts semantics; NULL
+    text counts 0).
+
+    Zero extra shuffle: convs are co-located by the merge partitioning
+    (batch == merge block); spans are one exclusive cumsum with
+    conv-boundary reset per block — no per-conv Python."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    from ..stages.text import TOKEN_SPLIT
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _LOSS_MASK_SCHEMA.empty_table()
+        conv = b.column("conv_id").combine_chunks()
+        turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
+        text = b.column("text").combine_chunks()
+        n_tok = _np(
+            pc.fill_null(
+                pc.cast(
+                    pc.list_value_length(pc.split_pattern_regex(text, TOKEN_SPLIT)),
+                    pa.int64(),
+                ),
+                0,
+            )
+        )
+        codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
+        order = np.lexsort((turn, inverse))
+        inv_s, turn_s, ntok_s = inverse[order], turn[order], n_tok[order]
+        n = len(order)
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        cum = np.cumsum(ntok_s)
+        excl = cum - ntok_s  # inclusive -> exclusive prefix
+        tok_start = excl - np.repeat(excl[starts], sizes)
+        role_s = b.column("role").combine_chunks().take(pa.array(order))
+        return pa.table(
+            {
+                "conv_id": pa.array(codes[inv_s]),
+                "turn_idx": pa.array(turn_s),
+                "role": role_s,
+                "n_tokens": pa.array(ntok_s),
+                "tok_start": pa.array(tok_start),
+                "tok_end": pa.array(tok_start + ntok_s),
+                "loss_mask": pc.cast(pc.equal(role_s, pa.scalar("purchase")), pa.int64()),
+            }
+        )
+
+    return state.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["loss_mask_spans"] = loss_mask_spans
+
+ORACLE_SQL["loss_mask_spans"] = _CHANGES_CTE + r"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+), t AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(text, '\s+')) END AS n_tokens
+  FROM state
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
+       CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens AS BIGINT) AS tok_end,
+       CAST(role = 'purchase' AS BIGINT) AS loss_mask
+FROM t
+"""

@@ -640,3 +640,94 @@ def embedding_pca_topk(sf_dir: str):
             "explained_ratio": top / total,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+_HN_QUERY_MOD = 25  # queries = vectors with vec_id % 25 == 0
+
+
+def _hn_select_queries(b: pa.Table) -> pa.Table:
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    return b.filter(pa.array(ids % _HN_QUERY_MOD == 0))
+
+
+def _hn_queries_ref(sf_dir: str):
+    """Broadcast query set for hard-negative mining: embeddings AND
+    labels (the exclusion is same-label, not same-id).  The mod filter
+    runs distributed (pyarrow dataset expressions lack %); only the
+    reduced 1/25 query slice reaches the driver."""
+    import ray
+    import ray.data
+
+    q = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(_hn_select_queries, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qm = _normalize(np.stack([np.asarray(v, np.float64) for v in q["embedding"]]))
+    return ray.put(
+        {
+            "qids": q["vec_id"].to_numpy(np.int64),
+            "qlabels": q["label"].to_numpy(np.int64),
+            "Q": qm,
+        }
+    )
+
+
+def _hn_local_best(b: pa.Table, *, ref) -> pa.Table:
+    """Per-batch exact scorer: each query's best DIFFERENT-LABEL
+    candidate in this batch (sim desc, nid asc tie-break) — ≤1 row per
+    (query, batch) reaches the merge."""
+    d = _deref(ref)
+    qids, qlabels, Q = d["qids"], d["qlabels"], d["Q"]
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    labels = np.asarray(b.column("label"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+    S = Q @ M.T  # (Q, B)
+    S[qlabels[:, None] == labels[None, :]] = -np.inf  # same label excluded
+    rows, cols = _rows_topk(S, ids, 1)
+    keep = np.isfinite(S[rows, cols])
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "qid": pa.array(qids[rows]),
+            "nid": pa.array(ids[cols]),
+            "sim": pa.array(S[rows, cols]),
+        }
+    )
+
+
+def _hn_merge(g: pd.DataFrame) -> pd.DataFrame:
+    g = g[np.isfinite(g["sim"])]
+    g = g.sort_values(["sim", "nid"], ascending=[False, True], kind="stable").head(1)
+    return pd.DataFrame({"qid": g["qid"].to_numpy(), "nid": g["nid"].to_numpy()})
+
+
+def contrastive_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for every query
+    vector (vec_id % 25 == 0), the single most-cosine-similar vector
+    with a DIFFERENT label — the "hardest" negative an InfoNCE/triplet
+    batch builder pairs with each anchor.  Exact brute-force: the tiny
+    (query, label) set broadcasts once (`ray.put`), every batch scores
+    one (Q, B) float64 matmul and emits ≤1 candidate per query, the
+    final per-qid merge sees O(queries x blocks) rows.  Deterministic
+    tie-break (sim desc, nid asc) via the shared `_rows_topk`
+    boundary-tie-safe kernel."""
+    import ray.data
+
+    ref = _hn_queries_ref(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return (
+        ds.map_batches(_hn_local_best, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(_hn_merge, batch_format="pandas")
+    )

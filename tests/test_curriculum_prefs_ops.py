@@ -260,3 +260,65 @@ def test_value_decile_drift_edges(ray_session, tmp_path):
     assert r.loc[("flat", 1), "n_a"] == 20 and r.loc[("flat", 1), "n_b"] == 5
     assert r.loc[("flat", 10), "n_b"] == 5  # drifted mass lands past all bounds
     assert r.loc[("new", 1), "n_b"] == 4 and r.loc[("new", 1), "n_a"] == 0
+
+
+def _write_emb(path, vecs):
+    emb = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array([v[0] for v in vecs.values()], pa.list_(pa.float32())),
+            "label": pa.array([v[1] for v in vecs.values()], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(path / "embeddings.parquet"))
+    return str(path)
+
+
+def test_hard_negatives_label_exclusion_and_ties(ray_session, tmp_path):
+    """Case A: every vector shares the query's label -> empty output.
+    Case B: the query's nearest same-label vector is skipped; two
+    identical-embedding different-label candidates tie exactly on sim
+    and break by lower nid."""
+    a = tmp_path / "a"; a.mkdir()
+    sf_a = _write_emb(a, {
+        0: ([1.0, 0.0, 0.0, 0.0], 9),
+        1: ([0.9, 0.1, 0.0, 0.0], 9),
+        2: ([0.0, 1.0, 0.0, 0.0], 9),
+    })
+    got = QUERIES["contrastive_hard_negatives"](sf_a).to_pandas()
+    exp = _oracle(sf_a, "contrastive_hard_negatives", ["embeddings"])
+    assert len(got) == 0 and len(exp) == 0
+
+    b = tmp_path / "b"; b.mkdir()
+    sf_b = _write_emb(b, {
+        25: ([0.0, 1.0, 0.0, 0.0], 0),
+        26: ([0.0, 0.99, 0.1, 0.0], 0),  # nearest but SAME label -> skipped
+        30: ([0.0, 0.8, 0.6, 0.0], 1),   # tied pair, different labels
+        31: ([0.0, 0.8, 0.6, 0.0], 2),
+        40: ([0.0, 0.0, 0.0, 1.0], 3),   # orthogonal, lower sim
+    })
+    got = QUERIES["contrastive_hard_negatives"](sf_b).to_pandas()
+    exp = _oracle(sf_b, "contrastive_hard_negatives", ["embeddings"])
+    _cmp(got, exp, ["qid"])
+    r = got.set_index("qid")
+    assert r.loc[25, "nid"] == 30  # exact tie (30 vs 31) -> lower nid
+
+
+def test_loss_mask_spans_contiguity_and_nulls(ray_session, tmp_path):
+    """Null text counts 0 tokens (empty span); spans are contiguous
+    per conversation; deleted turns drop out of the packing."""
+    rows = [
+        (101, "2024-01-01T00:00:01", 1, "signup", "a b c"),      # 3 tokens
+        (102, "2024-01-01T00:00:02", 1, "click", None),          # 0 tokens
+        (103, "2024-01-01T00:00:03", 1, "purchase", "d e"),      # masked target
+        (104, "2024-01-01T00:00:04", 1, "error", None),          # deletes turn 4
+        (204, "2024-01-01T00:00:05", 1, "view", "x y z w"),      # turn 4 recreated
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = QUERIES["loss_mask_spans"](sf).to_pandas()
+    exp = _oracle(sf, "loss_mask_spans", ["events"])
+    _cmp(got, exp, ["conv_id", "turn_idx"])
+    r = got.set_index("turn_idx").sort_index()
+    assert list(r["tok_start"]) == [0, 3, 3, 5]
+    assert list(r["tok_end"]) == [3, 3, 5, 9]
+    assert list(r["loss_mask"]) == [0, 0, 1, 0]
