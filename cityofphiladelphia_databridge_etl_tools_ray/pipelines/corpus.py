@@ -1844,3 +1844,111 @@ def bm25_topk(sf_dir: str, k: int = 20):
         .head(k)
         .reset_index(drop=True)
     )
+
+
+_CONTAM_PREFIX = 100  # opening-prefix identity (chars), mirrored in the oracle
+
+_CONTAM_SCHEMA = pa.schema(
+    [
+        ("source_a", pa.string()),
+        ("source_b", pa.string()),
+        ("pn", pa.int64()),
+    ]
+)
+
+
+def source_contamination_matrix(sf_dir: str):
+    """Cross-source contamination audit: for every unordered source
+    pair, the number of doc pairs sharing the same 100-char opening
+    (same source counts C(c,2) internal pairs) — the "which crawls
+    leak into which" matrix a corpus curator reads before mixing
+    sources.  Keying on the opening prefix (boilerplate headers,
+    copied intros) rather than the full byte-identical text is what
+    makes the audit catch the near-dup family exact dedup misses.
+
+    Scale shape (the dedup_exact chassis): batch-local (prefix,
+    source) count partials, ONE coarse fingerprint-bucket exchange
+    carrying one row per distinct (prefix, source) per batch, then a
+    vectorized per-bucket resolve: full-prefix grouping (fp collisions
+    can't leak across buckets' pair math), a pandas self-merge per
+    bucket turns per-source copy counts into c_x*c_y / C(c,2) pair
+    counts, and a final O(sources^2) groupby sums bucket partials."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _nb  # late import: queries imports corpus
+
+    nb = _nb()
+
+    def local(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.utf8_slice_codeunits(b.column("text"), 0, _CONTAM_PREFIX),
+        )
+        g = b.group_by(["text", "source"]).aggregate([("doc_id", "count")])
+        txt = g.column("text")
+        fp = pd.util.hash_array(
+            np.asarray(txt.to_pandas(), dtype=object), categorize=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((fp & (nb - 1)).astype(np.int32)),
+                "text": txt,
+                "source": g.column("source"),
+                "pn": pc.cast(g.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _CONTAM_SCHEMA.empty_table()
+        a = (
+            g.select(["text", "source", "pn"])
+            .group_by(["text", "source"])
+            .aggregate([("pn", "sum")])
+        )
+        df = pd.DataFrame(
+            {
+                "text": a.column("text").to_pandas(),
+                "source": a.column("source").to_pandas(),
+                "c": a.column("pn_sum").to_numpy(zero_copy_only=False),
+            }
+        )
+        m = df.merge(df, on="text", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]
+        same = m["source_a"] == m["source_b"]
+        pairs = np.where(
+            same,
+            m["c_a"].to_numpy() * (m["c_a"].to_numpy() - 1) // 2,
+            m["c_a"].to_numpy() * m["c_b"].to_numpy(),
+        )
+        m = m.assign(pn=pairs)
+        m = m[m["pn"] > 0]
+        out = m.groupby(["source_a", "source_b"], as_index=False)["pn"].sum()
+        return pa.table(
+            {
+                "source_a": pa.array(out["source_a"]),
+                "source_b": pa.array(out["source_b"]),
+                "pn": pa.array(out["pn"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+    partials = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    agg = partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("pn", alias_name="n_pairs")
+    )
+    df = agg.to_pandas()
+    if df.empty:  # no shared openings anywhere: keep the schema stable
+        return pd.DataFrame(
+            {"source_a": pd.Series(dtype=object),
+             "source_b": pd.Series(dtype=object),
+             "n_pairs": pd.Series(dtype=np.int64)}
+        )
+    return df[["source_a", "source_b", "n_pairs"]]

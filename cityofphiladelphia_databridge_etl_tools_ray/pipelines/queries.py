@@ -13188,3 +13188,19 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
        CAST(role = 'purchase' AS BIGINT) AS loss_mask
 FROM t
 """
+
+
+from .corpus import source_contamination_matrix  # noqa: E402
+
+QUERIES["source_contamination_matrix"] = source_contamination_matrix
+
+ORACLE_SQL["source_contamination_matrix"] = """
+WITH d AS (SELECT doc_id, source, substr(text, 1, 100) AS k FROM documents),
+p AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1, 2
+"""

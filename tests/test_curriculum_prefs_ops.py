@@ -322,3 +322,41 @@ def test_loss_mask_spans_contiguity_and_nulls(ray_session, tmp_path):
     assert list(r["tok_start"]) == [0, 3, 3, 5]
     assert list(r["tok_end"]) == [3, 3, 5, 9]
     assert list(r["loss_mask"]) == [0, 0, 1, 0]
+
+
+def test_contamination_matrix_pair_math_and_empty(ray_session, tmp_path):
+    """Pair counting: same-source C(c,2), cross-source c_x*c_y, keyed
+    on the 100-char opening (doc 4 shares doc 1's opening but differs
+    past char 100); an all-distinct corpus returns an EMPTY frame with
+    a stable schema."""
+    docs = [
+        (1, "shared opening " * 10, "srcA"),            # 150 chars
+        (2, "shared opening " * 10, "srcA"),            # same key, same source
+        (3, "shared opening " * 10, "srcB"),            # same key, cross source
+        (4, ("shared opening " * 10)[:100] + " DIFFERENT TAIL", "srcB"),
+        (5, "something else entirely", "srcA"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array([d[2] for d in docs]),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    a = tmp_path / "a"; a.mkdir()
+    pq.write_table(t, str(a / "documents.parquet"))
+    got = QUERIES["source_contamination_matrix"](str(a))
+    exp = _oracle(str(a), "source_contamination_matrix", ["documents"])
+    _cmp(got, exp, ["source_a", "source_b"])
+    r = got.set_index(["source_a", "source_b"])["n_pairs"]
+    # docs 1,2 (srcA) and 3,4 (srcB) share the 100-char key:
+    # AA pairs C(2,2 choose)=1, AB = 2*2 = 4, BB = C(2,2)=1
+    assert r[("srcA", "srcA")] == 1 and r[("srcA", "srcB")] == 4 and r[("srcB", "srcB")] == 1
+
+    b = tmp_path / "b"; b.mkdir()
+    t2 = t.set_column(1, "text", pa.array(["u1", "u2 uu", "u3", "u4", "u5"]))
+    pq.write_table(t2, str(b / "documents.parquet"))
+    got2 = QUERIES["source_contamination_matrix"](str(b))
+    assert len(got2) == 0 and list(got2.columns) == ["source_a", "source_b", "n_pairs"]
