@@ -12487,6 +12487,39 @@ _RATE_LIMIT_SCHEMA = pa.schema(
 )
 
 
+def _rate_limit_kernel(g: pa.Table) -> pa.Table:
+    """Per-bucket throttle kernel (module scope so property tests
+    drive it directly): keep the first K per (user, day) by
+    (ts, event_id), vectorized run-length cumcount."""
+    if len(g) == 0:
+        return _RATE_LIMIT_SCHEMA.empty_table()
+    user = _np(g.column("user_id"))
+    eid = _np(g.column("event_id"))
+    ts_us = (
+        g.column("ts").to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    day = ts_us // _DAY_US
+    order = np.lexsort((eid, ts_us, day, user))
+    user_s, eid_s, ts_s, day_s = user[order], eid[order], ts_us[order], day[order]
+    n = len(user_s)
+    new_grp = np.r_[
+        True, (user_s[1:] != user_s[:-1]) | (day_s[1:] != day_s[:-1])
+    ]
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.r_[starts, n])
+    slot = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    keep = slot < _RATE_LIMIT_K
+    return pa.table(
+        {
+            "event_id": pa.array(eid_s[keep]),
+            "user_id": pa.array(user_s[keep]),
+            "ts": pa.array(ts_s[keep].view("datetime64[us]")),
+            "slot": pa.array(slot[keep] + 1),
+        }
+    )
+
+
 def events_rate_limit(sf_dir: str):
     """Throttle sampling — keep the first K=3 events per (user, day)
     in (ts, event_id) order (the per-key rate limiter an ingest tier
@@ -12496,40 +12529,10 @@ def events_rate_limit(sf_dir: str):
     (user, day) boundary reset) — the `sessionize_events` shape, no
     per-user Python and no per-(user, day) group materialization."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def kernel(g: pa.Table) -> pa.Table:
-        if len(g) == 0:
-            return _RATE_LIMIT_SCHEMA.empty_table()
-        user = _np(g.column("user_id"))
-        eid = _np(g.column("event_id"))
-        ts_us = (
-            g.column("ts").to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        hour = ts_us // _DAY_US
-        order = np.lexsort((eid, ts_us, hour, user))
-        user_s, eid_s, ts_s, hour_s = user[order], eid[order], ts_us[order], hour[order]
-        n = len(user_s)
-        new_grp = np.r_[
-            True, (user_s[1:] != user_s[:-1]) | (hour_s[1:] != hour_s[:-1])
-        ]
-        starts = np.flatnonzero(new_grp)
-        sizes = np.diff(np.r_[starts, n])
-        slot = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
-        keep = slot < _RATE_LIMIT_K
-        return pa.table(
-            {
-                "event_id": pa.array(eid_s[keep]),
-                "user_id": pa.array(user_s[keep]),
-                "ts": pa.array(ts_s[keep].view("datetime64[us]")),
-                "slot": pa.array(slot[keep] + 1),
-            }
-        )
-
     return (
         ds.map_batches(_user_bucket_prep, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(kernel, batch_format="pyarrow")
+        .map_groups(_rate_limit_kernel, batch_format="pyarrow")
     )
 
 
@@ -12571,38 +12574,42 @@ def preference_pairs(sf_dir: str):
     (batch == merge block), and the kernel is two lexsorts + group
     boundary gathers over ALL the block's conversations at once."""
     state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+    return state.map_batches(
+        _preference_pairs_kernel, batch_format="pyarrow", batch_size=None
+    )
 
-    def kernel(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return _PREF_PAIRS_SCHEMA.empty_table()
-        conv = b.column("conv_id").combine_chunks()
-        turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
-        score = _np(
-            pc.fill_null(pc.cast(pc.utf8_length(b.column("text")), pa.int64()), -1)
-        )
-        codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
-        n_turns = np.bincount(inverse, minlength=len(codes))
-        # chosen: (conv, -score, turn) ascending == score DESC, turn ASC
-        o1 = np.lexsort((turn, -score, inverse))
-        starts1 = np.flatnonzero(np.r_[True, inverse[o1][1:] != inverse[o1][:-1]])
-        chosen = o1[starts1]  # one row per conv, conv order = codes order
-        # rejected: (conv, score, -turn) ascending == score ASC, turn DESC
-        o2 = np.lexsort((-turn, score, inverse))
-        starts2 = np.flatnonzero(np.r_[True, inverse[o2][1:] != inverse[o2][:-1]])
-        rejected = o2[starts2]
-        keep = n_turns >= 2
-        return pa.table(
-            {
-                "conv_id": pa.array(codes[keep]),
-                "chosen_turn_idx": pa.array(turn[chosen][keep]),
-                "chosen_len": pa.array(score[chosen][keep]),
-                "rejected_turn_idx": pa.array(turn[rejected][keep]),
-                "rejected_len": pa.array(score[rejected][keep]),
-                "margin": pa.array(score[chosen][keep] - score[rejected][keep]),
-            }
-        )
 
-    return state.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+def _preference_pairs_kernel(b: pa.Table) -> pa.Table:
+    """Per-block preference-pair kernel (module scope so property
+    tests drive it directly against a brute-force reference)."""
+    if len(b) == 0:
+        return _PREF_PAIRS_SCHEMA.empty_table()
+    conv = b.column("conv_id").combine_chunks()
+    turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
+    score = _np(
+        pc.fill_null(pc.cast(pc.utf8_length(b.column("text")), pa.int64()), -1)
+    )
+    codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
+    n_turns = np.bincount(inverse, minlength=len(codes))
+    # chosen: (conv, -score, turn) ascending == score DESC, turn ASC
+    o1 = np.lexsort((turn, -score, inverse))
+    starts1 = np.flatnonzero(np.r_[True, inverse[o1][1:] != inverse[o1][:-1]])
+    chosen = o1[starts1]  # one row per conv, conv order = codes order
+    # rejected: (conv, score, -turn) ascending == score ASC, turn DESC
+    o2 = np.lexsort((-turn, score, inverse))
+    starts2 = np.flatnonzero(np.r_[True, inverse[o2][1:] != inverse[o2][:-1]])
+    rejected = o2[starts2]
+    keep = n_turns >= 2
+    return pa.table(
+        {
+            "conv_id": pa.array(codes[keep]),
+            "chosen_turn_idx": pa.array(turn[chosen][keep]),
+            "chosen_len": pa.array(score[chosen][keep]),
+            "rejected_turn_idx": pa.array(turn[rejected][keep]),
+            "rejected_len": pa.array(score[rejected][keep]),
+            "margin": pa.array(score[chosen][keep] - score[rejected][keep]),
+        }
+    )
 
 
 QUERIES["preference_pairs"] = preference_pairs
@@ -12856,59 +12863,61 @@ def cdc_replay_partial_updates(sf_dir: str):
     column.  No per-key Python."""
 
     changes = _derive_sparse_changelog(sf_dir)
-
-    def kernel(g: pa.Table) -> pa.Table:
-        if len(g) == 0:
-            return _PARTIAL_STATE_SCHEMA.empty_table()
-        conv = np.asarray(g.column("conv_id").combine_chunks())
-        turn = _np(pc.cast(g.column("turn_idx"), pa.int64()))
-        lsn = _np(g.column("lsn"))
-        codes, inverse = np.unique(conv, return_inverse=True)
-        order = np.lexsort((lsn, turn, inverse))
-        inv_s, turn_s, lsn_s = inverse[order], turn[order], lsn[order]
-        n = len(order)
-        starts = np.flatnonzero(
-            np.r_[True, (inv_s[1:] != inv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
-        )
-        sizes = np.diff(np.r_[starts, n])
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        pos = np.arange(n, dtype=np.int64)
-
-        op_s = g.column("op").combine_chunks().take(pa.array(order))
-        is_del = _np(pc.equal(op_s, pa.scalar("delete")))
-        # last tombstone position per run (-1 if none)
-        last_del = np.maximum.reduceat(np.where(is_del, pos, -1), starts)
-        live = ~is_del & (pos > last_del[run_id])
-
-        alive_runs = np.maximum.reduceat(np.where(live, pos, -1), starts) >= 0
-        keep_runs = np.flatnonzero(alive_runs)
-        if len(keep_runs) == 0:
-            return _PARTIAL_STATE_SCHEMA.empty_table()
-
-        def last_nonnull(col_name: str) -> pa.Array:
-            col = g.column(col_name).combine_chunks().take(pa.array(order))
-            vc = live & _np(pc.is_valid(col))
-            idx = np.maximum.reduceat(np.where(vc, pos, -1), starts)[keep_runs]
-            take_idx = pa.array(
-                np.where(idx >= 0, idx, 0), mask=(idx < 0)
-            )  # masked index -> null output
-            return col.take(take_idx)
-
-        first = starts[keep_runs]
-        return pa.table(
-            {
-                "conv_id": pa.array(codes[inv_s[first]]),
-                "turn_idx": pa.array(turn_s[first].astype(np.int32)),
-                "role": last_nonnull("role"),
-                "text": last_nonnull("text"),
-                "ts": last_nonnull("ts"),
-            }
-        )
-
     return (
         changes.map_batches(_conv_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(kernel, batch_format="pyarrow")
+        .map_groups(_partial_merge_kernel, batch_format="pyarrow")
+    )
+
+
+def _partial_merge_kernel(g: pa.Table) -> pa.Table:
+    """Per-bucket patch-merge kernel (module scope so property tests
+    drive it directly against a sequential reference)."""
+    if len(g) == 0:
+        return _PARTIAL_STATE_SCHEMA.empty_table()
+    conv = np.asarray(g.column("conv_id").combine_chunks())
+    turn = _np(pc.cast(g.column("turn_idx"), pa.int64()))
+    lsn = _np(g.column("lsn"))
+    codes, inverse = np.unique(conv, return_inverse=True)
+    order = np.lexsort((lsn, turn, inverse))
+    inv_s, turn_s = inverse[order], turn[order]
+    n = len(order)
+    starts = np.flatnonzero(
+        np.r_[True, (inv_s[1:] != inv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
+    )
+    sizes = np.diff(np.r_[starts, n])
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    pos = np.arange(n, dtype=np.int64)
+
+    op_s = g.column("op").combine_chunks().take(pa.array(order))
+    is_del = _np(pc.equal(op_s, pa.scalar("delete")))
+    # last tombstone position per run (-1 if none)
+    last_del = np.maximum.reduceat(np.where(is_del, pos, -1), starts)
+    live = ~is_del & (pos > last_del[run_id])
+
+    alive_runs = np.maximum.reduceat(np.where(live, pos, -1), starts) >= 0
+    keep_runs = np.flatnonzero(alive_runs)
+    if len(keep_runs) == 0:
+        return _PARTIAL_STATE_SCHEMA.empty_table()
+
+    def last_nonnull(col_name: str) -> pa.Array:
+        col = g.column(col_name).combine_chunks().take(pa.array(order))
+        vc = live & _np(pc.is_valid(col))
+        idx = np.maximum.reduceat(np.where(vc, pos, -1), starts)[keep_runs]
+        take_idx = pa.array(
+            np.where(idx >= 0, idx, 0), mask=(idx < 0)
+        )  # masked index -> null output
+        return col.take(take_idx)
+
+    first = starts[keep_runs]
+    return pa.table(
+        {
+            "conv_id": pa.array(codes[inv_s[first]]),
+            "turn_idx": pa.array(turn_s[first].astype(np.int32)),
+            "role": last_nonnull("role"),
+            "text": last_nonnull("text"),
+            "ts": last_nonnull("ts"),
+        }
     )
 
 
@@ -13120,47 +13129,51 @@ def loss_mask_spans(sf_dir: str):
     (batch == merge block); spans are one exclusive cumsum with
     conv-boundary reset per block — no per-conv Python."""
     state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+    return state.map_batches(
+        _loss_mask_kernel, batch_format="pyarrow", batch_size=None
+    )
 
+
+def _loss_mask_kernel(b: pa.Table) -> pa.Table:
+    """Per-block span kernel (module scope so property tests drive it
+    directly against a sequential reference)."""
     from ..stages.text import TOKEN_SPLIT
 
-    def kernel(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return _LOSS_MASK_SCHEMA.empty_table()
-        conv = b.column("conv_id").combine_chunks()
-        turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
-        text = b.column("text").combine_chunks()
-        n_tok = _np(
-            pc.fill_null(
-                pc.cast(
-                    pc.list_value_length(pc.split_pattern_regex(text, TOKEN_SPLIT)),
-                    pa.int64(),
-                ),
-                0,
-            )
+    if len(b) == 0:
+        return _LOSS_MASK_SCHEMA.empty_table()
+    conv = b.column("conv_id").combine_chunks()
+    turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
+    text = b.column("text").combine_chunks()
+    n_tok = _np(
+        pc.fill_null(
+            pc.cast(
+                pc.list_value_length(pc.split_pattern_regex(text, TOKEN_SPLIT)),
+                pa.int64(),
+            ),
+            0,
         )
-        codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
-        order = np.lexsort((turn, inverse))
-        inv_s, turn_s, ntok_s = inverse[order], turn[order], n_tok[order]
-        n = len(order)
-        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
-        sizes = np.diff(np.r_[starts, n])
-        cum = np.cumsum(ntok_s)
-        excl = cum - ntok_s  # inclusive -> exclusive prefix
-        tok_start = excl - np.repeat(excl[starts], sizes)
-        role_s = b.column("role").combine_chunks().take(pa.array(order))
-        return pa.table(
-            {
-                "conv_id": pa.array(codes[inv_s]),
-                "turn_idx": pa.array(turn_s),
-                "role": role_s,
-                "n_tokens": pa.array(ntok_s),
-                "tok_start": pa.array(tok_start),
-                "tok_end": pa.array(tok_start + ntok_s),
-                "loss_mask": pc.cast(pc.equal(role_s, pa.scalar("purchase")), pa.int64()),
-            }
-        )
-
-    return state.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+    )
+    codes, inverse = np.unique(np.asarray(conv), return_inverse=True)
+    order = np.lexsort((turn, inverse))
+    inv_s, turn_s, ntok_s = inverse[order], turn[order], n_tok[order]
+    n = len(order)
+    starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+    cum = np.cumsum(ntok_s)
+    excl = cum - ntok_s  # inclusive -> exclusive prefix
+    tok_start = excl - np.repeat(excl[starts], sizes)
+    role_s = b.column("role").combine_chunks().take(pa.array(order))
+    return pa.table(
+        {
+            "conv_id": pa.array(codes[inv_s]),
+            "turn_idx": pa.array(turn_s),
+            "role": role_s,
+            "n_tokens": pa.array(ntok_s),
+            "tok_start": pa.array(tok_start),
+            "tok_end": pa.array(tok_start + ntok_s),
+            "loss_mask": pc.cast(pc.equal(role_s, pa.scalar("purchase")), pa.int64()),
+        }
+    )
 
 
 QUERIES["loss_mask_spans"] = loss_mask_spans
