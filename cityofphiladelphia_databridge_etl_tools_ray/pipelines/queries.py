@@ -13217,3 +13217,86 @@ SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM p GROUP BY 1, 2
 """
+
+
+_SFT_MAX_TOKENS = 96
+_SFT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_masked_turns", pa.int64()),
+        ("n_masked_tokens", pa.int64()),
+    ]
+)
+
+
+def sft_dataset_build(sf_dir: str):
+    """End-to-end SFT example selection, composed from the engine's own
+    stages: replay the WAL to transcript state, compute loss-mask spans
+    (`_loss_mask_kernel`), then keep conversations that (a) fit the
+    96-token budget and (b) contain at least one masked (loss-bearing)
+    turn — emitting the per-conversation manifest a trainer shards on.
+    The span kernel's output is already conv-contiguous per block, so
+    the fold to one row per conversation is a second vectorized kernel
+    on the SAME block — zero shuffles beyond the replay's one."""
+    state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
+
+    def fold(b: pa.Table) -> pa.Table:
+        spans = _loss_mask_kernel(b)
+        if len(spans) == 0:
+            return _SFT_SCHEMA.empty_table()
+        t = pa.table(
+            {
+                "conv_id": spans.column("conv_id"),
+                "one": pa.array(np.ones(len(spans), np.int64)),
+                "tok": spans.column("n_tokens"),
+                "m": spans.column("loss_mask"),
+                "mtok": pc.multiply(spans.column("n_tokens"), spans.column("loss_mask")),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [("one", "sum"), ("tok", "sum"), ("m", "sum"), ("mtok", "sum")]
+        )
+        keep = pc.and_(
+            pc.less_equal(g.column("tok_sum"), _SFT_MAX_TOKENS),
+            pc.greater(g.column("m_sum"), 0),
+        )
+        g = g.filter(keep)
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_turns": g.column("one_sum"),
+                "n_tokens": g.column("tok_sum"),
+                "n_masked_turns": g.column("m_sum"),
+                "n_masked_tokens": g.column("mtok_sum"),
+            }
+        )
+
+    return state.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["sft_dataset_build"] = sft_dataset_build
+
+ORACLE_SQL["sft_dataset_build"] = _CHANGES_CTE + r"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+), state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+), t AS (
+  SELECT conv_id, role,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(text, '\s+')) END AS n_tokens,
+         CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS m
+  FROM state
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(m) AS BIGINT) AS n_masked_turns,
+         CAST(sum(n_tokens * m) AS BIGINT) AS n_masked_tokens
+  FROM t GROUP BY conv_id
+)
+SELECT * FROM agg WHERE n_tokens <= 96 AND n_masked_turns > 0
+"""

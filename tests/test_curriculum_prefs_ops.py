@@ -360,3 +360,49 @@ def test_contamination_matrix_pair_math_and_empty(ray_session, tmp_path):
     pq.write_table(t2, str(b / "documents.parquet"))
     got2 = QUERIES["source_contamination_matrix"](str(b))
     assert len(got2) == 0 and list(got2.columns) == ["source_a", "source_b", "n_pairs"]
+
+
+def test_sft_dataset_build_filters(ray_session, tmp_path):
+    """Budget boundary is inclusive (== 96 kept); a conversation with
+    no masked (purchase) turn is excluded even when tiny; an
+    over-budget conversation is excluded even when masked."""
+    rows = [
+        # conv-1: 2 turns, 3 tokens total, one purchase -> kept
+        (101, "2024-01-01T00:00:01", 1, "signup", "a b"),
+        (103, "2024-01-01T00:00:02", 1, "purchase", "c"),
+        # conv-2: masked but 97 tokens -> dropped (over budget)
+        (201, "2024-01-01T00:00:01", 2, "purchase", " ".join(["t"] * 97)),
+        # conv-3: exactly 96 tokens, masked -> kept (inclusive)
+        (301, "2024-01-01T00:00:01", 3, "purchase", " ".join(["t"] * 96)),
+        # conv-4: tiny but never masked -> dropped
+        (401, "2024-01-01T00:00:01", 4, "signup", "x"),
+        (402, "2024-01-01T00:00:02", 4, "click", "y"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = QUERIES["sft_dataset_build"](sf).to_pandas()
+    exp = _oracle(sf, "sft_dataset_build", ["events"])
+    _cmp(got, exp, ["conv_id"])
+    r = got.set_index("conv_id")
+    assert set(r.index) == {"conv-1", "conv-3"}
+    assert r.loc["conv-1", "n_masked_tokens"] == 1
+    assert r.loc["conv-3", "n_tokens"] == 96
+
+
+def test_session4_plan_shapes(ray_session):
+    """Exchange budgets at sf0.001 for the remaining session-4 ops:
+    partial updates / drift / sft = one all-to-all each (the conv or
+    histogram exchange); hard negatives = one qid merge groupby;
+    contamination = fp-bucket exchange + final pair groupby."""
+    budgets = {
+        "cdc_replay_partial_updates": 1,
+        "contrastive_hard_negatives": 1,
+        "sft_dataset_build": 1,
+        "source_contamination_matrix": 2,
+    }
+    sf = "/root/testdata/sf0.001"
+    for name, budget in budgets.items():
+        res = QUERIES[name](sf)
+        if isinstance(res, pd.DataFrame):
+            continue  # driver-folded tiny frames have no live plan
+        stats = res.materialize().stats()
+        assert stats.count("SortReduce") <= budget, (name, stats)
