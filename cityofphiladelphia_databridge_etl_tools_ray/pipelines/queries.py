@@ -12854,19 +12854,23 @@ def cdc_replay_partial_updates(sf_dir: str):
     databridge_etl_tools/postgres/postgres.py upsert_csv — the sparse
     form is what a binlog/Debezium feed delivers).
 
-    Scale shape: the payload ships ONCE through one conv-hash bucketed
-    exchange (no pre-reduce — partial merges need every change row,
-    unlike LWW where the combiner keeps only the latest per key), then
-    one vectorized kernel per bucket: lexsort (conv, turn, lsn),
-    segmented maxima (np.maximum.reduceat) locate the last tombstone
-    and each column's last non-null writer per key run, one gather per
-    column.  No per-key Python."""
+    Scale shape — the flagship's combiner pattern, generalized: patch
+    merges pre-reduce ASSOCIATIVELY even though they are not
+    whole-row-LWW, because every element of the folded state is
+    lsn-stamped (`_partial_prereduce`): each batch collapses to ≤1
+    state row per key (tombstone lsn, qualifying-write lsn, per-column
+    last-non-null write + its lsn), ONE conv-hash bucketed exchange
+    moves only those states, and `_partial_resolve` merges them
+    exactly per key.  All segmented numpy maxima — no per-key Python
+    anywhere.  `_partial_merge_kernel` (the one-pass fold) remains the
+    property-tested reference semantics."""
 
     changes = _derive_sparse_changelog(sf_dir)
     return (
-        changes.map_batches(_conv_bucket, batch_format="pyarrow")
+        changes.map_batches(_partial_prereduce, batch_format="pyarrow")
+        .map_batches(_conv_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_partial_merge_kernel, batch_format="pyarrow")
+        .map_groups(_partial_resolve, batch_format="pyarrow")
     )
 
 
@@ -13300,3 +13304,116 @@ ORACLE_SQL["sft_dataset_build"] = _CHANGES_CTE + r"""
 )
 SELECT * FROM agg WHERE n_tokens <= 96 AND n_masked_turns > 0
 """
+
+
+_PARTIAL_STATE_COLS = ("role", "text", "ts")
+
+_PARTIAL_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("del_lsn", pa.int64()),
+        ("wr_lsn", pa.int64()),
+        ("role", pa.string()),
+        ("role_lsn", pa.int64()),
+        ("text", pa.string()),
+        ("text_lsn", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("ts_lsn", pa.int64()),
+    ]
+)
+
+
+def _partial_prereduce(b: pa.Table) -> pa.Table:
+    """Associative batch-local fold of a patch stream: ≤1 state row per
+    key per batch — (last tombstone lsn, last qualifying write lsn,
+    and per column the last non-null write after the local tombstone
+    WITH its lsn).  Two such states merge exactly (`_partial_resolve`)
+    because every element is lsn-stamped: the global tombstone is the
+    max of the locals, and a column winner is the max-lsn write above
+    it — so the patch merge pre-reduces like LWW does, it just carries
+    one lsn per column instead of one per row.  Tombstone-only keys
+    still emit a row (the delete must propagate across batches)."""
+    if len(b) == 0:
+        return _PARTIAL_PARTIAL_SCHEMA.empty_table()
+    conv = np.asarray(b.column("conv_id").combine_chunks())
+    turn = _np(pc.cast(b.column("turn_idx"), pa.int64()))
+    lsn = _np(b.column("lsn"))
+    codes, inverse = np.unique(conv, return_inverse=True)
+    order = np.lexsort((lsn, turn, inverse))
+    inv_s, turn_s, lsn_s = inverse[order], turn[order], lsn[order]
+    n = len(order)
+    starts = np.flatnonzero(
+        np.r_[True, (inv_s[1:] != inv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
+    )
+    sizes = np.diff(np.r_[starts, n])
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    pos = np.arange(n, dtype=np.int64)
+
+    op_s = b.column("op").combine_chunks().take(pa.array(order))
+    is_del = _np(pc.equal(op_s, pa.scalar("delete")))
+    last_del_pos = np.maximum.reduceat(np.where(is_del, pos, -1), starts)
+    del_lsn = np.where(last_del_pos >= 0, lsn_s[np.maximum(last_del_pos, 0)], -1)
+    live = ~is_del & (pos > last_del_pos[run_id])
+    wr_lsn = np.maximum.reduceat(np.where(live, lsn_s, -1), starts)
+
+    out = {
+        "conv_id": pa.array(codes[inv_s[starts]]),
+        "turn_idx": pa.array(turn_s[starts].astype(np.int32)),
+        "del_lsn": pa.array(del_lsn),
+        "wr_lsn": pa.array(wr_lsn),
+    }
+    for cname in _PARTIAL_STATE_COLS:
+        col = b.column(cname).combine_chunks().take(pa.array(order))
+        vc = live & _np(pc.is_valid(col))
+        idx = np.maximum.reduceat(np.where(vc, pos, -1), starts)
+        out[cname] = col.take(pa.array(np.maximum(idx, 0), mask=(idx < 0)))
+        out[f"{cname}_lsn"] = pa.array(np.where(idx >= 0, lsn_s[np.maximum(idx, 0)], -1))
+    return pa.table(out)
+
+
+def _partial_resolve(g: pa.Table) -> pa.Table:
+    """Merge batch-local patch states per key into final rows: global
+    tombstone = max del_lsn; the key survives iff some state's
+    qualifying-write lsn beats it; each column's winner is the
+    max-col-lsn write above the global tombstone (lsns are unique, so
+    the winner row is found exactly)."""
+    if len(g) == 0:
+        return _PARTIAL_STATE_SCHEMA.empty_table()
+    conv = np.asarray(g.column("conv_id").combine_chunks())
+    turn = _np(pc.cast(g.column("turn_idx"), pa.int64()))
+    codes, inverse = np.unique(conv, return_inverse=True)
+    order = np.lexsort((turn, inverse))
+    inv_s, turn_s = inverse[order], turn[order]
+    n = len(order)
+    starts = np.flatnonzero(
+        np.r_[True, (inv_s[1:] != inv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
+    )
+    sizes = np.diff(np.r_[starts, n])
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    pos = np.arange(n, dtype=np.int64)
+
+    del_lsn = _np(g.column("del_lsn"))[order]
+    wr_lsn = _np(g.column("wr_lsn"))[order]
+    gdel = np.maximum.reduceat(del_lsn, starts)
+    alive = np.maximum.reduceat(np.where(wr_lsn > gdel[run_id], wr_lsn, -1), starts) >= 0
+    keep_runs = np.flatnonzero(alive)
+    if len(keep_runs) == 0:
+        return _PARTIAL_STATE_SCHEMA.empty_table()
+
+    first = starts[keep_runs]
+    out = {
+        "conv_id": pa.array(codes[inv_s[first]]),
+        "turn_idx": pa.array(turn_s[first].astype(np.int32)),
+    }
+    for cname in _PARTIAL_STATE_COLS:
+        col_lsn = _np(g.column(f"{cname}_lsn"))[order]
+        qual = np.where(col_lsn > gdel[run_id], col_lsn, -1)
+        win_lsn = np.maximum.reduceat(qual, starts)
+        # unique lsns: the winning row is where qual == win_lsn (>= 0)
+        hit = qual == win_lsn[run_id]
+        win_pos = np.maximum.reduceat(np.where(hit & (qual >= 0), pos, -1), starts)
+        idx = win_pos[keep_runs]
+        col = g.column(cname).combine_chunks().take(pa.array(order))
+        out[cname] = col.take(pa.array(np.maximum(idx, 0), mask=(idx < 0)))
+    return pa.table(out)

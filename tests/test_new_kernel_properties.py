@@ -301,3 +301,54 @@ def test_loss_mask_spans_match_reference(tbl):
         _canon(exp, ["conv_id", "turn_idx"]),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# partial-update pre-reduce + resolve (the distributed two-stage path)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def patch_streams_with_splits(draw):
+    tbl = draw(patch_streams())
+    n = len(tbl)
+    n_cuts = draw(st.integers(0, 4))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_cuts, max_size=n_cuts)))
+    bounds = [0] + cuts + [n]
+    return tbl, bounds
+
+
+@settings(max_examples=200, deadline=None)
+@given(patch_streams_with_splits())
+def test_partial_prereduce_resolve_matches_reference(case):
+    """The associative two-stage path (per-batch `_partial_prereduce`
+    states over ARBITRARY stream splits, concatenated, then one
+    `_partial_resolve`) must equal the sequential one-pass semantics —
+    deletes, resets and per-column winners crossing batch boundaries
+    in every direction."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+        _partial_prereduce,
+        _partial_resolve,
+    )
+
+    tbl, bounds = case
+    parts = [
+        _partial_prereduce(tbl.slice(lo, hi - lo))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    parts = [p for p in parts if len(p)]
+    if parts:
+        got = _partial_resolve(pa.concat_tables(parts)).to_pandas()
+    else:
+        got = _partial_resolve(pa.table({})).to_pandas() if False else pd.DataFrame(
+            columns=["conv_id", "turn_idx", "role", "text", "ts"]
+        )
+    exp = _ref_partial(tbl)
+    if "ts" in exp.columns and len(exp):
+        exp["ts"] = pd.to_datetime(exp["ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        _canon(got, ["conv_id", "turn_idx"]),
+        _canon(exp, ["conv_id", "turn_idx"]),
+        check_dtype=False,
+    )
