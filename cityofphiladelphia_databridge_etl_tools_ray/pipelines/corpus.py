@@ -1882,6 +1882,10 @@ def source_contamination_matrix(sf_dir: str):
     def local(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # NULL texts can never match the oracle's equi-join (a.k = b.k
+        # drops NULL keys) — drop them before grouping so the engine
+        # does not pair-count a NULL-prefix group the SQL ignores
+        b = b.filter(pc.is_valid(b.column("text")))
         b = b.set_column(
             b.schema.get_field_index("text"),
             "text",

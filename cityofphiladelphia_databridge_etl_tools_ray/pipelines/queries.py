@@ -12387,9 +12387,12 @@ def conversation_context_windows(sf_dir: str):
     partitioning (``batch_size=None`` ⇒ batch == merge block, convs
     never split).  The window is THREE shifted-slice compares + two
     guarded prepends (``pc.if_else`` over ``binary_join``), no per-row
-    or per-group Python; contiguity of the sorted block means
-    same(i, i-2) ⇒ same(i, i-1), so the prepend chain never touches a
-    null."""
+    or per-group Python.  A predecessor only contributes when it is
+    same-conversation AND its "role: text" line is non-null (a NULL
+    text nulls the whole line) — exactly the oracle's
+    ``lag(role || ': ' || text, k)`` + ``concat_ws`` NULL-skipping
+    semantics, including dropping target rows whose immediate
+    predecessor line is NULL."""
     state = replay_to_table(_derive_changelog(sf_dir), num_partitions=32)
 
     out_schema = pa.schema(
@@ -12414,6 +12417,8 @@ def conversation_context_windows(sf_dir: str):
         ).combine_chunks()
 
         def shifted(k: int):
+            if k >= n:  # negative-length slice is a pyarrow error
+                return pa.nulls(n, line.type), pa.array([False] * n)
             prev = pa.concat_arrays(
                 [pa.nulls(k, line.type), line.slice(0, n - k)]
             )
@@ -12423,17 +12428,18 @@ def conversation_context_windows(sf_dir: str):
                     pc.equal(conv.slice(k, n - k), conv.slice(0, n - k)),
                 ]
             )
-            return prev, pc.fill_null(same, False)
+            # contributes iff same conv AND the shifted line is non-null
+            return prev, pc.and_(pc.fill_null(same, False), pc.is_valid(prev))
 
-        p1, s1 = shifted(1)
-        p2, s2 = shifted(2)
-        p3, s3 = shifted(3)
-        ctx = p1
-        ctx = pc.if_else(s2, pc.binary_join_element_wise(p2, ctx, "\n"), ctx)
-        ctx = pc.if_else(s3, pc.binary_join_element_wise(p3, ctx, "\n"), ctx)
+        p1, v1 = shifted(1)
+        p2, v2 = shifted(2)
+        p3, v3 = shifted(3)
+        ctx = pc.if_else(v1, p1, pa.nulls(n, line.type))
+        ctx = pc.if_else(v2, pc.binary_join_element_wise(p2, ctx, "\n"), ctx)
+        ctx = pc.if_else(v3, pc.binary_join_element_wise(p3, ctx, "\n"), ctx)
         n_ctx = pc.add(
-            pc.add(pc.cast(s1, pa.int64()), pc.cast(s2, pa.int64())),
-            pc.cast(s3, pa.int64()),
+            pc.add(pc.cast(v1, pa.int64()), pc.cast(v2, pa.int64())),
+            pc.cast(v3, pa.int64()),
         )
         t = pa.table(
             {
@@ -12445,7 +12451,7 @@ def conversation_context_windows(sf_dir: str):
                 "context": ctx,
             }
         )
-        return t.filter(s1)
+        return t.filter(v1)
 
     return state.map_batches(windows, batch_format="pyarrow", batch_size=None)
 
@@ -12689,7 +12695,12 @@ def curriculum_ntile_stages(sf_dir: str):
             }
         )
 
-    toks = ds.map_batches(with_tokens, batch_format="pyarrow")
+    # Materialize the NARROW (doc_id, source, n_tokens) projection once:
+    # both the histogram pass and the rank pass consume it, and without
+    # this Ray re-executes the lineage (full parquet read + regex
+    # tokenization — the dominant cost) for each.  Three thin columns,
+    # bounded memory; the wide text column never materializes.
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow").materialize()
 
     # (1) exact histogram over the token-count domain
     def hist(b: pa.Table) -> pa.Table:

@@ -341,9 +341,7 @@ def test_partial_prereduce_resolve_matches_reference(case):
     if parts:
         got = _partial_resolve(pa.concat_tables(parts)).to_pandas()
     else:
-        got = _partial_resolve(pa.table({})).to_pandas() if False else pd.DataFrame(
-            columns=["conv_id", "turn_idx", "role", "text", "ts"]
-        )
+        got = pd.DataFrame(columns=["conv_id", "turn_idx", "role", "text", "ts"])
     exp = _ref_partial(tbl)
     if "ts" in exp.columns and len(exp):
         exp["ts"] = pd.to_datetime(exp["ts"]).astype("datetime64[us]")
