@@ -467,9 +467,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dead-letter-dir", default=None)
     c.add_argument(
         "--mode",
-        choices=["merge", "delta", "snapshot"],
+        choices=["merge", "delta", "snapshot", "patch"],
         default="merge",
-        help="merge = copy-on-write partition rewrite; delta = O(batch) run append with merge-on-read",
+        help=(
+            "merge = copy-on-write partition rewrite; delta = O(batch) run append "
+            "with merge-on-read; patch = sparse-diff stream (NULL keeps prior value)"
+        ),
     )
     c.add_argument("--compact-after", type=int, default=8, help="fold delta runs after this many")
     c.add_argument(

@@ -13428,3 +13428,31 @@ def _partial_resolve(g: pa.Table) -> pa.Table:
         col = g.column(cname).combine_chunks().take(pa.array(order))
         out[cname] = col.take(pa.array(np.maximum(idx, 0), mask=(idx < 0)))
     return pa.table(out)
+
+
+def cdc_replay_patch_lake(sf_dir: str):
+    """The LAKE path for the sparse-diff semantics: replay the derived
+    patch WAL through ``replay_into_lake(mode="patch")`` — associative
+    ``patch_prereduce`` combiner, one conv-hash exchange of lsn-stamped
+    states, per-partition ``merge_partition_patch`` against the base
+    stamped at the watermark, exactly-once manifests — and return the
+    committed table state.  Shares the ``cdc_replay_partial_updates``
+    oracle: the query-layer kernel and the lake must agree row for
+    row."""
+    import ray.data
+
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    root = _scratch_root("patchlake", sf_dir)
+    TranscriptLake.create(root, num_partitions=16)
+    replay_into_lake(root, _derive_sparse_changelog(sf_dir), mode="patch")
+    lake = TranscriptLake(root)
+    parts = [lake.read_partition(p) for p in range(lake.num_partitions)]
+    parts = [p for p in parts if len(p)]
+    out = pa.concat_tables(parts).select(["conv_id", "turn_idx", "role", "text", "ts"])
+    return out
+
+
+QUERIES["cdc_replay_patch_lake"] = cdc_replay_patch_lake
+ORACLE_SQL["cdc_replay_patch_lake"] = ORACLE_SQL["cdc_replay_partial_updates"]

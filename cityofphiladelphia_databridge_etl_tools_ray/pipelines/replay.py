@@ -242,7 +242,11 @@ class ChangeNormalizer:
         salt: int | None = None,
         salt_buckets: int | None = None,
         keys: list[str] | None = None,
+        combiner: str = "lww",
     ):
+        if combiner not in ("lww", "patch"):
+            raise ValueError(f"combiner must be 'lww' or 'patch', got {combiner!r}")
+        self.combiner = combiner
         self.num_partitions = num_partitions
         self.keys = list(keys) if keys else list(PRIMARY_KEY)
         # salt > 1 → pack on (COARSE bucket, lsn % salt) so the phase-1
@@ -329,10 +333,19 @@ class ChangeNormalizer:
         # duplication that a global gate misses (and which otherwise
         # serializes that partition's reducer; see
         # stages/merge.dedup_last_writer_skew_aware).
-        pids = partition_ids(batch.column(self.keys[0]), self.num_partitions)
-        batch, pids = dedup_last_writer_skew_aware(
-            batch, pids, self.num_partitions, keys=self.keys
-        )
+        if self.combiner == "patch":
+            # patch streams fold associatively into lsn-stamped states
+            # (stages/merge.patch_prereduce) — the LWW combiner would
+            # DROP earlier writes of columns the last event omitted
+            from ..stages.merge import patch_prereduce
+
+            batch = patch_prereduce(batch, keys=self.keys)
+            pids = partition_ids(batch.column(self.keys[0]), self.num_partitions)
+        else:
+            pids = partition_ids(batch.column(self.keys[0]), self.num_partitions)
+            batch, pids = dedup_last_writer_skew_aware(
+                batch, pids, self.num_partitions, keys=self.keys
+            )
         if self.pack:
             if self.salt:
                 lsn = batch.column("lsn")
@@ -526,6 +539,7 @@ def _normalized(changes_ds, normalizer: ChangeNormalizer, concurrency):
             "assume_tz": normalizer.assume_tz,
             "pack": normalizer.pack,
             "keys": normalizer.keys,
+            "combiner": normalizer.combiner,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -555,8 +569,10 @@ class _MergeCommit:
         compact_policy: str = "tiered",
         txn: str | None = None,
     ):
-        if mode not in ("merge", "delta", "snapshot"):
-            raise ValueError(f"mode must be 'merge', 'delta' or 'snapshot', got {mode!r}")
+        if mode not in ("merge", "delta", "snapshot", "patch"):
+            raise ValueError(
+                f"mode must be 'merge', 'delta', 'snapshot' or 'patch', got {mode!r}"
+            )
         if compact_policy not in ("tiered", "full"):
             raise ValueError(f"compact_policy must be 'tiered' or 'full', got {compact_policy!r}")
         self.lake_root = lake_root
@@ -594,6 +610,8 @@ class _MergeCommit:
             changes = group.drop_columns([PART_COL])
 
         wm = self.lake.watermark(pid)
+        if self.mode == "patch":
+            return self._apply_patch(pid, wm, changes, t0)
         changes = changes.filter(pc.greater(changes.column("lsn"), wm))
         n_events = len(changes)
         if n_events == 0:  # fully below watermark → idempotent no-op
@@ -658,6 +676,41 @@ class _MergeCommit:
                 pid, merged, high_lsn, lineage_record=lineage, txn=self.txn
             )
         return _metrics_row(pid, wm, high_lsn, n_events, m, dt)
+
+    def _apply_patch(self, pid: int, wm: int, states: pa.Table, t0: float) -> pa.Table:
+        """Patch-mode commit: ``states`` are lsn-stamped
+        ``patch_prereduce`` rows (one per key per upstream batch), not
+        raw events — a row-level ``lsn > wm`` filter can no longer
+        express exactly-once, so the base enters the resolve stamped at
+        the watermark instead and stale components lose per column
+        (stages/merge.merge_partition_patch)."""
+        from ..stages.merge import merge_partition_patch
+
+        keys = self.lake.primary_key
+        n_states = len(states)
+        if n_states == 0:  # e.g. all-empty packed blocks carry the raw schema
+            return _metrics_row(pid, wm, wm, 0, self.lake.manifest(pid), 0.0)
+        hi_wr = pc.max(states.column("wr_lsn")).as_py()
+        hi_del = pc.max(states.column("del_lsn")).as_py()
+        high_lsn = max(int(hi_wr if hi_wr is not None else -1),
+                       int(hi_del if hi_del is not None else -1))
+        if high_lsn <= wm:  # fully stale → idempotent no-op
+            return _metrics_row(pid, wm, wm, 0, self.lake.manifest(pid), 0.0)
+        base = self.lake.read_partition(pid)
+        merged = merge_partition_patch(base, states, keys=keys, watermark=wm)
+        dt = time.perf_counter() - t0
+        lineage = {
+            "lsn_lo": int(wm + 1),
+            "lsn_hi": high_lsn,
+            "events_applied": n_states,
+            "rows_before": len(base),
+            "rows_after": len(merged),
+            "merge_sec": round(dt, 4),
+        }
+        m = self.lake.commit_partition(
+            pid, merged, high_lsn, lineage_record=lineage, txn=self.txn
+        )
+        return _metrics_row(pid, wm, high_lsn, n_states, m, dt)
 
 
 def validate_replay_sample(
@@ -768,6 +821,13 @@ def replay_into_lake(
     absent from the snapshot are deleted (the reference's optional
     delete-stale anti-join, postgres/postgres.py:450-495); snapshot
     rows must carry lsn above every partition watermark.
+    ``mode="patch"`` ingests a SPARSE-diff (Debezium-style) stream
+    where an update's NULL column means KEEP the prior value: batches
+    fold associatively into lsn-stamped per-column states before the
+    shuffle (stages/merge.patch_prereduce), and the per-partition
+    merge resolves them against the base stamped at the watermark —
+    per-column last-non-null-writer after the key's last tombstone,
+    exactly-once included (merge_partition_patch).
 
     Returns a pandas DataFrame of per-partition metrics (small —
     one row per touched partition)."""
@@ -777,6 +837,12 @@ def replay_into_lake(
         # the unseen-partition truncation sweep publishes directly;
         # staging it would need a txn-aware sweep nobody needs yet
         raise ValueError("mode='snapshot' cannot run inside a transaction")
+    if salt and salt > 1 and mode == "patch":
+        # the salted two-phase prereduce folds with the LWW combiner;
+        # patch states would need a salt-aware resolve nobody needs yet
+        # (the patch prereduce already collapses hot keys to one state
+        # row per batch, which is the salting win)
+        raise ValueError("mode='patch' does not support salting")
     lake = TranscriptLake(lake_root)
     if (gen := lake._inflight_rescale_generation()) is not None:
         # writing during a rescale can publish stale children: a split
@@ -815,6 +881,7 @@ def replay_into_lake(
             assume_tz=assume_tz,
             salt=salt,
             salt_buckets=_salt_buckets(salt),
+            combiner=("patch" if mode == "patch" else "lww"),
         ),
         concurrency,
     )

@@ -205,3 +205,212 @@ def merge_partition(
     out = combined.take(win)  # the ONE payload gather, key-sorted
     drop = ["op"] if keep_lsn else ["op", "lsn"]
     return out.drop_columns(drop)
+
+
+# ---------------------------------------------------------------------------
+# Patch-event (partial-update) merge: per-column last-non-null-writer
+# ---------------------------------------------------------------------------
+
+PATCH_META = ("del_lsn", "wr_lsn")
+
+
+def _np_col(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col)
+
+
+def _key_runs(table: pa.Table, keys: list[str], order_col: str):
+    """(order, starts, run_id, n) for rows grouped by ``keys`` and
+    sorted by ``order_col`` within each run — arbitrary key column
+    types (np.lexsort compares object arrays fine)."""
+    key_nps = [_np_col(table.column(k)) for k in keys]
+    ord_np = _np_col(table.column(order_col))
+    order = np.lexsort((ord_np, *reversed(key_nps)))
+    n = len(order)
+    diff = np.zeros(n, dtype=bool)
+    diff[0] = True
+    for k in key_nps:
+        ks = k[order]
+        diff[1:] |= ks[1:] != ks[:-1]
+    starts = np.flatnonzero(diff)
+    sizes = np.diff(np.r_[starts, n])
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    return order, starts, run_id, n
+
+
+def patch_prereduce(
+    changes: pa.Table, keys: list[str] = PRIMARY_KEY
+) -> pa.Table:
+    """Associative batch-local fold of a PATCH stream (update events
+    carry only the columns they change; NULL = keep prior value):
+    ≤1 lsn-stamped state row per key per batch — the patch-merge
+    analog of ``dedup_last_writer`` (which is wrong for patches: it
+    would drop earlier writes of columns the last event omitted).
+
+    Output schema: keys..., ``del_lsn`` (last tombstone lsn, -1 if
+    none), ``wr_lsn`` (last write lsn surviving the local tombstone,
+    -1), and for every payload column its value plus ``{col}__lsn``.
+    Two states merge exactly in :func:`resolve_patch_states` because
+    every element is lsn-stamped; folding per batch, per salt-slice,
+    or per shuffle wave all commute."""
+    payload = [
+        f.name for f in changes.schema if f.name not in ("op", "lsn", *keys)
+    ]
+    if len(changes) == 0:
+        fields = [changes.schema.field(k) for k in keys]
+        fields += [pa.field("del_lsn", pa.int64()), pa.field("wr_lsn", pa.int64())]
+        for c in payload:
+            fields.append(changes.schema.field(c))
+            fields.append(pa.field(f"{c}__lsn", pa.int64()))
+        return pa.schema(fields).empty_table()
+
+    order, starts, run_id, n = _key_runs(changes, keys, "lsn")
+    pos = np.arange(n, dtype=np.int64)
+    lsn_s = _np_col(changes.column("lsn"))[order]
+    op = changes.column("op")
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    op_s = op.take(pa.array(order))
+    is_del = _np_col(pc.equal(op_s, pa.scalar("delete")))
+    last_del_pos = np.maximum.reduceat(np.where(is_del, pos, -1), starts)
+    del_lsn = np.where(last_del_pos >= 0, lsn_s[np.maximum(last_del_pos, 0)], -1)
+    live = ~is_del & (pos > last_del_pos[run_id])
+    wr_lsn = np.maximum.reduceat(np.where(live, lsn_s, -1), starts)
+
+    out = {}
+    for k in keys:
+        kcol = changes.column(k)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        out[k] = kcol.take(pa.array(order[starts]))
+    out["del_lsn"] = pa.array(del_lsn)
+    out["wr_lsn"] = pa.array(wr_lsn)
+    for cname in payload:
+        col = changes.column(cname)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col_s = col.take(pa.array(order))
+        vc = live & _np_col(pc.is_valid(col_s))
+        idx = np.maximum.reduceat(np.where(vc, pos, -1), starts)
+        out[cname] = col_s.take(pa.array(np.maximum(idx, 0), mask=(idx < 0)))
+        out[f"{cname}__lsn"] = pa.array(
+            np.where(idx >= 0, lsn_s[np.maximum(idx, 0)], -1)
+        )
+    return pa.table(out)
+
+
+def resolve_patch_states(
+    states: pa.Table, keys: list[str] = PRIMARY_KEY
+) -> pa.Table:
+    """Merge ``patch_prereduce`` state rows per key into final rows:
+    global tombstone = max ``del_lsn``; the key survives iff some
+    state's qualifying-write lsn beats it; each column's winner is the
+    max-``{col}__lsn`` write above the global tombstone.  lsn
+    uniqueness (the WAL contract) makes every winner exact."""
+    payload = [
+        f.name
+        for f in states.schema
+        if f.name not in (*keys, *PATCH_META) and not f.name.endswith("__lsn")
+    ]
+    out_fields = [states.schema.field(k) for k in keys] + [
+        states.schema.field(c) for c in payload
+    ]
+    out_schema = pa.schema(out_fields)
+    if len(states) == 0:
+        return out_schema.empty_table()
+
+    order, starts, run_id, n = _key_runs(states, keys, "wr_lsn")
+    pos = np.arange(n, dtype=np.int64)
+    del_lsn = _np_col(states.column("del_lsn"))[order]
+    wr_lsn = _np_col(states.column("wr_lsn"))[order]
+    gdel = np.maximum.reduceat(del_lsn, starts)
+    alive = (
+        np.maximum.reduceat(np.where(wr_lsn > gdel[run_id], wr_lsn, -1), starts) >= 0
+    )
+    keep_runs = np.flatnonzero(alive)
+    if len(keep_runs) == 0:
+        return out_schema.empty_table()
+
+    first = starts[keep_runs]
+    out = {}
+    for k in keys:
+        kcol = states.column(k)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        out[k] = kcol.take(pa.array(order[first]))
+    for cname in payload:
+        col_lsn = _np_col(states.column(f"{cname}__lsn"))[order]
+        qual = np.where(col_lsn > gdel[run_id], col_lsn, -1)
+        win_lsn = np.maximum.reduceat(qual, starts)
+        hit = (qual == win_lsn[run_id]) & (qual >= 0)
+        win_pos = np.maximum.reduceat(np.where(hit, pos, -1), starts)
+        idx = win_pos[keep_runs]
+        col = states.column(cname)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col_s = col.take(pa.array(order))
+        out[cname] = col_s.take(pa.array(np.maximum(idx, 0), mask=(idx < 0)))
+    t = pa.table(out)
+    return t.sort_by([(k, "ascending") for k in keys])
+
+
+def merge_partition_patch(
+    base: pa.Table | None,
+    states: pa.Table,
+    *,
+    keys: list[str] = PRIMARY_KEY,
+    watermark: int = -1,
+) -> pa.Table:
+    """Merge prereduced patch states into a base partition table.
+
+    Base rows enter the resolve as states whose every column (and
+    whose existence) is stamped at the partition ``watermark``:
+    - stale components inside an overlapping re-delivery (lsn ≤
+      watermark) lose to the base and no-op — the exactly-once
+      contract without filtering individual events (states aggregate
+      many lsns, so a row-level lsn filter can no longer express it);
+    - fresh writes (lsn > watermark) beat the base per column;
+    - a fresh tombstone kills the base row unless a fresher write
+      revives it.  (A present base row implies no tombstone at exactly
+      the watermark lsn for that key — lsns are unique and the
+      watermark event either wrote or deleted it.)
+
+    Payload schema evolution between base and states resolves with the
+    same promotion lattice as the LWW merge."""
+    payload = [
+        f.name
+        for f in states.schema
+        if f.name not in (*keys, *PATCH_META) and not f.name.endswith("__lsn")
+    ]
+    if base is not None and len(base) > 0:
+        state_payload = pa.schema(
+            [states.schema.field(c) for c in payload]
+        )
+        target = promote_schemas(
+            pa.schema([f for f in base.schema if f.name not in keys]),
+            state_payload,
+        )
+        payload = [f.name for f in target]
+        base_state = {k: base.column(k) for k in keys}
+        nb = len(base)
+        base_state["del_lsn"] = pa.array(np.full(nb, -1, np.int64))
+        base_state["wr_lsn"] = pa.array(np.full(nb, watermark, np.int64))
+        base_conf = conform(base, pa.schema(
+            [base.schema.field(k) for k in keys] + list(target)
+        ))
+        for c in payload:
+            base_state[c] = base_conf.column(c)
+            base_state[f"{c}__lsn"] = pa.array(np.full(nb, watermark, np.int64))
+        full_fields = [base_conf.schema.field(k) for k in keys]
+        full_fields += [pa.field("del_lsn", pa.int64()), pa.field("wr_lsn", pa.int64())]
+        for c in payload:
+            full_fields.append(target.field(c))
+            full_fields.append(pa.field(f"{c}__lsn", pa.int64()))
+        full_schema = pa.schema(full_fields)
+        combined = pa.concat_tables(
+            [conform(pa.table(base_state), full_schema), conform(states, full_schema)]
+        )
+    else:
+        combined = states
+    return resolve_patch_states(combined, keys=keys)

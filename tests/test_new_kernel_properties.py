@@ -350,3 +350,76 @@ def test_partial_prereduce_resolve_matches_reference(case):
         _canon(exp, ["conv_id", "turn_idx"]),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# generic lake patch kernels: base-split equivalence law
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def patch_streams_with_base_split(draw):
+    tbl = draw(patch_streams())
+    n = len(tbl)
+    k = draw(st.integers(0, n))  # first k lsns become the committed base
+    n_cuts = draw(st.integers(0, 3))
+    cuts = sorted(draw(st.lists(st.integers(0, n - k), min_size=n_cuts, max_size=n_cuts)))
+    return tbl, k, [0] + cuts + [n - k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(patch_streams_with_base_split())
+def test_patch_lake_kernels_base_split_law(case):
+    """For ANY split of the stream into a committed prefix (the base at
+    watermark = max prefix lsn) and a suffix folded through arbitrary
+    `patch_prereduce` batches, `merge_partition_patch` must equal the
+    sequential one-pass reference over the WHOLE stream — the
+    exactly-once + associativity contract of the lake's patch mode."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.merge import (
+        merge_partition_patch,
+        patch_prereduce,
+    )
+
+    tbl, k, bounds = case
+    keys = ["conv_id", "turn_idx"]
+    order = np.argsort(np.asarray(tbl.column("lsn")))
+    sorted_tbl = tbl.take(pa.array(order))
+    prefix, suffix = sorted_tbl.slice(0, k), sorted_tbl.slice(k)
+
+    base_df = _ref_partial(prefix)
+    if len(base_df):
+        base = pa.table(
+            {
+                "conv_id": pa.array(base_df["conv_id"], pa.string()),
+                "turn_idx": pa.array(base_df["turn_idx"], pa.int32()),
+                "role": pa.array(base_df["role"], pa.string()),
+                "text": pa.array(base_df["text"], pa.string()),
+                "ts": pa.array(
+                    [None if pd.isna(t) else np.datetime64(t, "us") for t in base_df["ts"]],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        wm = int(prefix.column("lsn")[k - 1].as_py())
+    else:
+        base = None
+        wm = int(prefix.column("lsn")[k - 1].as_py()) if k else -1
+
+    parts = [
+        patch_prereduce(suffix.slice(lo, hi - lo), keys=keys)
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    parts = [p for p in parts if len(p)]
+    states = (
+        pa.concat_tables(parts) if parts else patch_prereduce(suffix.slice(0, 0), keys=keys)
+    )
+    got = merge_partition_patch(base, states, keys=keys, watermark=wm).to_pandas()
+    exp = _ref_partial(tbl)
+    if "ts" in exp.columns and len(exp):
+        exp["ts"] = pd.to_datetime(exp["ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        _canon(got, ["conv_id", "turn_idx"]),
+        _canon(exp, ["conv_id", "turn_idx"]),
+        check_dtype=False,
+    )

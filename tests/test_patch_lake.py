@@ -1,0 +1,113 @@
+"""Lake patch-mode ingestion (mode="patch"): end-to-end sparse-diff
+replay with manifests, watermarks and exactly-once.
+
+- full replay of the derived sparse WAL equals the oracle-checked
+  query-layer semantics (cdc_replay_partial_updates);
+- re-replaying the same WAL is a watermark no-op (idempotence);
+- a 40%/100% overlapping two-step replay equals the one-shot replay
+  (exactly-once across the watermark, with stale components inside
+  prereduced states losing per column);
+- the CLI exposes --mode patch.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import (
+    QUERIES,
+    _derive_sparse_changelog,
+)
+from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
+from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lake_state(root: str) -> pd.DataFrame:
+    lake = TranscriptLake(root)
+    parts = [lake.read_partition(p) for p in range(lake.num_partitions)]
+    parts = [p for p in parts if len(p)]
+    df = pa.concat_tables(parts).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _expected() -> pd.DataFrame:
+    exp = QUERIES["cdc_replay_partial_updates"](SF).to_pandas()
+    return exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _cmp_state(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got[sorted(exp.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_patch_replay_full_and_idempotent(ray_session, tmp_path):
+    root = str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=8)
+    m1 = replay_into_lake(root, _derive_sparse_changelog(SF), mode="patch")
+    assert (m1["events_applied"] > 0).any()
+    exp = _expected()
+    _cmp_state(_lake_state(root), exp)
+    wm1 = TranscriptLake(root).watermarks()
+
+    # re-replay: every state is stale -> watermark no-op everywhere
+    m2 = replay_into_lake(root, _derive_sparse_changelog(SF), mode="patch")
+    assert (m2["events_applied"] == 0).all() if len(m2) else True
+    assert TranscriptLake(root).watermarks() == wm1
+    _cmp_state(_lake_state(root), exp)
+
+
+def test_patch_replay_overlapping_windows_exactly_once(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    changes = _derive_sparse_changelog(SF)
+    hi = changes.max("lsn")
+    cut = int(hi * 0.4)
+
+    root = str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=8)
+    first = _derive_sparse_changelog(SF).filter(lambda r: r["lsn"] <= cut)
+    replay_into_lake(root, first, mode="patch")
+    mid = _lake_state(root)
+    assert len(mid) > 0
+    # second replay OVERLAPS: the full stream, stale half included
+    replay_into_lake(root, _derive_sparse_changelog(SF), mode="patch")
+    _cmp_state(_lake_state(root), _expected())
+
+
+def test_patch_mode_rejects_salt(ray_session, tmp_path):
+    root = str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=4)
+    with pytest.raises(ValueError, match="salting"):
+        replay_into_lake(root, _derive_sparse_changelog(SF), mode="patch", salt=4)
+
+
+def test_cli_patch_mode(ray_session, tmp_path, capsys):
+    import json
+
+    from cityofphiladelphia_databridge_etl_tools_ray.cli import main
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+
+    rows = _derive_sparse_changelog(SF).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    # conform to the WAL interchange schema (tool column, typed turn_idx)
+    tbl = tbl.add_column(
+        tbl.schema.get_field_index("text"),
+        pa.field("tool", pa.string()),
+        pa.nulls(len(tbl), pa.string()),
+    )
+    i = tbl.schema.get_field_index("turn_idx")
+    tbl = tbl.set_column(i, "turn_idx", tbl.column("turn_idx").cast(pa.int32()))
+    wal_dir = tmp_path / "wal"
+    write_change_log(tbl, str(wal_dir), n_files=2)
+
+    root = str(tmp_path / "lake")
+    assert main(["create-lake", root, "--partitions", "4"]) == 0
+    assert main(["replay", root, str(wal_dir), "--mode", "patch"]) == 0
+    out = capsys.readouterr().out
+    recs = json.loads(out.strip().splitlines()[-1])
+    assert sum(r["events_applied"] for r in recs) > 0
+    _cmp_state(_lake_state(root), _expected())
