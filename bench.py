@@ -122,7 +122,22 @@ def run_replay(num_cpus: int) -> dict:
     tail_dt = time.perf_counter() - t0
     shutil.rmtree(last_lake, ignore_errors=True)
 
+    # patch-mode leg (one rep): the sparse-diff ingest path — same WAL
+    # (full-row events are valid patches), exercising the associative
+    # lsn-stamped state combiner + merge_partition_patch end-to-end.
+    patch_dt = None
+    if os.environ.get("GRAFT_BENCH_PATCH", "1") != "0":
+        lake_root = os.path.join(BENCH_DIR, f"patchlake-{num_cpus}-{os.getpid()}")
+        shutil.rmtree(lake_root, ignore_errors=True)
+        TranscriptLake.create(lake_root, num_partitions=N_PARTITIONS)
+        t0 = time.perf_counter()
+        replay_into_lake(lake_root, read_change_log(wal_dir), mode="patch")
+        patch_dt = time.perf_counter() - t0
+        shutil.rmtree(lake_root, ignore_errors=True)
+
     return {
+        "patch_replay_sec": round(patch_dt, 2) if patch_dt else None,
+        "patch_events_per_sec": round(N_EVENTS / patch_dt) if patch_dt else None,
         "events": N_EVENTS,
         "replay_sec": round(dt, 2),
         "events_per_sec": round(N_EVENTS / dt),
