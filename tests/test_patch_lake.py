@@ -111,3 +111,59 @@ def test_cli_patch_mode(ray_session, tmp_path, capsys):
     recs = json.loads(out.strip().splitlines()[-1])
     assert sum(r["events_applied"] for r in recs) > 0
     _cmp_state(_lake_state(root), _expected())
+
+
+def test_patch_mode_generic_pk_lake(ray_session, tmp_path):
+    """Patch ingestion on a custom-PK, custom-schema lake: updates
+    carry NULL for untouched columns; the per-column winners must
+    match a sequential patch reference keyed on item_id."""
+    import ray.data
+
+    schema = pa.table(
+        {
+            "item_id": pa.array([], pa.int64()),
+            "qty": pa.array([], pa.int64()),
+            "note": pa.array([], pa.string()),
+        }
+    ).schema
+    root = str(tmp_path / "genpk")
+    TranscriptLake.create(root, num_partitions=8, schema=schema, primary_key=["item_id"])
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    item = rng.integers(0, 50, n)
+    op = np.where(
+        rng.random(n) < 0.12, "delete", np.where(rng.random(n) < 0.3, "insert", "update")
+    )
+    qty = rng.integers(0, 1000, n).astype(object)
+    note = np.array([f"n{i}" for i in range(n)], dtype=object)
+    qty[rng.random(n) < 0.5] = None   # sparse: half the patches omit qty
+    note[rng.random(n) < 0.5] = None  # ... and half omit note
+    t = pa.table(
+        {
+            "op": pa.array(op.tolist()),
+            "lsn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "item_id": pa.array(item, pa.int64()),
+            "qty": pa.array(qty.tolist(), pa.int64()),
+            "note": pa.array(note.tolist(), pa.string()),
+        }
+    )
+
+    replay_into_lake(root, ray.data.from_arrow(t), mode="patch")
+
+    state: dict = {}
+    for r in t.to_pylist():  # sequential patch reference
+        k = r["item_id"]
+        if r["op"] == "delete":
+            state.pop(k, None)
+            continue
+        cur = state.setdefault(k, {"qty": None, "note": None})
+        for c in ("qty", "note"):
+            if r[c] is not None:
+                cur[c] = r[c]
+    got = {
+        r["item_id"]: (r["qty"], r["note"])
+        for r in TranscriptLake(root).read_all().to_pylist()
+    }
+    exp = {k: (v["qty"], v["note"]) for k, v in state.items()}
+    assert got == exp
