@@ -167,3 +167,72 @@ def test_patch_mode_generic_pk_lake(ray_session, tmp_path):
     }
     exp = {k: (v["qty"], v["note"]) for k, v in state.items()}
     assert got == exp
+
+
+def _sparse_wal_table() -> pa.Table:
+    rows = _derive_sparse_changelog(SF).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.add_column(
+        tbl.schema.get_field_index("text"),
+        pa.field("tool", pa.string()),
+        pa.nulls(len(tbl), pa.string()),
+    )
+    i = tbl.schema.get_field_index("turn_idx")
+    return tbl.set_column(i, "turn_idx", tbl.column("turn_idx").cast(pa.int32()))
+
+
+def test_follow_wal_patch_mode(ray_session, tmp_path):
+    """The continuous tail composes with patch mode: segments appear
+    between cycles, each cycle patch-merges only what is new, and the
+    final state equals the one-shot replay."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import follow_wal
+
+    tbl = _sparse_wal_table()
+    order = np.argsort(np.asarray(tbl.column("lsn")))
+    tbl = tbl.take(pa.array(order))
+    half = len(tbl) // 2
+    wal_dir = tmp_path / "wal"
+    write_change_log(tbl.slice(0, half), str(wal_dir), n_files=2)
+
+    produced = {"done": False}
+
+    def producer_sleep(_secs):
+        if not produced["done"]:
+            # append the rest of the WAL as new segments mid-loop
+            # (segment filenames encode their lsn range, so they land
+            # beside the first half without collisions)
+            write_change_log(tbl.slice(half), str(wal_dir), n_files=2)
+            produced["done"] = True
+
+    root = str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=8)
+    follow_wal(
+        root, str(wal_dir), mode="patch", sleep=producer_sleep,
+        idle_stop=2, max_cycles=10, poll_interval=0,
+    )
+    _cmp_state(_lake_state(root), _expected())
+
+
+def test_transactional_patch_replay(ray_session, tmp_path):
+    """All-or-nothing patch replay across two lakes (the binlog-router
+    transaction composed with sparse-diff semantics)."""
+    import ray.data
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import (
+        replay_transactional,
+    )
+
+    roots = [str(tmp_path / "lake_a"), str(tmp_path / "lake_b")]
+    for r in roots:
+        TranscriptLake.create(r, num_partitions=4)
+    tbl = _sparse_wal_table()
+    replay_transactional(
+        [(roots[0], ray.data.from_arrow(tbl)), (roots[1], ray.data.from_arrow(tbl))],
+        str(tmp_path / "txn"),
+        "txn-patch-1",
+        mode="patch",
+    )
+    exp = _expected()
+    _cmp_state(_lake_state(roots[0]), exp)
+    _cmp_state(_lake_state(roots[1]), exp)
