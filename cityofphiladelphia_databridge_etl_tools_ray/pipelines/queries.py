@@ -13456,3 +13456,144 @@ def cdc_replay_patch_lake(sf_dir: str):
 
 QUERIES["cdc_replay_patch_lake"] = cdc_replay_patch_lake
 ORACLE_SQL["cdc_replay_patch_lake"] = ORACLE_SQL["cdc_replay_partial_updates"]
+
+
+def cdc_patch_column_touch_stats(sf_dir: str):
+    """Sparse-stream observability: per op, how many patch events
+    carried each payload column vs omitted it (plus the all-columns-
+    omitted "heartbeat" updates) — the column-touch profile an operator
+    reads to size the patch combiner's win and to spot producers that
+    ship full rows through the sparse path.  Shuffle-free: one integer
+    partial row per batch, folded by a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    changes = _derive_sparse_changelog(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "op": b.column("op"),
+                "role_set": pc.cast(pc.is_valid(b.column("role")), pa.int64()),
+                "text_set": pc.cast(pc.is_valid(b.column("text")), pa.int64()),
+                "none_set": pc.cast(
+                    pc.and_(
+                        pc.is_null(b.column("role")), pc.is_null(b.column("text"))
+                    ),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        a = g.group_by("op").aggregate(
+            [("role_set", "sum"), ("text_set", "sum"), ("none_set", "sum"), ("one", "sum")]
+        )
+        return _agg_select(
+            a,
+            ["op"],
+            [
+                ("role_set_sum", "pr"),
+                ("text_set_sum", "pt"),
+                ("none_set_sum", "pn0"),
+                ("one_sum", "pn"),
+            ],
+        )
+
+    agg = (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .groupby("op")
+        .aggregate(
+            Sum("pr", alias_name="n_role_set"),
+            Sum("pt", alias_name="n_text_set"),
+            Sum("pn0", alias_name="n_all_omitted"),
+            Sum("pn", alias_name="n_events"),
+        )
+    )
+    return agg.to_pandas()[
+        ["op", "n_role_set", "n_text_set", "n_all_omitted", "n_events"]
+    ]
+
+
+QUERIES["cdc_patch_column_touch_stats"] = cdc_patch_column_touch_stats
+
+ORACLE_SQL["cdc_patch_column_touch_stats"] = _SPARSE_CTE + """
+SELECT op,
+       CAST(count(role) AS BIGINT) AS n_role_set,
+       CAST(count(text) AS BIGINT) AS n_text_set,
+       CAST(count(*) FILTER (WHERE role IS NULL AND text IS NULL) AS BIGINT)
+         AS n_all_omitted,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sparse GROUP BY op
+"""
+
+
+def wal_gap_audit(sf_dir: str):
+    """WAL integrity monitor: global lsn span vs delivered count —
+    missing lsns (producer loss), duplicate deliveries, and the span
+    boundaries.  (lo, hi, n) fold shuffle-free from one
+    sufficient-statistics row per batch; the distinct-lsn count is
+    EXACT for arbitrary WALs (dups may span batches): batch-local
+    dedup first, then ONE narrow exchange of bare int64 lsns on a
+    coarse lsn bucket, a per-bucket unique count, and a tiny sum —
+    never an upper bound, so the oracle equality holds on any
+    stream."""
+    from ray.data.aggregate import Sum
+
+    changes = _derive_changelog(sf_dir)
+    nb = _nb()
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        lsn = b.column("lsn")
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(lsn).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(lsn).as_py()], pa.int64()),
+                "n": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    parts = changes.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    n = int(parts["n"].sum())
+
+    def uniq_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("lsn"))
+        arr = np.asarray(u)
+        return pa.table(
+            {
+                "bucket": pa.array((arr & (nb - 1)).astype(np.int32)),
+                "lsn": u,
+            }
+        )
+
+    def bucket_count(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pn": pa.array([len(pc.unique(g.column("lsn")))], pa.int64())}
+        )
+
+    nu = int(
+        changes.map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pyarrow")
+        .aggregate(Sum("pn", alias_name="nu"))["nu"]
+    )
+    return pd.DataFrame(
+        {
+            "lsn_lo": [lo],
+            "lsn_hi": [hi],
+            "n_events": [n],
+            "n_missing": [hi - lo + 1 - nu],
+            "n_duplicate": [n - nu],
+        }
+    )
+
+
+QUERIES["wal_gap_audit"] = wal_gap_audit
+
+ORACLE_SQL["wal_gap_audit"] = _CHANGES_CTE + """
+SELECT CAST(min(lsn) AS BIGINT) AS lsn_lo,
+       CAST(max(lsn) AS BIGINT) AS lsn_hi,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(lsn) - min(lsn) + 1 - count(DISTINCT lsn) AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT lsn) AS BIGINT) AS n_duplicate
+FROM changes
+"""

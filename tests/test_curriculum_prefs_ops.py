@@ -446,3 +446,29 @@ def test_contamination_matrix_null_text_ignored(ray_session, tmp_path):
     got = QUERIES["source_contamination_matrix"](str(tmp_path))
     exp = _oracle(str(tmp_path), "source_contamination_matrix", ["documents"])
     assert len(got) == 0 and len(exp) == 0
+
+
+def test_wal_gap_audit_gaps_and_cross_batch_dups(ray_session, tmp_path):
+    """Crafted WAL with real gaps AND duplicate lsns split across two
+    parquet row groups (hence different Ray blocks): the distinct
+    count must stay exact, not a per-batch upper bound."""
+    # lsns: 1..10 minus {4, 7} (2 missing), plus dups of 2 and 9
+    lsns = [1, 2, 3, 5, 6, 8, 9, 10, 2, 9]
+    rows = [(l, "2024-01-05T00:00:00", 1, "click", None) for l in lsns]
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"), row_group_size=5)
+    got = QUERIES["wal_gap_audit"](str(tmp_path))
+    exp = _oracle(str(tmp_path), "wal_gap_audit", ["events"])
+    _cmp(got, exp, ["lsn_lo"])
+    r = got.iloc[0]
+    assert r["n_missing"] == 2 and r["n_duplicate"] == 2
+    assert r["lsn_lo"] == 1 and r["lsn_hi"] == 10
