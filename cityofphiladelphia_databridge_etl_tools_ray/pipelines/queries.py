@@ -13597,3 +13597,162 @@ SELECT CAST(min(lsn) AS BIGINT) AS lsn_lo,
        CAST(count(*) - count(DISTINCT lsn) AS BIGINT) AS n_duplicate
 FROM changes
 """
+
+
+def cdc_patch_effective_write_ratio(sf_dir: str):
+    """Sparse-stream write-amplification audit: per payload column, how
+    many carried (non-null, non-delete) writes the WAL shipped vs how
+    many keys the FINAL state actually resolves that column non-null
+    for — the redundancy ratio that tells an operator how much of the
+    patch traffic is superseded churn.  Write counts fold shuffle-free
+    per batch; final counts ride the same prereduce → one-exchange →
+    resolve path as the patch merge itself."""
+    from ray.data.aggregate import Sum
+
+    changes = _derive_sparse_changelog(sf_dir)
+
+    def write_partial(b: pa.Table) -> pa.Table:
+        upd = pc.invert(pc.equal(b.column("op"), pa.scalar("delete")))
+        return pa.table(
+            {
+                "pr": pa.array(
+                    [pc.sum(pc.cast(pc.and_(upd, pc.is_valid(b.column("role"))), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "pt": pa.array(
+                    [pc.sum(pc.cast(pc.and_(upd, pc.is_valid(b.column("text"))), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    w = changes.map_batches(write_partial, batch_format="pyarrow").to_pandas()
+    n_role_writes, n_text_writes = int(w["pr"].sum()), int(w["pt"].sum())
+
+    def final_partial(g: pa.Table) -> pa.Table:
+        state = _partial_resolve(g)
+        return pa.table(
+            {
+                "alive": pa.array([len(state)], pa.int64()),
+                "fr": pa.array(
+                    [pc.sum(pc.cast(pc.is_valid(state.column("role")), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "ft": pa.array(
+                    [pc.sum(pc.cast(pc.is_valid(state.column("text")), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    f = (
+        changes.map_batches(_partial_prereduce, batch_format="pyarrow")
+        .map_batches(_conv_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_keys_alive": [int(f["alive"].sum())],
+            "n_role_writes": [n_role_writes],
+            "n_role_final": [int(f["fr"].sum())],
+            "n_text_writes": [n_text_writes],
+            "n_text_final": [int(f["ft"].sum())],
+        }
+    )
+
+
+QUERIES["cdc_patch_effective_write_ratio"] = cdc_patch_effective_write_ratio
+
+ORACLE_SQL["cdc_patch_effective_write_ratio"] = _SPARSE_CTE + """
+, dl AS (
+  SELECT conv_id, turn_idx, max(lsn) FILTER (WHERE op = 'delete') AS del_lsn
+  FROM sparse GROUP BY conv_id, turn_idx
+), live AS (
+  SELECT s.* FROM sparse s JOIN dl USING (conv_id, turn_idx)
+  WHERE s.op <> 'delete' AND (dl.del_lsn IS NULL OR s.lsn > dl.del_lsn)
+), merged AS (
+  SELECT conv_id, turn_idx,
+         last_value(role IGNORE NULLS) OVER w AS role,
+         last_value(text IGNORE NULLS) OVER w AS text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM live
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), state AS (SELECT * FROM merged WHERE rn = 1)
+SELECT CAST((SELECT count(*) FROM state) AS BIGINT) AS n_keys_alive,
+       CAST((SELECT count(role) FROM sparse WHERE op <> 'delete') AS BIGINT) AS n_role_writes,
+       CAST((SELECT count(role) FROM state) AS BIGINT) AS n_role_final,
+       CAST((SELECT count(text) FROM sparse WHERE op <> 'delete') AS BIGINT) AS n_text_writes,
+       CAST((SELECT count(text) FROM state) AS BIGINT) AS n_text_final
+"""
+
+
+def events_grouping_sets_report(sf_dir: str):
+    """GROUPING SETS ((event_type), (dow), ()) in ONE pass: every batch
+    emits partials for all three groupings tagged by a grouping id
+    (0 = by type, 1 = by day-of-week, 2 = grand total), one tiny
+    groupby folds them — the multi-grouping report SQL engines plan as
+    a single scan + exchange, here expressed the same way (the CUBE /
+    ROLLUP siblings enumerate full lattices; this is the sparse
+    user-chosen-sets variant)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        dow = ((ts.astype("datetime64[D]").view(np.int64) + 4) % 7).astype(np.int64)
+        cents = _np(_cents(b.column("value")))
+        et = np.asarray(b.column("event_type").combine_chunks())
+        outs = []
+        t0 = pa.table(
+            {"gid": np.zeros(len(b), np.int64), "k": pa.array(et),
+             "one": np.ones(len(b), np.int64), "c": cents}
+        ).group_by(["gid", "k"]).aggregate([("one", "sum"), ("c", "sum")])
+        outs.append(t0)
+        t1 = pa.table(
+            {"gid": np.ones(len(b), np.int64),
+             "k": pa.array(dow.astype(str).astype(object)),
+             "one": np.ones(len(b), np.int64), "c": cents}
+        ).group_by(["gid", "k"]).aggregate([("one", "sum"), ("c", "sum")])
+        outs.append(t1)
+        t2 = pa.table(
+            {"gid": pa.array([2], pa.int64()), "k": pa.array(["*"]),
+             "one_sum": pa.array([len(b)], pa.int64()),
+             "c_sum": pa.array([int(cents.sum())], pa.int64())}
+        )
+        both = pa.concat_tables([_agg_select(t, ["gid", "k"], [("one_sum", "one_sum"), ("c_sum", "c_sum")]) for t in outs] + [t2])
+        return pa.table(
+            {"gid": both.column("gid"), "k": both.column("k"),
+             "pn": both.column("one_sum"), "pc": both.column("c_sum")}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["gid", "k"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("pc", alias_name="sum_value_cents"))
+    )
+    return agg.to_pandas()[["gid", "k", "n", "sum_value_cents"]]
+
+
+QUERIES["events_grouping_sets_report"] = events_grouping_sets_report
+
+ORACLE_SQL["events_grouping_sets_report"] = """
+WITH c AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) AS VARCHAR) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(0 AS BIGINT) AS gid, event_type AS k,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c GROUP BY event_type
+UNION ALL
+SELECT CAST(1 AS BIGINT), dow, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM c GROUP BY dow
+UNION ALL
+SELECT CAST(2 AS BIGINT), '*', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM c
+"""
