@@ -23,13 +23,31 @@ import os
 import sys
 
 
+_OWNS_RAY = False  # did THIS process's CLI start the Ray session?
+
+
 def _ray_session(num_cpus: int | None):
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
         kw = {"num_cpus": num_cpus} if num_cpus else {}
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+        _OWNS_RAY = True
     return ray
+
+
+def _shutdown(ray) -> None:
+    """Shut down ONLY a session this CLI created.  When ``main()`` is
+    embedded (tests, notebooks, another driver), the caller owns the
+    session — shutting it down under them detonates the documented
+    core-worker hard exit: a Ray Data stats-flush thread from the
+    caller's earlier datasets lands after shutdown and
+    ``core_worker_process.cc`` kills the WHOLE process ("The core
+    worker has already been shutdown ... The process will exit"),
+    which presented as pytest dying silently mid-suite."""
+    if _OWNS_RAY:
+        ray.shutdown()
 
 
 def _parse_rename(pairs: list[str]) -> dict[str, str]:
@@ -101,7 +119,7 @@ def cmd_replay(args) -> int:
     else:
         metrics = replay_into_lake(args.root, read_change_log(args.wal), **kwargs)
     print(metrics.to_json(orient="records"))
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -166,7 +184,7 @@ def cmd_compact(args) -> int:
             .to_pandas()["p"]
             .tolist()
         )
-        ray.shutdown()
+        _shutdown(ray)
     print(json.dumps({"compacted_partitions": done, "policy": args.policy}))
     return 0
 
@@ -188,7 +206,7 @@ def cmd_rescale(args) -> int:
     if args.vacuum:
         res["vacuumed_files"] = len(lake.vacuum())
     print(json.dumps(res))
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -225,7 +243,7 @@ def cmd_lookup(args) -> int:
     ds = lake.lookup(args.values, columns=cols)
     df = ds.to_pandas()
     print(df.to_csv(index=False))
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -300,7 +318,7 @@ def cmd_publish(args) -> int:
             }
         )
     )
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -362,7 +380,7 @@ def cmd_query(args) -> int:
             df = t.slice(0, args.limit).to_pandas()
         print(df.to_string())
         print(f"... {total} rows")
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -399,7 +417,7 @@ def cmd_diff(args) -> int:
                 {k: int(counts.get(k, 0)) for k in ("insert", "update", "delete")}
             )
         )
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -428,7 +446,7 @@ def cmd_change_feed(args) -> int:
                 {k: int(counts.get(k, 0)) for k in ("insert", "update", "delete")}
             )
         )
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
