@@ -198,3 +198,16 @@ def test_cli_query_out_streams_parquet(tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert r2.returncode != 0 and "not empty" in (r2.stderr + r2.stdout)
+
+
+def test_cli_leaves_caller_owned_ray_session_alive(ray_session, wal, tmp_path):
+    """Embedded main() must NOT shut down a Ray session it did not
+    create — an unconditional shutdown here let a post-shutdown Ray
+    Data stats flush hard-exit the whole host process (silent pytest
+    death, core_worker_process.cc 'already been shutdown')."""
+    import ray
+
+    lake_root = str(tmp_path / "lake")
+    assert main(["create-lake", lake_root, "--partitions", "4"]) == 0
+    assert main(["replay", lake_root, str(wal)]) == 0
+    assert ray.is_initialized()  # caller's session survives the CLI
