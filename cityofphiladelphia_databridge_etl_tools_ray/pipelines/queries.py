@@ -13756,3 +13756,66 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), '*', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
 FROM c
 """
+
+
+def corpus_length_gini(sf_dir: str):
+    """Corpus balance audit: the exact integer sufficient statistics
+    of the Gini coefficient over document token counts — n, Σx, and
+    the rank-weighted sum Σ rank_i·x_i (ranks over the value-sorted
+    order; ties contribute identically under any tie order, so the
+    statistic is well-defined).  Gini = 2W/(nΣx) − (n+1)/n derives
+    exactly from the three integers; keeping them integral makes the
+    driver's value hash bit-stable.
+
+    Scale shape: the bounded-domain histogram CDF again — one tiny
+    (n_tokens → count) aggregate leaves the cluster; the driver folds
+    W from per-value runs (value v, count c, predecessors s contribute
+    v·(c·s + c(c+1)/2))."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = token_counts(b)
+        g = pa.table({"t": t.column("n_tokens")}).group_by("t").aggregate([("t", "count")])
+        return pa.table(
+            {"t": g.column("t"), "pn": pc.cast(g.column("t_count"), pa.int64())}
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("pn", alias_name="c"))
+        .to_pandas()
+        .sort_values("t")
+    )
+    t = h["t"].to_numpy().astype(np.int64)
+    c = h["c"].to_numpy().astype(np.int64)
+    s = np.cumsum(c) - c  # predecessors per value run
+    w = int((t * (c * s + c * (c + 1) // 2)).sum())
+    return pd.DataFrame(
+        {
+            "n_docs": [int(c.sum())],
+            "sum_tokens": [int((t * c).sum())],
+            "weighted_rank_sum": [w],
+        }
+    )
+
+
+QUERIES["corpus_length_gini"] = corpus_length_gini
+
+ORACLE_SQL["corpus_length_gini"] = r"""
+WITH toks AS (
+  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS t FROM documents
+), h AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+), w AS (
+  SELECT t, c, sum(c) OVER (ORDER BY t) - c AS s FROM h
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(t * c) AS BIGINT) AS sum_tokens,
+       CAST(sum(t * (c * s + (c * (c + 1)) // 2)) AS BIGINT) AS weighted_rank_sum
+FROM w
+"""

@@ -472,3 +472,38 @@ def test_wal_gap_audit_gaps_and_cross_batch_dups(ray_session, tmp_path):
     r = got.iloc[0]
     assert r["n_missing"] == 2 and r["n_duplicate"] == 2
     assert r["lsn_lo"] == 1 and r["lsn_hi"] == 10
+
+
+def test_corpus_length_gini_known_values(ray_session, tmp_path):
+    """Hand-checkable Gini statistics: equal lengths give W = Σx(n+1)/2
+    (Gini 0); a fully concentrated corpus pins the closed form."""
+    def write(docs, d):
+        d.mkdir()
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(x) for x in docs], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    # 4 docs x 3 tokens: W = 3*(1+2+3+4) = 30, gini = 2*30/(4*12) - 5/4 = 0
+    sf = write(["a b c"] * 4, tmp_path / "eq")
+    got = QUERIES["corpus_length_gini"](sf)
+    exp = _oracle(sf, "corpus_length_gini", ["documents"])
+    _cmp(got, exp, ["n_docs"])
+    r = got.iloc[0]
+    assert r["weighted_rank_sum"] == 30 and r["sum_tokens"] == 12
+    n, sx, w = r["n_docs"], r["sum_tokens"], r["weighted_rank_sum"]
+    assert abs(2 * w / (n * sx) - (n + 1) / n) < 1e-12  # gini == 0
+
+    # 1-token docs + one 10-token doc: sorted ranks put the big doc last
+    sf2 = write(["x", "x", "x", " ".join(["y"] * 10)], tmp_path / "skew")
+    got2 = QUERIES["corpus_length_gini"](sf2)
+    exp2 = _oracle(sf2, "corpus_length_gini", ["documents"])
+    _cmp(got2, exp2, ["n_docs"])
+    assert got2.iloc[0]["weighted_rank_sum"] == 1 + 2 + 3 + 4 * 10
