@@ -45,9 +45,14 @@ def _shutdown(ray) -> None:
     caller's earlier datasets lands after shutdown and
     ``core_worker_process.cc`` kills the WHOLE process ("The core
     worker has already been shutdown ... The process will exit"),
-    which presented as pytest dying silently mid-suite."""
+    which presented as pytest dying silently mid-suite.  The flag
+    resets after the shutdown: a later embedded ``main()`` call in
+    this process that finds a CALLER-initialized session (started
+    after ours ended) must not mistake it for its own."""
+    global _OWNS_RAY
     if _OWNS_RAY:
         ray.shutdown()
+        _OWNS_RAY = False
 
 
 def _parse_rename(pairs: list[str]) -> dict[str, str]:

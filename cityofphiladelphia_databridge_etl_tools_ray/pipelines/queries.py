@@ -1576,13 +1576,31 @@ def _events_day_type_fine(sf_dir: str) -> pd.DataFrame:
 
 
 def _finish_grouping_sets(parts: list) -> pd.DataFrame:
-    out = pd.concat(parts, ignore_index=True)[
-        ["day", "event_type", "n", "sum_value_cents"]
-    ]
-    out["day"] = out["day"].astype("datetime64[us]")
-    out["n"] = out["n"].astype("int64")
-    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
-    return out
+    """Stack grouping-set levels.  Each part is dtype-normalized FIRST
+    and empty parts are dropped: concatenating empty / all-NA frames
+    with mismatched dtypes is deprecated in pandas (FutureWarning now,
+    behavior change in the next major)."""
+    cols = ["day", "event_type", "n", "sum_value_cents"]
+    norm = []
+    for p in parts:
+        if not len(p):
+            continue
+        p = p.reindex(columns=cols).copy()
+        p["day"] = pd.to_datetime(p["day"]).astype("datetime64[us]")
+        p["event_type"] = p["event_type"].astype(object)
+        p["n"] = p["n"].astype("int64")
+        p["sum_value_cents"] = p["sum_value_cents"].astype("int64")
+        norm.append(p)
+    if not norm:
+        return pd.DataFrame(
+            {
+                "day": pd.Series(dtype="datetime64[us]"),
+                "event_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "sum_value_cents": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(norm, ignore_index=True)
 
 
 def events_rollup_day_type(sf_dir: str):
@@ -13103,7 +13121,7 @@ QUERIES["contrastive_hard_negatives"] = contrastive_hard_negatives
 ORACLE_SQL["contrastive_hard_negatives"] = """
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe, label AS ql
-  FROM embeddings WHERE vec_id % 25 = 0
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 25 * 512
 ), s AS (
   SELECT q.qid, e.vec_id AS nid,
          list_cosine_similarity(q.qe, e.embedding) AS sim
@@ -13538,7 +13556,15 @@ def wal_gap_audit(sf_dir: str):
     stream."""
     from ray.data.aggregate import Sum
 
-    changes = _derive_changelog(sf_dir)
+    # both passes need ONLY the lsn column: project to bare int64 and
+    # materialize that once, so the second pass re-reads 8 bytes/event
+    # from the object store instead of re-running the full parquet read
+    # + changelog derivation lineage (curriculum_ntile_stages pattern)
+    changes = (
+        _derive_changelog(sf_dir)
+        .map_batches(lambda b: b.select(["lsn"]), batch_format="pyarrow")
+        .materialize()
+    )
     nb = _nb()
 
     def stats_partial(b: pa.Table) -> pa.Table:
@@ -13606,10 +13632,14 @@ def cdc_patch_effective_write_ratio(sf_dir: str):
     for — the redundancy ratio that tells an operator how much of the
     patch traffic is superseded churn.  Write counts fold shuffle-free
     per batch; final counts ride the same prereduce → one-exchange →
-    resolve path as the patch merge itself."""
+    resolve path as the patch merge itself.  The derived sparse
+    changelog feeds BOTH passes (raw write counts need pre-dedup
+    events, so the prereduced form cannot be shared), so it is
+    materialized once instead of re-running the derivation lineage for
+    the second consumer."""
     from ray.data.aggregate import Sum
 
-    changes = _derive_sparse_changelog(sf_dir)
+    changes = _derive_sparse_changelog(sf_dir).materialize()
 
     def write_partial(b: pa.Table) -> pa.Table:
         upd = pc.invert(pc.equal(b.column("op"), pa.scalar("delete")))

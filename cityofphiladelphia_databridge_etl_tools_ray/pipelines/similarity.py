@@ -646,19 +646,38 @@ def embedding_pca_topk(sf_dir: str):
 # Contrastive hard-negative mining
 # ---------------------------------------------------------------------------
 
-_HN_QUERY_MOD = 25  # queries = vectors with vec_id % 25 == 0
+_HN_QUERY_MOD = 25   # query stride over vec_id
+_HN_MAX_QUERIES = 512  # HARD cap on the query set (like N_QUERIES):
+# queries = vec_id % 25 == 0 AND vec_id < 25·512.  Without the cap the
+# query set grows ∝ n/25, making the broadcast matrix O(n·d) and total
+# matmul work O(n²/25) — quadratic at 100-TB scale.  Capped, the
+# broadcast is ≤ 512×d and every batch's scoring is O(B·512·d): linear.
+_HN_BUCKETS = 32     # coarse finalizer fan-out (power of 2, ≤ queries)
+
+_HN_CAND_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("qid", pa.int64()),
+        ("nid", pa.int64()),
+        ("sim", pa.float64()),
+    ]
+)
 
 
 def _hn_select_queries(b: pa.Table) -> pa.Table:
     ids = np.asarray(b.column("vec_id"), dtype=np.int64)
-    return b.filter(pa.array(ids % _HN_QUERY_MOD == 0))
+    return b.filter(
+        pa.array((ids % _HN_QUERY_MOD == 0) & (ids < _HN_QUERY_MOD * _HN_MAX_QUERIES))
+    )
 
 
 def _hn_queries_ref(sf_dir: str):
     """Broadcast query set for hard-negative mining: embeddings AND
-    labels (the exclusion is same-label, not same-id).  The mod filter
-    runs distributed (pyarrow dataset expressions lack %); only the
-    reduced 1/25 query slice reaches the driver."""
+    labels (the exclusion is same-label, not same-id).  The mod+cap
+    filter runs distributed (pyarrow dataset expressions lack %); only
+    the ≤ ``_HN_MAX_QUERIES`` query slice reaches the driver.  Returns
+    a ``ray.put`` handle (``None`` payload when no vector qualifies —
+    the scorer then emits nothing, matching the empty oracle)."""
     import ray
     import ray.data
 
@@ -669,8 +688,10 @@ def _hn_queries_ref(sf_dir: str):
         )
         .map_batches(_hn_select_queries, batch_format="pyarrow")
         .to_pandas()
-        .sort_values("vec_id")
     )
+    if not len(q):  # no qualifying vector (guard BEFORE sort_values —
+        return ray.put(None)  # an empty Dataset's frame may drop columns)
+    q = q.sort_values("vec_id")
     qm = _normalize(np.stack([np.asarray(v, np.float64) for v in q["embedding"]]))
     return ray.put(
         {
@@ -684,42 +705,64 @@ def _hn_queries_ref(sf_dir: str):
 def _hn_local_best(b: pa.Table, *, ref) -> pa.Table:
     """Per-batch exact scorer: each query's best DIFFERENT-LABEL
     candidate in this batch (sim desc, nid asc tie-break) — ≤1 row per
-    (query, batch) reaches the merge."""
+    (query, batch) reaches the merge, pre-tagged with its coarse
+    finalizer bucket."""
     d = _deref(ref)
+    if d is None or len(b) == 0:
+        return _HN_CAND_SCHEMA.empty_table()
     qids, qlabels, Q = d["qids"], d["qlabels"], d["Q"]
     ids = np.asarray(b.column("vec_id"), dtype=np.int64)
     labels = np.asarray(b.column("label"), dtype=np.int64)
     M = _normalize(_matrix(b.column("embedding")))
-    S = Q @ M.T  # (Q, B)
+    S = Q @ M.T  # (Q, B) — Q bounded by _HN_MAX_QUERIES
     S[qlabels[:, None] == labels[None, :]] = -np.inf  # same label excluded
     rows, cols = _rows_topk(S, ids, 1)
     keep = np.isfinite(S[rows, cols])
     rows, cols = rows[keep], cols[keep]
+    qw = qids[rows]
     return pa.table(
         {
-            "qid": pa.array(qids[rows]),
+            "bucket": pa.array(((qw // _HN_QUERY_MOD) & (_HN_BUCKETS - 1)).astype(np.int32)),
+            "qid": pa.array(qw),
             "nid": pa.array(ids[cols]),
             "sim": pa.array(S[rows, cols]),
         }
     )
 
 
-def _hn_merge(g: pd.DataFrame) -> pd.DataFrame:
-    g = g[np.isfinite(g["sim"])]
-    g = g.sort_values(["sim", "nid"], ascending=[False, True], kind="stable").head(1)
-    return pd.DataFrame({"qid": g["qid"].to_numpy(), "nid": g["nid"].to_numpy()})
+def _hn_merge_bucket(g: pa.Table) -> pa.Table:
+    """Vectorized keep-best over a COARSE bucket of queries (the
+    `cdc_latest_event_per_user` finalizer shape): one lexsort + one
+    run-boundary mask per bucket — ≤ ``_HN_BUCKETS`` finalizer groups
+    total, never one Python call per query."""
+    qid = np.asarray(g.column("qid"), dtype=np.int64)
+    nid = np.asarray(g.column("nid"), dtype=np.int64)
+    sim = np.asarray(g.column("sim"), dtype=np.float64)
+    fin = np.isfinite(sim)
+    qid, nid, sim = qid[fin], nid[fin], sim[fin]
+    if len(qid) == 0:
+        return pa.schema([("qid", pa.int64()), ("nid", pa.int64())]).empty_table()
+    order = np.lexsort((nid, -sim, qid))  # qid asc, sim desc, nid asc
+    qs = qid[order]
+    first = np.r_[True, qs[1:] != qs[:-1]]
+    win = order[first]
+    return pa.table({"qid": pa.array(qid[win]), "nid": pa.array(nid[win])})
 
 
 def contrastive_hard_negatives(sf_dir: str):
-    """Hard-negative mining for contrastive training: for every query
-    vector (vec_id % 25 == 0), the single most-cosine-similar vector
-    with a DIFFERENT label — the "hardest" negative an InfoNCE/triplet
-    batch builder pairs with each anchor.  Exact brute-force: the tiny
-    (query, label) set broadcasts once (`ray.put`), every batch scores
-    one (Q, B) float64 matmul and emits ≤1 candidate per query, the
-    final per-qid merge sees O(queries x blocks) rows.  Deterministic
-    tie-break (sim desc, nid asc) via the shared `_rows_topk`
-    boundary-tie-safe kernel."""
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id % 25 == 0, capped at ``_HN_MAX_QUERIES`` — a
+    BOUNDED anchor sample, the same contract as the ANN ops'
+    ``N_QUERIES``), the single most-cosine-similar vector with a
+    DIFFERENT label — the "hardest" negative an InfoNCE/triplet batch
+    builder pairs with each anchor.  Exact brute-force over the full
+    corpus: the bounded (query, label) set broadcasts once
+    (`ray.put`), every batch scores one (Q, B) float64 matmul and
+    emits ≤1 candidate per query, and the merge is a coarse-bucket
+    vectorized keep-best (≤ ``_HN_BUCKETS`` finalizer groups seeing
+    O(queries × blocks) tiny rows).  Deterministic tie-break (sim
+    desc, nid asc) via the shared `_rows_topk` boundary-tie-safe
+    kernel."""
     import ray.data
 
     ref = _hn_queries_ref(sf_dir)
@@ -728,6 +771,6 @@ def contrastive_hard_negatives(sf_dir: str):
     )
     return (
         ds.map_batches(_hn_local_best, fn_kwargs={"ref": ref}, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(_hn_merge, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_hn_merge_bucket, batch_format="pyarrow")
     )

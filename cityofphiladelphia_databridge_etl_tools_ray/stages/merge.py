@@ -355,6 +355,60 @@ def resolve_patch_states(
     return t.sort_by([(k, "ascending") for k in keys])
 
 
+def _mask_stale_patch_components(
+    states: pa.Table, keys: list[str], watermark: int
+) -> pa.Table:
+    """Drop every state component already covered by the partition
+    watermark: rows whose ``wr_lsn`` AND ``del_lsn`` are ≤ watermark
+    vanish; surviving rows have stale tombstones/writes clamped to -1
+    and stale per-column values nulled (their ``{col}__lsn`` → -1).
+
+    Why letting stale components "lose to the base" is NOT enough:
+    the base stamps only keys that still EXIST.  Under a
+    NON-contiguous redelivery (an old WAL segment delivered after the
+    watermark passed it, alongside fresh events in the same commit) a
+    stale write for a since-deleted key has no base row to lose
+    against and its tombstone was not redelivered — the resolve would
+    resurrect the key or apply the stale column.  Everything ≤
+    watermark is by definition already reflected in the base, so it is
+    masked outright — restoring LWW-grade idempotence under arbitrary
+    redelivery subsets (LWW mode's row-level ``lsn > wm`` filter is
+    immune by construction)."""
+    payload = [
+        f.name
+        for f in states.schema
+        if f.name not in (*keys, *PATCH_META) and not f.name.endswith("__lsn")
+    ]
+    def stale(arr: np.ndarray) -> bool:
+        return bool(((arr >= 0) & (arr <= watermark)).any())
+
+    lsns = {c: _np_col(states.column(f"{c}__lsn")) for c in payload}
+    wr = _np_col(states.column("wr_lsn"))
+    dl = _np_col(states.column("del_lsn"))
+    if not (stale(wr) or stale(dl) or any(stale(a) for a in lsns.values())):
+        return states  # hot path: fully-fresh delivery, zero copies
+    fresh_row = (wr > watermark) | (dl > watermark)
+    if not fresh_row.all():
+        states = states.filter(pa.array(fresh_row))
+        wr, dl = wr[fresh_row], dl[fresh_row]
+        lsns = {c: a[fresh_row] for c, a in lsns.items()}
+    cols = {k: states.column(k) for k in keys}
+    cols["del_lsn"] = pa.array(np.where(dl > watermark, dl, -1))
+    cols["wr_lsn"] = pa.array(np.where(wr > watermark, wr, -1))
+    idx_all = np.arange(len(states), dtype=np.int64)
+    for c in payload:
+        keep = lsns[c] > watermark
+        col = states.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[c] = col.take(pa.array(idx_all, mask=~keep))
+        cols[f"{c}__lsn"] = pa.array(np.where(keep, lsns[c], -1))
+    out = pa.table(cols)
+    # conform: the masked take keeps value types, but re-assert the
+    # declared fields so downstream schema unification sees no drift
+    return conform(out, pa.schema([states.schema.field(n) for n in out.column_names]))
+
+
 def merge_partition_patch(
     base: pa.Table | None,
     states: pa.Table,
@@ -364,20 +418,24 @@ def merge_partition_patch(
 ) -> pa.Table:
     """Merge prereduced patch states into a base partition table.
 
-    Base rows enter the resolve as states whose every column (and
-    whose existence) is stamped at the partition ``watermark``:
-    - stale components inside an overlapping re-delivery (lsn ≤
-      watermark) lose to the base and no-op — the exactly-once
-      contract without filtering individual events (states aggregate
-      many lsns, so a row-level lsn filter can no longer express it);
-    - fresh writes (lsn > watermark) beat the base per column;
-    - a fresh tombstone kills the base row unless a fresher write
+    Exactly-once contract (two complementary mechanisms):
+    - components at or below the ``watermark`` are MASKED before the
+      resolve (:func:`_mask_stale_patch_components`) — they are
+      already reflected in the base, and under non-contiguous
+      redelivery they may lack the base row / tombstone they would
+      otherwise lose against;
+    - base rows enter the resolve as states whose every column (and
+      whose existence) is stamped at the partition ``watermark``, so
+      fresh writes (lsn > watermark) beat the base per column and a
+      fresh tombstone kills the base row unless a fresher write
       revives it.  (A present base row implies no tombstone at exactly
       the watermark lsn for that key — lsns are unique and the
       watermark event either wrote or deleted it.)
 
     Payload schema evolution between base and states resolves with the
     same promotion lattice as the LWW merge."""
+    if watermark >= 0 and len(states):
+        states = _mask_stale_patch_components(states, keys, watermark)
     payload = [
         f.name
         for f in states.schema

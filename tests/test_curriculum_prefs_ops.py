@@ -301,6 +301,62 @@ def test_hard_negatives_label_exclusion_and_ties(ray_session, tmp_path):
     assert r.loc[25, "nid"] == 30  # exact tie (30 vs 31) -> lower nid
 
 
+def test_hard_negatives_bounded_queries_bucketed_finalizer(ray_session, tmp_path):
+    """Scale-shape contract: (a) the query set is HARD-capped at
+    _HN_MAX_QUERIES — vec_ids beyond 25·512 are corpus-only, so the
+    broadcast matrix and per-batch matmul stay O(cap), never O(n);
+    (b) the finalizer is a coarse-bucket vectorized keep-best —
+    multiple queries resolve inside ONE group call with the (sim desc,
+    nid asc) tie-break; (c) a corpus with NO qualifying query vector
+    yields an empty result instead of crashing (np.stack-of-empty)."""
+    import pyarrow as pa
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.similarity import (
+        _HN_BUCKETS,
+        _HN_MAX_QUERIES,
+        _HN_QUERY_MOD,
+        _hn_merge_bucket,
+        _hn_select_queries,
+    )
+
+    # (a) cap: 25·512 and beyond excluded, earlier multiples kept
+    cap_edge = _HN_QUERY_MOD * _HN_MAX_QUERIES
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 25, 30, cap_edge, cap_edge + 25], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 5, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        }
+    )
+    kept = _hn_select_queries(t).column("vec_id").to_pylist()
+    assert kept == [0, 25]
+
+    # (b) one bucket group carrying three queries resolves vectorized
+    g = pa.table(
+        {
+            "bucket": pa.array([0] * 6, pa.int32()),
+            "qid": pa.array([0, 0, 25, 25, 50, 50], pa.int64()),
+            "nid": pa.array([7, 3, 9, 8, 2, 1], pa.int64()),
+            "sim": pa.array([0.9, 0.9, 0.5, 0.7, float("-inf"), float("-inf")]),
+        }
+    )
+    out = _hn_merge_bucket(g).to_pandas().set_index("qid")
+    assert out.loc[0, "nid"] == 3      # sim tie -> lower nid
+    assert out.loc[25, "nid"] == 8     # higher sim wins
+    assert 50 not in out.index         # all -inf candidates dropped
+    assert _HN_BUCKETS <= _HN_MAX_QUERIES
+
+    # (c) empty query set end-to-end (no vec_id % 25 == 0)
+    d = tmp_path / "noq"; d.mkdir()
+    sf = _write_emb(d, {
+        1: ([1.0, 0.0, 0.0, 0.0], 0),
+        2: ([0.0, 1.0, 0.0, 0.0], 1),
+        3: ([0.0, 0.0, 1.0, 0.0], 2),
+    })
+    got = QUERIES["contrastive_hard_negatives"](sf).to_pandas()
+    assert len(got) == 0
+
+
 def test_loss_mask_spans_contiguity_and_nulls(ray_session, tmp_path):
     """Null text counts 0 tokens (empty span); spans are contiguous
     per conversation; deleted turns drop out of the packing."""

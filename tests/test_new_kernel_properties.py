@@ -423,3 +423,147 @@ def test_patch_lake_kernels_base_split_law(case):
         _canon(exp, ["conv_id", "turn_idx"]),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# patch-mode exactly-once under NON-contiguous redelivery
+# ---------------------------------------------------------------------------
+
+
+def _patch_base_from_prefix(prefix: pa.Table, k: int):
+    base_df = _ref_partial(prefix)
+    wm = int(prefix.column("lsn")[k - 1].as_py()) if k else -1
+    if not len(base_df):
+        return None, wm
+    base = pa.table(
+        {
+            "conv_id": pa.array(base_df["conv_id"], pa.string()),
+            "turn_idx": pa.array(base_df["turn_idx"], pa.int32()),
+            "role": pa.array(base_df["role"], pa.string()),
+            "text": pa.array(base_df["text"], pa.string()),
+            "ts": pa.array(
+                [None if pd.isna(t) else np.datetime64(t, "us") for t in base_df["ts"]],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    return base, wm
+
+
+def test_patch_stale_write_without_tombstone_is_not_resurrected():
+    """The concrete failure the masking exists for: key deleted before
+    the watermark; a later NON-contiguous redelivery re-ships the old
+    write (lsn 1) WITHOUT its tombstone (lsn 2), alongside a fresh
+    event.  The stale write has no base row to lose against — without
+    masking it would resurrect the deleted key."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.merge import (
+        merge_partition_patch,
+        patch_prereduce,
+    )
+
+    keys = ["conv_id", "turn_idx"]
+
+    def ev(op, lsn, conv, text=None, role=None):
+        return {
+            "op": op, "lsn": lsn, "conv_id": conv, "turn_idx": np.int32(0),
+            "role": role, "text": text, "ts": None,
+        }
+
+    schema = pa.schema(
+        [
+            ("op", pa.string()), ("lsn", pa.int64()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()), ("role", pa.string()), ("text", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    applied = pa.Table.from_pylist(
+        [ev("insert", 1, "k1", text="a", role="user"), ev("delete", 2, "k1")],
+        schema=schema,
+    )
+    base = merge_partition_patch(
+        None, patch_prereduce(applied, keys=keys), keys=keys, watermark=-1
+    )
+    assert len(base) == 0  # k1 deleted; watermark now 2
+
+    # redelivery: stale write k1@1 (its tombstone @2 NOT redelivered)
+    # + fresh insert k2@5, folded into ONE prereduced batch
+    redelivered = pa.Table.from_pylist(
+        [ev("update", 1, "k1", text="a"), ev("insert", 5, "k2", text="b", role="user")],
+        schema=schema,
+    )
+    got = merge_partition_patch(
+        base, patch_prereduce(redelivered, keys=keys), keys=keys, watermark=2
+    ).to_pandas()
+    assert got["conv_id"].tolist() == ["k2"]
+
+    # mixed single state: stale column write @1 folded WITH a fresh
+    # role-only update @6 for the deleted key — the key revives (the
+    # genuine new write) but the stale text must NOT come back
+    mixed = pa.Table.from_pylist(
+        [ev("update", 1, "k1", text="a"), ev("update", 6, "k1", role="assistant")],
+        schema=schema,
+    )
+    got = merge_partition_patch(
+        base, patch_prereduce(mixed, keys=keys), keys=keys, watermark=2
+    ).to_pandas()
+    assert got["conv_id"].tolist() == ["k1"]
+    assert got["role"].tolist() == ["assistant"]
+    assert got["text"].isna().all()
+
+
+@st.composite
+def patch_streams_with_stale_redelivery(draw):
+    tbl = draw(patch_streams())
+    n = len(tbl)
+    k = draw(st.integers(0, n))  # committed prefix
+    redeliver = draw(st.lists(st.booleans(), min_size=k, max_size=k))
+    n_cuts = draw(st.integers(0, 3))
+    cuts = draw(st.lists(st.integers(0, n), min_size=n_cuts, max_size=n_cuts))
+    return tbl, k, redeliver, sorted(cuts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(patch_streams_with_stale_redelivery())
+def test_patch_arbitrary_redelivery_subsets_are_idempotent(case):
+    """LWW-grade exactly-once for patch mode: with a base committed at
+    watermark = max prefix lsn, delivering the suffix PLUS any
+    arbitrary SUBSET of already-applied prefix events (old WAL
+    segments redelivered out of order, tombstones possibly missing),
+    folded through arbitrary prereduce batches, must equal the
+    sequential reference over the whole stream."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.merge import (
+        merge_partition_patch,
+        patch_prereduce,
+    )
+
+    tbl, k, redeliver, cuts = case
+    keys = ["conv_id", "turn_idx"]
+    order = np.argsort(np.asarray(tbl.column("lsn")))
+    sorted_tbl = tbl.take(pa.array(order))
+    prefix = sorted_tbl.slice(0, k)
+    base, wm = _patch_base_from_prefix(prefix, k)
+
+    mask = np.zeros(len(tbl), dtype=bool)
+    mask[:k] = np.asarray(redeliver, dtype=bool) if k else False
+    mask[k:] = True
+    delivered = sorted_tbl.filter(pa.array(mask))
+    nd = len(delivered)
+    bounds = [0] + [min(c, nd) for c in cuts] + [nd]
+    parts = [
+        patch_prereduce(delivered.slice(lo, hi - lo), keys=keys)
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    parts = [p for p in parts if len(p)]
+    states = (
+        pa.concat_tables(parts) if parts else patch_prereduce(delivered.slice(0, 0), keys=keys)
+    )
+    got = merge_partition_patch(base, states, keys=keys, watermark=wm).to_pandas()
+    exp = _ref_partial(tbl)
+    if "ts" in exp.columns and len(exp):
+        exp["ts"] = pd.to_datetime(exp["ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        _canon(got, ["conv_id", "turn_idx"]),
+        _canon(exp, ["conv_id", "turn_idx"]),
+        check_dtype=False,
+    )
