@@ -89,71 +89,70 @@ def corpus_tfidf_top_terms(sf_dir: str, k: int = 3):
     1/df; the log-free surrogate keeps scores bit-exact across engines,
     which float ``ln()`` tf-idf cannot guarantee at rank boundaries).
 
-    Two streaming corpus passes (the classic large-corpus shape):
+    Fully distributed exact shape — NOTHING touches the driver (the
+    previous design collected the O(vocab) term→df map to the driver
+    and re-broadcast it, which at 100-TB corpus vocabularies is both a
+    driver-heap and a per-worker-heap blocker):
 
-    1. **DF pass** — per-batch (doc, term) partials reduce to per-term
-       distinct-doc counts; one vocab-sized groupby; the resulting
-       term→df map is O(vocab), collected once and broadcast via
-       ``ray.put`` (sorted term array + df array, joined by
-       ``np.searchsorted`` in pass 2 — zero-copy from plasma).
-    2. **Score pass** — recompute batch-local tf (cheaper than
-       materializing pass 1 at corpus scale), vectorized df join, and
-       a per-doc top-k inside the batch (a document is one input row,
-       so it never crosses batches)."""
+    1. **tf pass** — per-batch (doc, term, tf) partials (a document is
+       one input row, so (doc, term) is globally unique), tagged with
+       a coarse hash(term) bucket.
+    2. **df + score exchange** — groupby(term bucket): every row of a
+       term lands in one bucket, so df is a run length after one
+       term sort; score attaches in place and rows re-tag with a
+       coarse doc bucket.
+    3. **per-doc top-k exchange** — groupby(doc bucket): one
+       vectorized (doc asc, score desc, term asc) sort + run-boundary
+       rank per bucket, rank ≤ k kept.
+
+    Two bucketed exchanges of the reduced (doc, term) pair table —
+    vocabulary size never concentrates anywhere."""
+    import pandas as pd
     import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Sum
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = _tf_table(b).group_by("term").aggregate([("doc_id", "count")])
-        return pa.table(
-            {"term": g.column("term"), "pdf": g.column("doc_id_count")}
-        )
+    from .queries import _nb  # late import: queries imports corpus
 
-    df_tbl = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("pdf", alias_name="df"))
-        .to_pandas()
-        .sort_values("term")
-    )
-    terms_sorted = df_tbl["term"].to_numpy(str)
-    df_sorted = df_tbl["df"].to_numpy().astype(np.int64)
-    ref = ray.put((terms_sorted, df_sorted))
-
-    out_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("term", pa.string()),
-            ("tf", pa.int64()),
-            ("df", pa.int64()),
-            ("score", pa.int64()),
-            ("rank", pa.int64()),
-        ]
-    )
-
-    def topk(b: pa.Table) -> pa.Table:
+    def tf_bucketed(b: pa.Table) -> pa.Table:
         t = _tf_table(b)
-        if len(t) == 0:
-            return out_schema.empty_table()
-        vocab, dfs = ray.get(ref)
-        idx = np.searchsorted(
-            vocab, t.column("term").to_numpy(zero_copy_only=False).astype(str)
+        h = pd.util.hash_array(
+            np.asarray(t.column("term").to_pandas(), dtype=object), categorize=False
         )
-        df = dfs[idx]
-        tf = t.column("tf").to_numpy().astype(np.int64)
-        score = tf * 1_000_000 // df
-        s = (
-            t.append_column("df", pa.array(df))
-            .append_column("score", pa.array(score))
-            .sort_by(
-                [
-                    ("doc_id", "ascending"),
-                    ("score", "descending"),
-                    ("term", "ascending"),
-                ]
+        return t.append_column(
+            "tbucket", pa.array((h & (_nb() - 1)).astype(np.int32))
+        )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("term", "ascending")])
+        n = len(s)
+        col = s.column("term")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if n > 1:
+            same = pc.equal(col.slice(0, n - 1), col.slice(1)).to_numpy(
+                zero_copy_only=False
             )
+            starts = np.flatnonzero(np.r_[True, ~same])
+        else:
+            starts = np.zeros(1 if n else 0, dtype=np.int64)
+        sizes = np.diff(np.r_[starts, n])
+        df = np.repeat(sizes, sizes).astype(np.int64)  # df = run length:
+        # (doc, term) rows are globally unique and hash-routed by term
+        tf = s.column("tf").to_numpy().astype(np.int64)
+        doc = s.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id"),
+                "term": col,
+                "tf": pa.array(tf),
+                "df": pa.array(df),
+                "score": pa.array(tf * 1_000_000 // df),
+                "dbucket": pa.array((doc & (_nb() - 1)).astype(np.int32)),
+            }
+        )
+
+    def doc_topk(g: pa.Table) -> pa.Table:
+        s = g.sort_by(
+            [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
         )
         doc = s.column("doc_id").to_numpy()
         starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
@@ -164,15 +163,20 @@ def corpus_tfidf_top_terms(sf_dir: str, k: int = 3):
             {
                 "doc_id": s.column("doc_id"),
                 "term": s.column("term"),
-                "tf": pc.cast(s.column("tf"), pa.int64()),
+                "tf": s.column("tf"),
                 "df": s.column("df"),
                 "score": s.column("score"),
                 "rank": s.column("rank"),
             }
         )
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        topk, batch_format="pyarrow"
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_bucketed, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(doc_topk, batch_format="pyarrow")
     )
 
 
