@@ -361,25 +361,24 @@ class ChangeNormalizer:
         """Dead-letter Parquet file per rejected batch, content-hash
         named so a retried task rewrites the same file (idempotent) —
         the reference's timestamped error file on S3
-        (ago/ago.py:319-344) made replay-safe."""
+        (ago/ago.py:319-344) made replay-safe.  Storage-routed
+        (state/fs.py): the dead-letter dir can live on the same object
+        store as the lake on a multi-node cluster."""
         import hashlib
-        import os
+        import io
 
         import pyarrow.parquet as pq
 
-        os.makedirs(self.dead_letter_dir, exist_ok=True)
-        import io
+        from ..state.fs import storage_for
 
+        store, phys = storage_for(self.dead_letter_dir)
         buf = io.BytesIO()
         pq.write_table(rejected, buf)
         data = buf.getvalue()
         sha = hashlib.sha256(data).hexdigest()[:16]
-        path = os.path.join(self.dead_letter_dir, f"rejected-{sha}.parquet")
-        if not os.path.exists(path):
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
+        path = store.join(phys, f"rejected-{sha}.parquet")
+        if not store.exists(path):
+            store.put_object(path, data)
 
 
 def _with_part_col(batch: pa.Table, num_partitions: int = 1, keys: list[str] | None = None) -> pa.Table:

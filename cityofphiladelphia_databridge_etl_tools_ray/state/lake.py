@@ -9,12 +9,15 @@ range)::
     <root>/part-00000/data-<hilsn>-<sha8>.parquet
     ...
 
-On a real cluster this root is shared storage (S3/NFS); in the
-sandbox it's a local dir — the protocol (content-named files +
-atomic manifest replace) is identical.  Partition count is FIXED at
-creation and recorded in ``lake.json`` so the hash routing
-(functions/hashing.py) stays aligned with file ownership across runs
-— the analog of the reference's stable PK constraint.
+On a real cluster this root is SHARED storage; the backend rides in
+the root string (state/fs.py): a plain path = POSIX (atomic manifest
+replace), ``norename://`` / ``s3://`` = object-store protocol where
+every pointer is a versioned-object commit log and NOTHING renames.
+The content-named data files + pointer-last commit ordering are
+identical on both.  Partition count is FIXED at creation and recorded
+in ``lake.json`` so the hash routing (functions/hashing.py) stays
+aligned with file ownership across runs — the analog of the
+reference's stable PK constraint.
 """
 
 from __future__ import annotations
@@ -24,7 +27,6 @@ import hashlib
 import io
 import json
 import os
-import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -32,7 +34,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import PRIMARY_KEY, TRANSCRIPT_SCHEMA, conform
-from .manifest import PartitionManifest, write_json_atomic
+from .fs import storage_for
+from .manifest import PartitionManifest
 
 
 def _column_stats(table: pa.Table) -> dict:
@@ -129,26 +132,21 @@ def _bloom_maybe(entry: dict, hashes) -> bool:
     return bool(bloom.contains(hashes).any())
 
 
-def _write_data_file(pdir: str, table: pa.Table, high_lsn: int) -> dict:
-    """Content-named Parquet data file write (tmp → fsync →
-    ``os.replace``): idempotent under retry because the name derives
-    from (high_lsn, content sha) — a re-run lands on the same path
-    with the same bytes.  Returns the manifest file entry (with
-    zone-map column stats for scan pruning)."""
-    os.makedirs(pdir, exist_ok=True)
+def _write_data_file(store, pdir: str, table: pa.Table, high_lsn: int) -> dict:
+    """Content-named Parquet data file write (atomic object write —
+    tmp + fsync + replace on POSIX, one whole-object PUT on object
+    stores): idempotent under retry because the name derives from
+    (high_lsn, content sha) — a re-run lands on the same path with the
+    same bytes.  Returns the manifest file entry (with zone-map column
+    stats for scan pruning)."""
     buf = io.BytesIO()
     pq.write_table(table, buf, compression="zstd")
     data = buf.getvalue()
     sha = hashlib.sha256(data).hexdigest()
     fname = f"data-{high_lsn}-{sha[:12]}.parquet"
-    fpath = os.path.join(pdir, fname)
-    if not os.path.exists(fpath):
-        fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".data-", suffix=".tmp")
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, fpath)
+    fpath = store.join(pdir, fname)
+    if not store.exists(fpath):
+        store.put_object(fpath, data)
     return {"path": fname, "rows": len(table), "sha256": sha, "stats": _column_stats(table)}
 
 
@@ -162,10 +160,13 @@ def _schema_from_json(s: str) -> pa.Schema:
 
 class TranscriptLake:
     def __init__(self, root: str):
-        self.root = root
-        meta_path = os.path.join(root, "lake.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
+        self.root = root  # backend scheme travels in the string
+        self.store, self.phys = storage_for(root)
+        meta = self.store.get_json(
+            self.store.join(self.phys, "lake.json"), pointer=True
+        )
+        if meta is None:
+            raise FileNotFoundError(f"no lake at {root} (missing lake.json)")
         self.num_partitions: int = meta["num_partitions"]
         self.base_schema: pa.Schema = _schema_from_json(meta["schema"])
         # configurable per-lake primary key (reference --primary_key,
@@ -190,8 +191,9 @@ class TranscriptLake:
         primary_key: list[str] | None = None,
         exist_ok: bool = False,
     ) -> "TranscriptLake":
-        meta_path = os.path.join(root, "lake.json")
-        if os.path.exists(meta_path):
+        store, phys = storage_for(root)
+        meta_path = store.join(phys, "lake.json")
+        if store.pointer_exists(meta_path):
             if not exist_ok:
                 raise FileExistsError(meta_path)
             return cls(root)
@@ -199,8 +201,8 @@ class TranscriptLake:
         missing = [k for k in pk if k not in schema.names]
         if missing:
             raise ValueError(f"primary_key columns {missing} not in lake schema {schema.names}")
-        os.makedirs(root, exist_ok=True)
-        write_json_atomic(
+        store.ensure_dir(phys)
+        store.put_json(
             meta_path,
             {
                 "num_partitions": num_partitions,
@@ -208,20 +210,21 @@ class TranscriptLake:
                 "primary_key": pk,
                 "generation": 1,
             },
+            pointer=True,
         )
         return cls(root)
 
     # -- partition access --------------------------------------------
     def part_dir(self, pid: int) -> str:
-        return os.path.join(self.root, f"part-{pid:05d}")
+        return self.store.join(self.phys, f"part-{pid:05d}")
 
     def _manifest_path(self, pid: int, generation: int | None = None) -> str:
         g = self.generation if generation is None else generation
         name = "manifest.json" if g == 1 else f"manifest-g{g}.json"
-        return os.path.join(self.part_dir(pid), name)
+        return self.store.join(self.part_dir(pid), name)
 
     def manifest(self, pid: int) -> PartitionManifest | None:
-        return PartitionManifest.load(self._manifest_path(pid))
+        return PartitionManifest.load(self._manifest_path(pid), self.store)
 
     def watermark(self, pid: int) -> int:
         m = self.manifest(pid)
@@ -272,13 +275,13 @@ class TranscriptLake:
         )
         base_tbls, delta_tbls = [], []
         for f in m.files:
-            path = os.path.join(self.part_dir(pid), f["path"])
+            path = self.store.join(self.part_dir(pid), f["path"])
             if want_base is None:
-                t = pq.read_table(path)
+                t = self.store.read_table(path)
             else:
                 want = want_base + (["op", "lsn"] if f.get("kind") == "delta" else [])
-                names = set(pq.read_schema(path).names)
-                t = pq.read_table(path, columns=[c for c in want if c in names])
+                names = set(self.store.read_parquet_schema(path).names)
+                t = self.store.read_table(path, columns=[c for c in want if c in names])
             (delta_tbls if f.get("kind") == "delta" else base_tbls).append(t)
         def project(t: pa.Table) -> pa.Table:
             if columns is None:
@@ -338,13 +341,14 @@ class TranscriptLake:
         bytes at the same path, and the manifest replace is atomic.
 
         ``txn`` STAGES the commit instead of publishing it: the
-        manifest lands at ``<current>.txn-<id>`` — invisible to every
-        reader — until :meth:`publish_txn` flips it (or
-        :meth:`abort_txn` discards it).  One staged commit per
-        partition per txn; the cross-table commit point is the
-        transaction record (state/txn.py), not any single manifest.
+        manifest lands at ``<current>.txn-<id>`` — a write-once OBJECT
+        invisible to every reader — until :meth:`publish_txn` flips it
+        into the pointer (or :meth:`abort_txn` discards it).  One
+        staged commit per partition per txn; the cross-table commit
+        point is the transaction record (state/txn.py), not any single
+        manifest.
         """
-        entry = _write_data_file(self.part_dir(pid), table, high_lsn)
+        entry = _write_data_file(self.store, self.part_dir(pid), table, high_lsn)
         if (b := _pk_bloom_entry(table, self.primary_key[0])) is not None:
             entry["pk_bloom"] = b
 
@@ -366,26 +370,43 @@ class TranscriptLake:
             lineage=lineage[-64:],  # bounded history
         )
         path = self._manifest_path(pid)
-        m.save(path + f".txn-{txn}" if txn else path)
+        if txn:
+            # staged = write-once object (atomic PUT / tmp+replace);
+            # publish copies it into the pointer's commit log
+            self.store.put_json(path + f".txn-{txn}", m.to_json())
+        else:
+            m.save(path, self.store)
         return m
 
     # -- cross-table transactions (staged manifests) -------------------
     def staged_txn_manifests(self, txn: str | None = None) -> list[str]:
         """Staged (unpublished) manifest paths — for one txn id, or all."""
-        import glob
-
-        pat = f"manifest*.txn-{txn}" if txn else "manifest*.txn-*"
-        return sorted(glob.glob(os.path.join(self.root, "part-*", pat)))
+        suffix = f".txn-{txn}" if txn else None
+        out = []
+        for d in self.store.list_subdirs(self.phys):
+            if not d.startswith("part-"):
+                continue
+            pdir = self.store.join(self.phys, d)
+            for name in self.store.list_objects(pdir):
+                if not (name.startswith("manifest") and ".txn-" in name):
+                    continue
+                if suffix is not None and not name.endswith(suffix):
+                    continue
+                out.append(self.store.join(pdir, name))
+        return sorted(out)
 
     def publish_txn(self, txn: str) -> int:
         """Flip every manifest staged under ``txn`` to current — the
         per-lake half of the cross-table commit (run only AFTER the
         transaction record exists; state/txn.py owns the ordering).
-        Idempotent: re-running after a partial publish replaces the
-        remaining staged files and skips the already-flipped ones."""
+        Idempotent: re-running after a partial publish flips the
+        remaining staged files and skips the already-flipped ones
+        (POSIX: atomic rename; object store: copy the staged bytes in
+        as the next pointer version, then delete the staged object —
+        a crash in between just re-publishes identical bytes)."""
         n = 0
         for staged in self.staged_txn_manifests(txn):
-            os.replace(staged, staged[: -len(f".txn-{txn}")])
+            self.store.publish_staged(staged, staged[: -len(f".txn-{txn}")])
             n += 1
         return n
 
@@ -395,7 +416,7 @@ class TranscriptLake:
         manifests were never visible."""
         n = 0
         for staged in self.staged_txn_manifests(txn):
-            os.unlink(staged)
+            self.store.delete(staged)
             n += 1
         return n
 
@@ -417,13 +438,13 @@ class TranscriptLake:
                 schema_json=_schema_to_json(self.base_schema),
                 lineage=[{"op": "stamp", "lsn_hi": lsn}],
             )
-            m.save(self._manifest_path(pid))
+            m.save(self._manifest_path(pid), self.store)
             return m
         if m.high_lsn >= lsn:
             return m
         m.high_lsn = lsn
         m.lineage = (m.lineage + [{"op": "stamp", "lsn_hi": lsn}])[-64:]
-        m.save(self._manifest_path(pid))
+        m.save(self._manifest_path(pid), self.store)
         return m
 
     def compact_partition(self, pid: int) -> PartitionManifest | None:
@@ -460,13 +481,14 @@ class TranscriptLake:
         from ..stages.merge import dedup_last_writer
 
         tbls = [
-            pq.read_table(os.path.join(self.part_dir(pid), f["path"])) for f in deltas
+            self.store.read_table(self.store.join(self.part_dir(pid), f["path"]))
+            for f in deltas
         ]
         merged = (
             tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls, promote_options="permissive")
         )
         folded = dedup_last_writer(merged, keys=self.primary_key)
-        entry = _write_data_file(self.part_dir(pid), folded, m.high_lsn)
+        entry = _write_data_file(self.store, self.part_dir(pid), folded, m.high_lsn)
         if (b := _pk_bloom_entry(folded, self.primary_key[0])) is not None:
             entry["pk_bloom"] = b
         entry["kind"] = "delta"
@@ -482,7 +504,7 @@ class TranscriptLake:
                 + [{"op": "fold_deltas", "runs_folded": len(deltas), "rows_after": len(folded)}]
             )[-64:],
         )
-        new_m.save(self._manifest_path(pid))
+        new_m.save(self._manifest_path(pid), self.store)
         return new_m
 
     def compact_partition_adaptive(
@@ -501,8 +523,8 @@ class TranscriptLake:
 
         def nbytes(f):
             try:
-                return os.path.getsize(os.path.join(self.part_dir(pid), f["path"]))
-            except OSError:
+                return self.store.size(self.store.join(self.part_dir(pid), f["path"]))
+            except (OSError, FileNotFoundError):
                 return 0
 
         base_bytes = sum(nbytes(f) for f in m.files if f.get("kind") != "delta")
@@ -563,11 +585,10 @@ class TranscriptLake:
 
     def _rescale(self, new_n: int, factor: int, parallel: bool) -> dict:
         next_gen = self.generation + 1
-        intent_path = os.path.join(self.root, f"rescale-g{next_gen}.json")
+        intent_path = self.store.join(self.phys, f"rescale-g{next_gen}.json")
         intent = {"from": self.num_partitions, "to": new_n, "generation": next_gen}
-        if os.path.exists(intent_path):
-            with open(intent_path) as f:
-                prev = json.load(f)
+        prev = self.store.get_json(intent_path)
+        if prev is not None:
             if prev != intent:
                 raise RuntimeError(
                     f"conflicting in-progress rescale {prev} != {intent}; "
@@ -575,7 +596,7 @@ class TranscriptLake:
                     "discard its progress with abort_rescale() first"
                 )
         else:
-            write_json_atomic(intent_path, intent)
+            self.store.put_json(intent_path, intent)
 
         split = new_n > self.num_partitions
         units = list(range(self.num_partitions if split else new_n))
@@ -613,18 +634,19 @@ class TranscriptLake:
 
         # publish: the ONE atomic metadata swap that makes the new
         # layout visible; everything before this line is invisible to
-        # readers and safely re-runnable
-        write_json_atomic(
-            os.path.join(self.root, "lake.json"),
+        # readers and safely re-runnable (POSIX: rename swap; object
+        # store: one new lake.json pointer version)
+        self.store.put_json(
+            self.store.join(self.phys, "lake.json"),
             {
                 "num_partitions": new_n,
                 "schema": _schema_to_json(self.base_schema),
                 "primary_key": list(self.primary_key),
                 "generation": next_gen,
             },
+            pointer=True,
         )
-        if os.path.exists(intent_path):
-            os.unlink(intent_path)
+        self.store.delete(intent_path)
         self.num_partitions = new_n
         self.generation = next_gen
         return {"num_partitions": new_n, "generation": next_gen, "rows": moved}
@@ -635,7 +657,7 @@ class TranscriptLake:
         for pid in range(self.num_partitions):
             m = self.manifest(pid)
             if m:
-                out.extend(os.path.join(self.part_dir(pid), f["path"]) for f in m.files)
+                out.extend(self.store.join(self.part_dir(pid), f["path"]) for f in m.files)
         return out
 
     def _has_deltas(self) -> bool:
@@ -697,7 +719,7 @@ class TranscriptLake:
             is not None
         ]
         files = [
-            os.path.join(self.part_dir(m.partition_id), f["path"])
+            self.store.join(self.part_dir(m.partition_id), f["path"])
             for m in manifests
             for f in m.files
         ]
@@ -720,9 +742,10 @@ class TranscriptLake:
         if not files:
             empty = self.base_schema.empty_table()
             return ray.data.from_arrow(conform(empty, target) if target else empty)
+        pa_fs = self.store.pa_filesystem
         if not has_deltas:
             if columns is None:
-                return ray.data.read_parquet(files)
+                return ray.data.read_parquet(files, filesystem=pa_fs)
             # column presence from the recorded manifest schemas — no
             # per-file footer I/O on the driver
             if all(
@@ -731,7 +754,9 @@ class TranscriptLake:
                 for m in manifests
                 if m.files
             ):
-                return ray.data.read_parquet(files, columns=list(columns))
+                return ray.data.read_parquet(
+                    files, columns=list(columns), filesystem=pa_fs
+                )
             # some partition predates a requested column: fall through
             # to the per-partition path, which conforms (null-fills)
 
@@ -870,17 +895,16 @@ class TranscriptLake:
 
     # -- snapshots (time travel) ---------------------------------------
     def _snapshot_dir(self) -> str:
-        return os.path.join(self.root, "snapshots")
+        return self.store.join(self.phys, "snapshots")
 
     def _snapshot_path(self, sid: int) -> str:
-        return os.path.join(self._snapshot_dir(), f"snap-{sid:06d}.json")
+        return self.store.join(self._snapshot_dir(), f"snap-{sid:06d}.json")
 
     def _load_snapshot(self, sid: int) -> dict:
-        path = self._snapshot_path(sid)
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"no snapshot {sid} at {path}")
-        with open(path) as f:
-            return json.load(f)
+        obj = self.store.get_json(self._snapshot_path(sid))
+        if obj is None:
+            raise FileNotFoundError(f"no snapshot {sid}")
+        return obj
 
     def snapshot(self, note: str | None = None) -> int:
         """Record the current committed state as a named, immutable
@@ -903,7 +927,7 @@ class TranscriptLake:
             for p in range(self.num_partitions)
             if (m := self.manifest(p)) is not None
         }
-        write_json_atomic(
+        self.store.put_json(
             self._snapshot_path(sid),
             {
                 "id": sid,
@@ -915,34 +939,38 @@ class TranscriptLake:
         )
         return sid
 
+    def _snapshot_names(self) -> list[str]:
+        return [
+            n
+            for n in self.store.list_objects(self._snapshot_dir())
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+
     def snapshots(self) -> list[dict]:
         """Live snapshots, oldest first: ``{id, generation,
         num_partitions, note}`` (manifest payloads omitted)."""
-        import glob
-
         out = []
-        for path in sorted(glob.glob(os.path.join(self._snapshot_dir(), "snap-*.json"))):
-            with open(path) as f:
-                s = json.load(f)
-            out.append({k: s[k] for k in ("id", "generation", "num_partitions", "note")})
+        for name in self._snapshot_names():
+            s = self.store.get_json(self.store.join(self._snapshot_dir(), name))
+            if s is not None:
+                out.append(
+                    {k: s[k] for k in ("id", "generation", "num_partitions", "note")}
+                )
         return out
 
     def drop_snapshot(self, sid: int) -> None:
         """Delete a snapshot's metadata; its exclusively-referenced
         data files become vacuum-reclaimable orphans."""
-        path = self._snapshot_path(sid)
-        if os.path.exists(path):
-            os.unlink(path)
+        self.store.delete(self._snapshot_path(sid))
 
     def _snapshot_live_files(self) -> dict[int, set]:
         """pid → data-file names referenced by ANY live snapshot (the
         vacuum retention set)."""
-        import glob
-
         live: dict[int, set] = {}
-        for path in glob.glob(os.path.join(self._snapshot_dir(), "snap-*.json")):
-            with open(path) as f:
-                s = json.load(f)
+        for name in self._snapshot_names():
+            s = self.store.get_json(self.store.join(self._snapshot_dir(), name))
+            if s is None:
+                continue
             for p, mj in s["manifests"].items():
                 live.setdefault(int(p), set()).update(f["path"] for f in mj["files"])
         return live
@@ -1059,13 +1087,13 @@ class TranscriptLake:
                 continue
             total_rows = 0
             for f in m.files:
-                path = os.path.join(self.part_dir(pid), f["path"])
-                if not os.path.exists(path):
+                path = self.store.join(self.part_dir(pid), f["path"])
+                if not self.store.exists(path):
                     errors.append(f"part {pid}: missing data file {f['path']}")
                     continue
                 files_checked += 1
                 try:
-                    meta_rows = pq.read_metadata(path).num_rows
+                    meta_rows = self.store.read_parquet_metadata(path).num_rows
                 except Exception as e:  # corrupt footer
                     errors.append(f"part {pid}: unreadable parquet {f['path']}: {e}")
                     continue
@@ -1077,7 +1105,7 @@ class TranscriptLake:
                 total_rows += meta_rows
                 if verify_hashes:
                     h = hashlib.sha256()
-                    with open(path, "rb") as fh:
+                    with self.store.open_input(path) as fh:
                         for chunk in iter(lambda: fh.read(1 << 20), b""):
                             h.update(chunk)
                     if h.hexdigest() != f["sha256"]:
@@ -1104,8 +1132,8 @@ class TranscriptLake:
     def _inflight_rescale_generation(self) -> int | None:
         """Generation of an in-progress (crashed, not yet published)
         rescale, i.e. an intent file for generation current+1."""
-        path = os.path.join(self.root, f"rescale-g{self.generation + 1}.json")
-        if os.path.exists(path):
+        path = self.store.join(self.phys, f"rescale-g{self.generation + 1}.json")
+        if self.store.exists(path):
             return self.generation + 1
         return None
 
@@ -1115,19 +1143,20 @@ class TranscriptLake:
         they referenced become orphans for :meth:`vacuum`).  The
         current generation is untouched — this is always safe, since
         an unpublished rescale is invisible to readers."""
-        import glob
-
         gen = self._inflight_rescale_generation()
         if gen is None:
             return []
         removed = []
-        for path in glob.glob(
-            os.path.join(self.root, "part-*", f"manifest-g{gen}.json")
-        ):
-            os.unlink(path)
-            removed.append(path)
-        intent = os.path.join(self.root, f"rescale-g{gen}.json")
-        os.unlink(intent)
+        name = f"manifest-g{gen}.json"
+        for d in self.store.list_subdirs(self.phys):
+            if not d.startswith("part-"):
+                continue
+            path = self.store.join(self.phys, d, name)
+            if self.store.pointer_exists(path):
+                self.store.delete_pointer(path)
+                removed.append(path)
+        intent = self.store.join(self.phys, f"rescale-g{gen}.json")
+        self.store.delete(intent)
         removed.append(intent)
         return removed
 
@@ -1143,19 +1172,28 @@ class TranscriptLake:
         resumable progress; use :meth:`abort_rescale` to discard it
         deliberately.  Data files referenced by any live snapshot
         (:meth:`snapshot`) are likewise retained — time-travel reads
-        survive compaction and rescale until :meth:`drop_snapshot`."""
-        import glob
+        survive compaction and rescale until :meth:`drop_snapshot`.
 
+        Storage-agnostic: manifests are POINTERS (on the object
+        backend a commit-log directory, whose superseded versions this
+        pass also garbage-collects via ``gc_pointer``); data files /
+        staged txn manifests are objects.  Same concurrency contract
+        on both backends: a maintenance operation, no concurrent
+        writers."""
+        store = self.store
         removed = []
-        cur_manifest = os.path.basename(self._manifest_path(0))
+        cur_manifest = "manifest.json" if self.generation == 1 else f"manifest-g{self.generation}.json"
         inflight = self._inflight_rescale_generation()
         keep_manifests = {cur_manifest} | (
             {f"manifest-g{inflight}.json"} if inflight else set()
         )
         snap_live = self._snapshot_live_files()
-        for pdir in sorted(glob.glob(os.path.join(self.root, "part-*"))):
+        for d in store.list_subdirs(self.phys):
+            if not d.startswith("part-"):
+                continue
+            pdir = store.join(self.phys, d)
             try:
-                pid = int(os.path.basename(pdir).split("-", 1)[1])
+                pid = int(d.split("-", 1)[1])
             except ValueError:
                 continue
             live = set(snap_live.get(pid, ()))
@@ -1163,39 +1201,48 @@ class TranscriptLake:
                 live |= {f["path"] for f in m.files}
             if inflight:
                 nm = PartitionManifest.load(
-                    os.path.join(pdir, f"manifest-g{inflight}.json")
+                    store.join(pdir, f"manifest-g{inflight}.json"), store
                 )
                 if nm:
                     live |= {f["path"] for f in nm.files}
             # staged txn manifests and the files they reference belong
             # to txn recovery (publish/abort, state/txn.py) — vacuuming
             # them mid-transaction would break roll-forward
-            for name in os.listdir(pdir):
+            for name in store.list_objects(pdir):
                 if ".txn-" in name and name.startswith("manifest"):
-                    sm = PartitionManifest.load(os.path.join(pdir, name))
-                    if sm:
-                        live |= {f["path"] for f in sm.files}
-            for name in os.listdir(pdir):
-                path = os.path.join(pdir, name)
+                    smj = store.get_json(store.join(pdir, name))
+                    if smj:
+                        live |= {f["path"] for f in smj["files"]}
+            # stale manifest pointers (previous generations) + version GC
+            for name in store.list_pointers(pdir):
+                if not name.startswith("manifest") or ".txn-" in name:
+                    continue
+                path = store.join(pdir, name)
+                if name not in keep_manifests:
+                    store.delete_pointer(path)
+                    removed.append(path)
+                else:
+                    removed.extend(store.gc_pointer(path))
+            # orphan data files + leftover tmps
+            for name in store.list_objects(pdir):
+                path = store.join(pdir, name)
                 stale_data = (
                     name.startswith("data-") and name.endswith(".parquet") and name not in live
                 )
-                stale_manifest = (
-                    name.startswith("manifest")
-                    and ".txn-" not in name
-                    and name not in keep_manifests
-                )
-                if stale_data or stale_manifest or name.endswith(".tmp"):
-                    os.unlink(path)
+                if stale_data or name.endswith(".tmp"):
+                    store.delete(path)
                     removed.append(path)
-            if not os.listdir(pdir):
-                os.rmdir(pdir)
-        for leftover in glob.glob(os.path.join(self.root, "rescale-g*.json")):
+            store.remove_dir_if_empty(pdir)
+        removed.extend(store.gc_pointer(store.join(self.phys, "lake.json")))
+        for name in store.list_objects(self.phys):
             # an abandoned intent whose generation already published
-            with open(leftover) as f:
-                if json.load(f).get("generation", -1) <= self.generation:
-                    os.unlink(leftover)
-                    removed.append(leftover)
+            if not (name.startswith("rescale-g") and name.endswith(".json")):
+                continue
+            leftover = store.join(self.phys, name)
+            obj = store.get_json(leftover)
+            if obj is not None and obj.get("generation", -1) <= self.generation:
+                store.delete(leftover)
+                removed.append(leftover)
         return removed
 
 
@@ -1217,7 +1264,10 @@ def _split_parent(root: str, p: int, factor: int, next_gen: int) -> dict:
         # never-written parent: children inherit watermark -1 by
         # having no manifest either
         return {"parent": p, "rows": 0, "skipped": True}
-    existing = [PartitionManifest.load(lake._manifest_path(c, next_gen)) for c in children]
+    existing = [
+        PartitionManifest.load(lake._manifest_path(c, next_gen), lake.store)
+        for c in children
+    ]
     if all(m is not None and m.high_lsn == parent_m.high_lsn for m in existing):
         return {"parent": p, "rows": sum(m.row_count for m in existing), "resumed": True}
     table = lake.read_partition(p)  # resolved: split doubles as compaction
@@ -1234,7 +1284,7 @@ def _split_parent(root: str, p: int, factor: int, next_gen: int) -> dict:
     for c in children:
         child = table.filter(pa.array(pids == c)) if len(table) else table
         entry = _write_data_file(
-            os.path.join(root, f"part-{c:05d}"), child, parent_m.high_lsn
+            lake.store, lake.part_dir(c), child, parent_m.high_lsn
         )
         if (b := _pk_bloom_entry(child, lake.primary_key[0])) is not None:
             entry["pk_bloom"] = b
@@ -1253,7 +1303,7 @@ def _split_parent(root: str, p: int, factor: int, next_gen: int) -> dict:
                 }
             ],
         )
-        m.save(lake._manifest_path(c, next_gen))
+        m.save(lake._manifest_path(c, next_gen), lake.store)
         total += len(child)
     return {"parent": p, "rows": total}
 
@@ -1272,7 +1322,7 @@ def _coalesce_group(root: str, c: int, factor: int, next_gen: int) -> dict:
     if all(m is None for m in manifests):
         return {"child": c, "rows": 0, "skipped": True}
     high_lsn = min((m.high_lsn if m else -1) for m in manifests)
-    existing = PartitionManifest.load(lake._manifest_path(c, next_gen))
+    existing = PartitionManifest.load(lake._manifest_path(c, next_gen), lake.store)
     if existing is not None and existing.high_lsn == high_lsn:
         return {"child": c, "rows": existing.row_count, "resumed": True}
     tables = [
@@ -1286,7 +1336,7 @@ def _coalesce_group(root: str, c: int, factor: int, next_gen: int) -> dict:
         merged = tables[0]
     else:
         merged = pa.concat_tables(tables, promote_options="permissive")
-    entry = _write_data_file(os.path.join(root, f"part-{c:05d}"), merged, high_lsn)
+    entry = _write_data_file(lake.store, lake.part_dir(c), merged, high_lsn)
     if (b := _pk_bloom_entry(merged, lake.primary_key[0])) is not None:
         entry["pk_bloom"] = b
     m = PartitionManifest(
@@ -1304,5 +1354,5 @@ def _coalesce_group(root: str, c: int, factor: int, next_gen: int) -> dict:
             }
         ],
     )
-    m.save(lake._manifest_path(c, next_gen))
+    m.save(lake._manifest_path(c, next_gen), lake.store)
     return {"child": c, "rows": len(merged)}

@@ -8,19 +8,21 @@ needs: a WAL interleaves changes for several destination tables, and a
 consumer must never observe table A advanced past table B for the same
 LSN window.
 
-Protocol (presumed-abort two-phase commit, files as the log):
+Protocol (presumed-abort two-phase commit, storage objects as the log):
 
 1. **Stage** — each lake's replay writes its partition manifests to
-   ``<manifest>.txn-<id>`` (invisible to readers;
+   ``<manifest>.txn-<id>`` (write-once objects, invisible to readers;
    ``TranscriptLake.commit_partition(txn=...)``).  Data files are
    written normally — content-named, so a retry is idempotent and an
    abort just leaves vacuumable orphans.
-2. **Commit point** — ONE atomic write of ``txn-<id>.json`` into the
-   transaction directory, recording the participant roots.  Before
-   this file exists the transaction is invisible everywhere; after, it
-   is durable everywhere.
+2. **Commit point** — ONE atomic object write of ``txn-<id>.json``
+   into the transaction directory, recording the participant roots.
+   Before this object exists the transaction is invisible everywhere;
+   after, it is durable everywhere.  (Atomic on POSIX via the tmp +
+   rename swap, on object stores by PUT whole-object atomicity —
+   state/fs.py.)
 3. **Publish** — flip each lake's staged manifests to current
-   (``publish_txn``; idempotent per-file renames), then delete the
+   (``publish_txn``; idempotent per-manifest flips), then delete the
    record.
 
 Recovery (:meth:`TxnLog.recover`) makes any crash point safe:
@@ -28,42 +30,42 @@ a record present → roll FORWARD (finish the publishes, delete the
 record); staged manifests whose txn has no record → roll BACK (delete
 the staged manifests; replays resume from the published watermarks, so
 the events are re-applied exactly once).
+
+The transaction directory may live on any backend the lakes do — the
+scheme rides in ``txn_dir`` exactly as in lake roots.
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-
-from .manifest import write_json_atomic
+from .fs import storage_for
 
 
 class TxnLog:
     def __init__(self, txn_dir: str):
         self.txn_dir = txn_dir
-        os.makedirs(txn_dir, exist_ok=True)
+        self.store, self.phys = storage_for(txn_dir)
+        self.store.ensure_dir(self.phys)
 
     def _path(self, txn_id: str) -> str:
-        return os.path.join(self.txn_dir, f"txn-{txn_id}.json")
+        return self.store.join(self.phys, f"txn-{txn_id}.json")
 
     def pending(self) -> list[dict]:
         """Committed-but-unpublished transaction records."""
         out = []
-        for p in sorted(glob.glob(os.path.join(self.txn_dir, "txn-*.json"))):
-            with open(p) as f:
-                out.append(json.load(f))
-        return out
+        for name in self.store.list_objects(self.phys):
+            if name.startswith("txn-") and name.endswith(".json"):
+                rec = self.store.get_json(self.store.join(self.phys, name))
+                if rec is not None:
+                    out.append(rec)
+        return sorted(out, key=lambda r: r["id"])
 
     def commit(self, txn_id: str, roots: list[str]) -> None:
         """THE commit point: one atomic record write.  Everything
         before this is invisible; everything after is durable."""
-        write_json_atomic(self._path(txn_id), {"id": txn_id, "roots": list(roots)})
+        self.store.put_json(self._path(txn_id), {"id": txn_id, "roots": list(roots)})
 
     def done(self, txn_id: str) -> None:
-        path = self._path(txn_id)
-        if os.path.exists(path):
-            os.unlink(path)
+        self.store.delete(self._path(txn_id))
 
     def publish(self, txn_id: str, roots: list[str]) -> int:
         """Roll a committed transaction forward: flip every
@@ -95,6 +97,6 @@ class TxnLog:
             for staged in lake.staged_txn_manifests():
                 tid = staged.rsplit(".txn-", 1)[1]
                 if tid not in committed:
-                    os.unlink(staged)
+                    lake.store.delete(staged)
                     back += 1
         return {"rolled_forward": fwd, "rolled_back": back}

@@ -18,9 +18,19 @@ from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import follow_
 from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
 
 
-def _seed(tmp_path, n_convs=50):
+import pytest
+
+
+@pytest.fixture(params=["", "norename://"], ids=["posix", "objectstore"])
+def lake_scheme(request):
+    """Run every follow-mode test on the POSIX backend AND the
+    rename-free object-store backend (state/fs.py)."""
+    return request.param
+
+
+def _seed(tmp_path, n_convs=50, scheme=""):
     base = generate_base(n_convs=n_convs, max_turns=10)
-    root = str(tmp_path / "lake")
+    root = scheme + str(tmp_path / "lake")
     lake = TranscriptLake.create(root, num_partitions=8)
     pids = partition_ids(base.column("conv_id"), 8)
     for p in range(8):
@@ -28,8 +38,8 @@ def _seed(tmp_path, n_convs=50):
     return root, base
 
 
-def test_follow_converges_with_live_producer(ray_session, tmp_path):
-    root, base = _seed(tmp_path)
+def test_follow_converges_with_live_producer(ray_session, tmp_path, lake_scheme):
+    root, base = _seed(tmp_path, scheme=lake_scheme)
     changes = generate_changes(3000, n_convs=60, delete_frac=0.15, dup_frac=0.05)
     lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
     wal = str(tmp_path / "wal")
@@ -74,8 +84,8 @@ def test_follow_converges_with_live_producer(ray_session, tmp_path):
     pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
 
 
-def test_follow_idle_cycles_are_cheap_and_exactly_once(ray_session, tmp_path):
-    root, base = _seed(tmp_path)
+def test_follow_idle_cycles_are_cheap_and_exactly_once(ray_session, tmp_path, lake_scheme):
+    root, base = _seed(tmp_path, scheme=lake_scheme)
     changes = generate_changes(1500, n_convs=50, delete_frac=0.1)
     wal = str(tmp_path / "wal")
     write_change_log(changes, wal, n_files=3)
@@ -95,8 +105,8 @@ def test_follow_idle_cycles_are_cheap_and_exactly_once(ray_session, tmp_path):
     assert state1.equals(state2)
 
 
-def test_follow_max_cycles_bound(ray_session, tmp_path):
-    root, _ = _seed(tmp_path)
+def test_follow_max_cycles_bound(ray_session, tmp_path, lake_scheme):
+    root, _ = _seed(tmp_path, scheme=lake_scheme)
     wal = str(tmp_path / "wal_empty")
     import os
 

@@ -25,10 +25,17 @@ from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
 from cityofphiladelphia_databridge_etl_tools_ray.functions.hashing import partition_ids
 from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
 from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+from cityofphiladelphia_databridge_etl_tools_ray.state.fs import storage_for
 from cityofphiladelphia_databridge_etl_tools_ray.state.lake import (
     TranscriptLake,
     _split_parent,
 )
+
+
+def _put_intent(root: str, obj: dict) -> None:
+    """Write a rescale intent through the root's storage backend."""
+    st, phys = storage_for(root)
+    st.put_json(st.join(phys, f"rescale-g{obj['generation']}.json"), obj)
 
 
 def state_df(root: str) -> pd.DataFrame:
@@ -42,10 +49,10 @@ def assert_text_equal(got: pd.DataFrame, exp: pd.DataFrame):
     pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
 
 
-@pytest.fixture
-def seeded_lake(tmp_path):
+@pytest.fixture(params=["", "norename://"], ids=["posix", "objectstore"])
+def seeded_lake(request, tmp_path):
     base = generate_base(n_convs=60, max_turns=15)
-    root = str(tmp_path / "lake")
+    root = request.param + str(tmp_path / "lake")
     lake = TranscriptLake.create(root, num_partitions=8)
     pids = partition_ids(base.column("conv_id"), 8)
     for pid in range(8):
@@ -199,11 +206,14 @@ def test_vacuum_reclaims_stale_generations(ray_session, seeded_lake):
     removed = lake.vacuum()
     assert removed  # stale gen-1/2 manifests + their data files
     # beyond-range dirs (part-00004..15) are gone
-    dirs = sorted(d for d in os.listdir(root) if d.startswith("part-"))
+    dirs = sorted(d for d in lake.store.list_subdirs(lake.phys) if d.startswith("part-"))
     assert dirs == [f"part-{p:05d}" for p in range(4)]
-    # only the current generation's manifest remains per dir
+    # only the current generation's manifest pointer remains per dir
     for d in dirs:
-        manifests = [n for n in os.listdir(os.path.join(root, d)) if n.startswith("manifest")]
+        pdir = lake.store.join(lake.phys, d)
+        manifests = [
+            n for n in lake.store.list_pointers(pdir) if n.startswith("manifest")
+        ]
         assert manifests == ["manifest-g3.json"]
     assert_text_equal(state_df(root), before)
     # vacuum is idempotent and the lake still reads clean
@@ -235,8 +245,7 @@ def test_split_preserves_empty_and_fully_deleted_parents(ray_session, tmp_path):
 def test_conflicting_inflight_rescale_rejected(ray_session, seeded_lake):
     root, _ = seeded_lake
     # leave a conflicting intent for generation 2
-    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
-        json.dump({"from": 8, "to": 32, "generation": 2}, f)
+    _put_intent(root, {"from": 8, "to": 32, "generation": 2})
     with pytest.raises(RuntimeError, match="conflicting in-progress rescale"):
         TranscriptLake(root).split_partitions(2)
 
@@ -249,8 +258,7 @@ def test_vacuum_preserves_inflight_rescale_progress(ray_session, seeded_lake):
     before = state_df(root)
     lake = TranscriptLake(root)
     # intent on disk + half the parents split = a crashed split
-    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
-        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    _put_intent(root, {"from": 8, "to": 16, "generation": 2})
     for p in range(4):
         _split_parent(root, p, 2, next_gen=2)
     child_files = {
@@ -258,7 +266,9 @@ def test_vacuum_preserves_inflight_rescale_progress(ray_session, seeded_lake):
     }
     removed = lake.vacuum()
     for path in child_files.values():
-        assert os.path.exists(path), f"vacuum deleted in-flight manifest {path}"
+        assert lake.store.pointer_exists(path), (
+            f"vacuum deleted in-flight manifest {path}"
+        )
     assert not any("manifest-g2" in r for r in removed)
     # resume completes and the already-split parents were not redone
     res = TranscriptLake(root).split_partitions(2)
@@ -269,8 +279,7 @@ def test_vacuum_preserves_inflight_rescale_progress(ray_session, seeded_lake):
 def test_abort_rescale_discards_progress(ray_session, seeded_lake):
     root, _ = seeded_lake
     before = state_df(root)
-    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
-        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    _put_intent(root, {"from": 8, "to": 16, "generation": 2})
     for p in range(3):
         _split_parent(root, p, 2, next_gen=2)
     lake = TranscriptLake(root)
@@ -296,8 +305,7 @@ def test_replay_rejected_during_inflight_rescale(ray_session, seeded_lake, tmp_p
     parent was split would be dropped by the flip): replay raises a
     clear error while the intent exists and works after abort."""
     root, _ = seeded_lake
-    with open(os.path.join(root, "rescale-g2.json"), "w") as f:
-        json.dump({"from": 8, "to": 16, "generation": 2}, f)
+    _put_intent(root, {"from": 8, "to": 16, "generation": 2})
     changes = generate_changes(500, n_convs=30)
     write_change_log(changes, str(tmp_path / "wal"), n_files=2)
     with pytest.raises(RuntimeError, match="rescale to generation 2 in progress"):

@@ -46,13 +46,13 @@ def _expected(changes: pa.Table) -> pd.DataFrame:
     return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
 
 
-@pytest.fixture
-def two_lakes(tmp_path):
-    a = str(tmp_path / "lake_a")
-    b = str(tmp_path / "lake_b")
+@pytest.fixture(params=["", "norename://"], ids=["posix", "objectstore"])
+def two_lakes(request, tmp_path):
+    a = request.param + str(tmp_path / "lake_a")
+    b = request.param + str(tmp_path / "lake_b")
     TranscriptLake.create(a, num_partitions=4)
     TranscriptLake.create(b, num_partitions=4)
-    txn_dir = str(tmp_path / "txns")
+    txn_dir = request.param + str(tmp_path / "txns")
     changes = generate_changes(1200, n_convs=50, delete_frac=0.1, seed=11)
     return a, b, txn_dir, changes
 
@@ -137,9 +137,12 @@ def test_vacuum_preserves_staged_txn_files(ray_session, two_lakes):
     )
 
     for path in staged:
-        m = PartitionManifest.load(path)
+        m = PartitionManifest.load(path, lake.store)  # staged = object;
+        if m is None:  # object backend: read the staged object directly
+            m = PartitionManifest.from_json(lake.store.get_json(path))
+        pdir = path.rsplit("/", 1)[0]
         for f in m.files:
-            assert os.path.exists(os.path.join(os.path.dirname(path), f["path"]))
+            assert lake.store.exists(lake.store.join(pdir, f["path"]))
     lake.publish_txn("t1")
     pd.testing.assert_series_equal(
         _state(a)["text"], _expected(ca)["text"], check_names=False
