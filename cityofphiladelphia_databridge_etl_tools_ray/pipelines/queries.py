@@ -13849,3 +13849,32 @@ SELECT CAST(sum(c) AS BIGINT) AS n_docs,
        CAST(sum(t * (c * s + (c * (c + 1)) // 2)) AS BIGINT) AS weighted_rank_sum
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# Rows-only allowlist — the oracle-erosion guard
+# ---------------------------------------------------------------------------
+
+#: Every ``QUERIES`` entry WITHOUT an ``ORACLE_SQL`` twin must appear
+#: here with the reason no exact SQL oracle is feasible.  Each is an
+#: approximate-by-design operator pinned instead against an exact twin
+#: or error bound in pytest.  ``tests/test_registry_guard.py`` fails
+#: the build if an exact-expressible query ships without an oracle (or
+#: if this list goes stale) — oracle coverage can only grow.
+ROWS_ONLY_QUERIES: dict[str, str] = {
+    "ann_ivf_topk": "approximate IVF ANN; recall pinned vs exact brute-force twin (test_corpus_similarity)",
+    "ann_lsh_topk": "approximate LSH ANN; recall pinned vs exact brute-force twin (test_corpus_similarity)",
+    "dedup_embedding_cosine_bucketed": "approximate bucketed near-dup; recall pinned vs exact tiled twin",
+    "dedup_minhash_lsh": "probabilistic MinHash banding; recall pinned vs exact ngram-Jaccard twin",
+    "dedup_simhash": "probabilistic SimHash pigeonhole; equality pinned vs exact twin in pytest",
+    "embedding_pca_topk": "iterative eigensolve (float); pinned vs numpy reference in pytest",
+    "events_type_distinct_sketch": "HLL sketch; error bound + merge laws property-tested (test_sketch)",
+    "events_type_quantile_sketch": "KLL sketch; rank-error bound property-tested (test_sketch)",
+    "events_type_top_users_sketch": "Misra-Gries sketch; frequency bound property-tested (test_sketch)",
+    "events_type_user_overlap_sketch": "HLL set-overlap estimate; bound pinned in test_sketch_overlap",
+    "events_value_quantile_sketch": "KLL sketch; rank-error bound property-tested (test_sketch)",
+    "kmeans_embeddings": "iterative clustering; pinned vs numpy Lloyd reference in pytest",
+    "sketch_distinct_users": "HLL sketch; error bound property-tested (test_sketch)",
+    "text_language_id": "heuristic n-gram language ID; accuracy pinned in pytest, no SQL semantics",
+    "wal_heavy_hitters_sketch": "Misra-Gries over the WAL; no exact SQL twin by design (test_sketch)",
+}

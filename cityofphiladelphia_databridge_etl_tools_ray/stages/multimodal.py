@@ -3,18 +3,22 @@
 Payloads are opaque ``binary`` cells travelling next to typed
 metadata columns — the engine treats them exactly like the transcript
 ``text`` payload: bytes that must be partitioned, batched and moved,
-never interpreted row-by-row in Python.  The real codec work (JPEG
-decode, resample, frame extraction) is NOT available in this
-environment, so each stage separates:
+never interpreted row-by-row in Python.  Each stage separates:
 
 - the **Ray plumbing** (real, tested): schema contracts, actor-pool
   ``map_batches`` stages with codec state built once per actor,
   byte-budgeted ``batch_size`` so payload × concurrency fits worker
-  heaps, zero-copy Arrow in/out, deterministic outputs; and
-- the **codec kernel** (stubbed): ``FakeCodec`` derives metadata and
-  "decoded" features deterministically from the payload bytes, while
-  ``strict=True`` raises ``NotImplementedError`` exactly where a real
-  libjpeg/ffmpeg call belongs.
+  heaps, zero-copy Arrow in/out, deterministic outputs;
+- the **real codec kernel** (``strict=True`` → :class:`RealCodec`):
+  stdlib-only REAL container decoders — PNG/JPEG/GIF/BMP headers for
+  image metadata, the ``wave`` module for WAV audio — golden-file
+  tested; stages that genuinely need external systems (pixel-level
+  feature extraction, video frame demux) raise
+  ``NotImplementedError`` at the exact PIL/ffmpeg plug-in point; and
+- the **deterministic fake** (default): ``FakeCodec`` derives
+  metadata and "decoded" features as pure sha256 functions of the
+  payload bytes, so synthetic-corpus pipelines are oracle-checkable
+  and replay-stable.
 
 Reference lineage: the reference ships opaque-blob columns through
 typed sidecars the same way it ships geometry — EWKT strings with a
@@ -124,6 +128,105 @@ class FakeCodec:
         return [np.arange(0, n, every_n, dtype=np.int64) * 1024 for n in n_frames]
 
 
+class RealCodec:
+    """REAL (stdlib-only) media metadata decoders — what ``strict=True``
+    now wires to instead of raising unconditionally:
+
+    - images: PNG (IHDR), JPEG (SOF0/1/2 marker scan), GIF (logical
+      screen descriptor), BMP (DIB header) — genuine container
+      parsing, the same fields PIL's lazy ``Image.open`` reads;
+    - audio: WAV via the stdlib ``wave`` module (rate, channels,
+      frames).
+
+    Header parsing is inherently per-file (a real libjpeg call is
+    too); the per-row loop here is the decode kernel itself, not
+    avoidable plumbing — batch sizes stay byte-budgeted around it.
+    Unknown containers and the stages that genuinely need external
+    systems (pixel-level features → a vision model, video frame
+    demux → ffmpeg) still raise ``NotImplementedError`` at the exact
+    plug-in point, preserving the honest seam."""
+
+    @staticmethod
+    def _image_one(p: bytes) -> tuple[int, int, int]:
+        import struct
+
+        if p is None or len(p) < 16:
+            raise NotImplementedError("not a recognized image container")
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", p[16:24])
+            color_type = p[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type}")
+            return w, h, channels
+        if p[:2] == b"\xff\xd8":  # JPEG: scan markers to a SOF
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = p[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return w, h, p[i + 9]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
+                i += 2 + seg_len
+            raise NotImplementedError("JPEG without SOF marker")
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", p[6:10])
+            return w, h, 3
+        if p[:2] == b"BM" and len(p) >= 30:
+            w, h = struct.unpack("<ii", p[18:26])
+            (bpp,) = struct.unpack("<H", p[28:30])
+            return w, abs(h), max(1, bpp // 8)
+        raise NotImplementedError(
+            "real image decode for this container requires PIL/libjpeg"
+        )
+
+    def image_meta(self, payloads: np.ndarray):
+        metas = [self._image_one(p) for p in payloads]
+        return (
+            np.array([m[0] for m in metas], np.int32),
+            np.array([m[1] for m in metas], np.int32),
+            np.array([m[2] for m in metas], np.int32),
+        )
+
+    @staticmethod
+    def _audio_one(p: bytes) -> tuple[int, int, int]:
+        import io as _io
+        import wave
+
+        if p is None or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "real audio decode for this container requires libsndfile/ffmpeg"
+            )
+        with wave.open(_io.BytesIO(p)) as w:
+            return w.getframerate(), w.getnchannels(), w.getnframes()
+
+    def audio_meta(self, payloads: np.ndarray):
+        metas = [self._audio_one(p) for p in payloads]
+        rate = np.array([m[0] for m in metas], np.int64)
+        ch = np.array([m[1] for m in metas], np.int32)
+        n = np.array([m[2] for m in metas], np.int64)
+        return rate.astype(np.int32), ch, n
+
+    def image_features(self, payloads: np.ndarray, dim: int) -> np.ndarray:
+        raise NotImplementedError("real feature extraction requires a vision model")
+
+    def frame_offsets(self, payloads: np.ndarray, every_n: int):
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+
+def _codec(strict: bool):
+    """``strict=True`` → the REAL stdlib decoders (raising only where
+    an external system is genuinely required); else the deterministic
+    fake."""
+    return RealCodec() if strict else FakeCodec()
+
+
 def _payload_np(batch: pa.Table, col: str) -> np.ndarray:
     c = batch.column(col)
     if isinstance(c, pa.ChunkedArray):
@@ -145,7 +248,7 @@ class DecodeImageMeta:
                  strict: bool = False):
         self.payload_col = payload_col
         self.id_col = id_col
-        self.codec = FakeCodec(strict=strict)  # once per actor
+        self.codec = _codec(strict)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payload_np(batch, self.payload_col)
@@ -171,7 +274,7 @@ class DecodeAudioMeta:
                  strict: bool = False):
         self.payload_col = payload_col
         self.id_col = id_col
-        self.codec = FakeCodec(strict=strict)  # once per actor
+        self.codec = _codec(strict)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payload_np(batch, self.payload_col)
@@ -198,7 +301,7 @@ class ExtractImageFeatures:
         self.dim = dim
         self.payload_col = payload_col
         self.id_col = id_col
-        self.codec = FakeCodec(strict=strict)
+        self.codec = _codec(strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = self.codec.image_features(_payload_np(batch, self.payload_col), self.dim)
@@ -222,7 +325,7 @@ class SampleVideoFrames:
         self.every_n = every_n
         self.payload_col = payload_col
         self.id_col = id_col
-        self.codec = FakeCodec(strict=strict)
+        self.codec = _codec(strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         offs = self.codec.frame_offsets(_payload_np(batch, self.payload_col), self.every_n)

@@ -10,6 +10,7 @@ import pyarrow as pa
 import pytest
 
 from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import (
+    DecodeAudioMeta,
     DecodeImageMeta,
     ExtractImageFeatures,
     FakeCodec,
@@ -90,3 +91,138 @@ def test_fake_codec_digest_empty_and_null():
     c = FakeCodec()
     w, h, ch = c.image_meta(np.array([b"", None], dtype=object))
     assert len(w) == 2  # null payload → digest 0 path, no crash
+
+
+# ---------------------------------------------------------------------------
+# RealCodec golden files: strict=True now drives REAL stdlib decoders
+# ---------------------------------------------------------------------------
+
+
+def _golden_png(w=3, h=2, color_type=2, bitdepth=8):
+    """Hand-assembled REAL PNG (zlib IDAT + crc32 chunks): decodable by
+    any spec-compliant reader."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 0)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + bytes(w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _golden_jpeg(w=640, h=480, ncomp=3):
+    import struct
+
+    sof0 = struct.pack(">BBHB", 8, 0, 0, 0)  # placeholder, rebuilt below
+    seg = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + bytes(3 * ncomp)
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + b"\xff\xc0" + seg + b"\xff\xd9"
+
+
+def _golden_gif(w=12, h=34):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes(6)
+
+
+def _golden_bmp(w=7, h=5, bpp=24):
+    import struct
+
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    struct.pack_into("<i", hdr, 18, w)
+    struct.pack_into("<i", hdr, 22, -h)  # top-down negative height
+    struct.pack_into("<H", hdr, 28, bpp)
+    return bytes(hdr)
+
+
+def _golden_wav(rate=8000, channels=2, frames=16):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(bytes(2 * channels * frames))
+    return buf.getvalue()
+
+
+def test_real_codec_image_golden_files():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import RealCodec
+
+    c = RealCodec()
+    payloads = np.array(
+        [_golden_png(3, 2, 2), _golden_png(9, 4, 0), _golden_jpeg(640, 480, 3),
+         _golden_gif(12, 34), _golden_bmp(7, 5, 24)],
+        dtype=object,
+    )
+    w, h, ch = c.image_meta(payloads)
+    assert list(w) == [3, 9, 640, 12, 7]
+    assert list(h) == [2, 4, 480, 34, 5]
+    assert list(ch) == [3, 1, 3, 3, 3]
+    with pytest.raises(NotImplementedError):
+        c.image_meta(np.array([b"not an image at all....."], dtype=object))
+
+
+def test_real_codec_wav_golden_file():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import RealCodec
+
+    c = RealCodec()
+    rate, ch, n = c.audio_meta(np.array([_golden_wav(8000, 2, 16)], dtype=object))
+    assert list(rate) == [8000] and list(ch) == [2] and list(n) == [16]
+    with pytest.raises(NotImplementedError):
+        c.audio_meta(np.array([b"ID3\x03 not a wav"], dtype=object))
+
+
+def test_strict_stage_decodes_real_payloads_in_actor_pool(ray_session):
+    """The strict seam end-to-end: an actor-pool map_batches stage over
+    REAL container bytes produces exact metadata (the 'strict path
+    exercised in CI' criterion — the decoders are stdlib, always
+    present)."""
+    import ray.data
+
+    rows = [
+        {"media_id": 1, "payload": _golden_png(3, 2, 2)},
+        {"media_id": 2, "payload": _golden_jpeg(640, 480, 3)},
+        {"media_id": 3, "payload": _golden_gif(12, 34)},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = (
+        ds.map_batches(
+            DecodeImageMeta,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(out["width"]) == [3, 640, 12]
+    assert list(out["height"]) == [2, 480, 34]
+    assert list(out["channels"]) == [3, 3, 3]
+
+    audio = [{"media_id": 9, "payload": _golden_wav(44100, 1, 441)}]
+    got = (
+        ray.data.from_arrow(pa.Table.from_pylist(audio))
+        .map_batches(
+            DecodeAudioMeta,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert got.loc[0, "sample_rate"] == 44100
+    assert got.loc[0, "n_samples"] == 441
+    assert got.loc[0, "duration_ms"] == 10
