@@ -358,6 +358,79 @@ def skew():
     ray.shutdown()
 
 
+def objectstore():
+    """Object-store backend overhead (`bench.py --objectstore`): the
+    SAME replay into a POSIX lake vs a ``norename://`` lake (the
+    versioned-pointer commit log driven through the pyarrow FileSystem
+    API with rename disabled — state/fs.py).  Quantifies what the
+    rename-free commit protocol costs per partition commit; on a real
+    cluster the absolute numbers shift with object-store latency, but
+    the PROTOCOL cost (1 LIST + 1 PUT per pointer write, 1 LIST + 1
+    GET per pointer read) is what this leg isolates."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        generate_changes,
+        write_change_log,
+    )
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import replay_into_lake
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import read_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.state.lake import TranscriptLake
+
+    n = int(os.environ.get("GRAFT_OBJ_EVENTS", "4000000"))
+    wal_dir = os.path.join(BENCH_DIR, f"objwal-{n}-{WAL_FORMAT}")
+    if not os.path.exists(os.path.join(wal_dir, ".done")):
+        shutil.rmtree(wal_dir, ignore_errors=True)
+        ch = generate_changes(
+            n, n_convs=50000, max_turns=50, update_frac=0.5, delete_frac=0.1, seed=17
+        )
+        write_change_log(ch, wal_dir, n_files=64, format=WAL_FORMAT)
+        with open(os.path.join(wal_dir, ".done"), "w") as f:
+            f.write("ok")
+    read_change_log(wal_dir).count()  # warm page cache
+
+    legs = {}
+    rows = {}
+    for name, scheme in (("posix", ""), ("objectstore_norename", "norename://")):
+        times = []
+        for rep in range(3):
+            base = os.path.join(BENCH_DIR, f"objlake-{name}-{rep}")
+            shutil.rmtree(base, ignore_errors=True)
+            root = scheme + base
+            TranscriptLake.create(root, num_partitions=N_PARTITIONS)
+            t0 = time.perf_counter()
+            replay_into_lake(root, read_change_log(wal_dir))
+            times.append(round(time.perf_counter() - t0, 2))
+            rows[name] = TranscriptLake(root).total_rows()
+            shutil.rmtree(base, ignore_errors=True)
+        med = sorted(times)[1]
+        legs[name] = {
+            "replay_sec": times,
+            "median_sec": med,
+            "events_per_sec": round(n / med),
+        }
+    assert rows["posix"] == rows["objectstore_norename"], rows
+    legs["overhead_ratio"] = round(
+        legs["objectstore_norename"]["median_sec"] / legs["posix"]["median_sec"], 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "objectstore_commit_overhead",
+                "events": n,
+                "lake_rows": rows["posix"],
+                "legs": legs,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def stats():
     """Print the replay pipeline's per-operator ``ds.stats()`` after one
     warmup + one timed pass at RAY_GRAFT_CPUS — the reproducible
@@ -412,5 +485,7 @@ if __name__ == "__main__":
         stats()
     elif "--skew" in sys.argv:
         skew()
+    elif "--objectstore" in sys.argv:
+        objectstore()
     else:
         main()

@@ -63,7 +63,6 @@ Backend selection rides IN THE ROOT STRING, so worker-side
 from __future__ import annotations
 
 import hashlib
-import io
 import json
 import os
 import posixpath

@@ -25,8 +25,6 @@ from __future__ import annotations
 import base64
 import hashlib
 import io
-import json
-import os
 
 import numpy as np
 import pyarrow as pa
