@@ -389,6 +389,32 @@ def cdc_replay_delta(sf_dir: str):
     return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
 
 
+def cdc_replay_objectstore(sf_dir: str):
+    """Full replay through the real lake path on the OBJECT-STORE
+    storage backend (state/fs.py ``norename://``): every manifest
+    commit goes through the versioned-pointer commit log over the
+    rename-disabled pyarrow FileSystem — the protocol a multi-node
+    cluster runs against S3/GCS-class storage.  First half as a merge
+    load, second half as a delta tail with compaction, so base runs,
+    delta runs, folds AND the merge-on-read dataset all exercise the
+    backend.  Final state must equal the one-shot LWW replay (same
+    oracle as ``cdc_replay_delta``)."""
+    from ..state.fs import NORENAME_SCHEME
+    from ..state.lake import TranscriptLake
+    from .replay import replay_into_lake
+
+    max_lsn = int(_read(sf_dir, "events", columns=["event_id"]).max("event_id"))
+    mid = max_lsn // 2
+
+    root = NORENAME_SCHEME + _scratch_root("obj_lake", sf_dir)
+    TranscriptLake.create(root, num_partitions=16)
+    replay_into_lake(root, _slice_wal(sf_dir, -1, mid))
+    replay_into_lake(root, _slice_wal(sf_dir, mid, max_lsn), mode="delta", compact_after=2)
+
+    lake = TranscriptLake(root)
+    return lake.dataset(columns=["conv_id", "turn_idx", "role", "text", "ts"])
+
+
 def cdc_replay_rescale(sf_dir: str):
     """Mid-stream ONLINE partition rescale through the real lake path
     (the Iceberg-style generation flip, state/lake.py): replay the
@@ -9454,6 +9480,7 @@ QUERIES = {
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_snapshot_delete_stale": cdc_snapshot_delete_stale,
     "cdc_replay_delta": cdc_replay_delta,
+    "cdc_replay_objectstore": cdc_replay_objectstore,
     "cdc_replay_rescale": cdc_replay_rescale,
     "cdc_change_feed": cdc_change_feed,
     "cdc_lake_change_feed": cdc_lake_change_feed,
@@ -9695,6 +9722,15 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx % 7 <> 0
     # delta-mode replay must converge to the same LWW state as the
     # one-shot replay (tombstones excluded, lsn not kept in the lake)
     "cdc_replay_delta": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    # same LWW state, written/read through the object-store backend
+    "cdc_replay_objectstore": _CHANGES_CTE
     + """
 , ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
