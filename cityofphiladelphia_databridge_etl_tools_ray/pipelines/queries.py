@@ -10711,15 +10711,41 @@ FROM customer WHERE c_custkey % 4 IN (0, 1)
     # 300001, corrected to 2272) → lon = x/100000 - 75, lat =
     # y/100000 + 39; srid 4326 identity — identical IEEE op order on
     # both sides
+    # REAL EPSG:2272 inverse (Lambert Conformal Conic 2SP on GRS80,
+    # functions/projection.py): constants n/F/rho0/lon0/e embedded at
+    # full precision; the t->phi fixed point is unrolled to the same 8
+    # iterations the engine runs (agreement ~1e-13 deg, far inside the
+    # round-6 compare).  ftUS -> m via the exact 1200/3937.
     "geom_reproject_points": """
-SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-       CASE WHEN c_custkey % 3 IN (0, 1)
-            THEN CAST(c_custkey + 2600000 AS DOUBLE) / 100000.0 + (-75.0)
-            ELSE CAST(c_custkey % 360 - 180 AS DOUBLE) END AS lon,
-       CASE WHEN c_custkey % 3 IN (0, 1)
-            THEN CAST(c_nationkey * 100 + 200000 AS DOUBLE) / 100000.0 + 39.0
-            ELSE CAST(c_nationkey AS DOUBLE) END AS lat
-FROM customer
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         c_custkey % 3 IN (0, 1) AS proj,
+         CAST(c_custkey + 2600000 AS DOUBLE) * (1200.0e0/3937.0e0) AS xm,
+         CAST(c_nationkey * 100 + 200000 AS DOUBLE) * (1200.0e0/3937.0e0) AS ym,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) AS ll_lon,
+         CAST(c_nationkey AS DOUBLE) AS ll_lat
+  FROM customer
+), polar AS (
+  SELECT *, sqrt((xm - 600000.0e0)*(xm - 600000.0e0) + (7615193.758064943e0 - ym)*(7615193.758064943e0 - ym)) AS rho,
+         atan2(xm - 600000.0e0, 7615193.758064943e0 - ym) AS theta
+  FROM pts
+), it0 AS (
+  SELECT *, pow(rho / 12336392.186729575e0, 1.0/0.6487931516193333e0) AS tp,
+         pi()/2 - 2*atan(pow(rho / 12336392.186729575e0, 1.0/0.6487931516193333e0)) AS phi
+  FROM polar
+),
+it1 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it0),
+it2 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it1),
+it3 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it2),
+it4 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it3),
+it5 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it4),
+it6 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it5),
+it7 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it6),
+it8 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM it7)
+SELECT c_custkey,
+       CASE WHEN proj THEN degrees(theta/0.6487931516193333e0 + (-1.3569934934255912e0)) ELSE ll_lon END AS lon,
+       CASE WHEN proj THEN degrees(phi) ELSE ll_lat END AS lat
+FROM it8
 """,
     # ---- corpus / training-data ops.  No oracle entries for
     # text_language_id (engine-internal profile scores),

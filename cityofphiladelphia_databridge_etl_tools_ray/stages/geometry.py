@@ -113,12 +113,12 @@ BAD_SRID_MAP = {
     300091: 4326, 300092: 4326, 300086: 6565, 300087: 6565, 300093: 2272,
 }
 
-#: Deterministic affine FAKE transforms (the FakeCodec pattern,
-#: stages/multimodal.py): lon = x/div_x + off_x, lat = y/div_y + off_y.
-#: pyproj is absent in this environment; when importable, the real
-#: ``pyproj.Transformer`` replaces these per-SRID fakes (see
-#: ``PointReprojector.__init__`` — the marked real-library site).
-#: Expressions are SQL-reproducible bit-exactly (same IEEE op order).
+#: Deterministic affine FAKE transforms — retained ONLY as the
+#: last-resort fallback for SRIDs outside the REAL registry
+#: (functions/projection.py now implements the genuine math for every
+#: CRS the reference's bad-SRID map routes to: 2272/6565 Lambert
+#: Conformal Conic, 3857 Web Mercator, 4269 identity).  Expressions
+#: are SQL-reproducible bit-exactly (same IEEE op order).
 _FAKE_AFFINE = {
     2272: (100000.0, -75.0, 100000.0, 39.0),
     3857: (111320.0, 0.0, 110540.0, 0.0),
@@ -135,9 +135,21 @@ class PointReprojector:
 
     The transformer cache is built once per actor in ``__init__``;
     ``__call__`` groups the batch by source SRID and transforms each
-    group's coordinate arrays in one vectorized call.  With
-    ``strict=True`` a missing real transformer library raises instead
-    of falling back to the deterministic affine fake.
+    group's coordinate arrays in one vectorized call.
+
+    Transform resolution order per source SRID:
+
+    1. same as ``to_srid`` → identity;
+    2. ``pyproj.Transformer`` when the library is importable (cached
+       per SRID — the reference's per-worker cache);
+    3. the REAL built-in math (functions/projection.py) when the
+       target is 4326 and the SRID is in its registry — Lambert
+       Conformal Conic for 2272/6565, Web Mercator for 3857, NAD83
+       identity for 4269: the full CRS set the reference's bad-SRID
+       map routes to, so the engine reprojects the reference's actual
+       data with NO external library;
+    4. otherwise: raise under ``strict=True``, else the documented
+       deterministic affine fake (unknown SRIDs only).
     """
 
     def __init__(
@@ -161,14 +173,8 @@ class PointReprojector:
             self._pyproj = pyproj
         except ImportError:
             self._pyproj = None
-            if strict:
-                raise NotImplementedError(
-                    "strict reprojection requires pyproj (absent in this environment)"
-                )
 
     def _transform(self, srid: int, x, y):
-        import numpy as np
-
         if srid == self.to_srid:
             return x, y
         if self._pyproj is not None:
@@ -179,6 +185,16 @@ class PointReprojector:
                 )
                 self._transformers[srid] = tr
             return tr.transform(x, y)
+        if self.to_srid == 4326:
+            from ..functions.projection import REAL_SRIDS, to_wgs84
+
+            if srid in REAL_SRIDS:
+                return to_wgs84(srid, x, y)
+        if self.strict:
+            raise NotImplementedError(
+                f"strict reprojection from SRID {srid} to {self.to_srid} "
+                "requires pyproj (outside the built-in real-CRS registry)"
+            )
         if srid not in _FAKE_AFFINE:
             raise ValueError(f"no transform for SRID {srid} → {self.to_srid}")
         dx, ox, dy, oy = _FAKE_AFFINE[srid]

@@ -87,10 +87,14 @@ def test_geocode_failure_count_aggregate(ray_session):
     assert geocode_failure_count(enriched) == 1
 
 
-def test_point_reprojector_affine_fake_and_bad_srid():
-    """Fake affine path: SRID 2272 transforms, bad SRID 300001 is
-    corrected to 2272 first (reference opendata/opendata.py:202-205),
-    4326 passes through."""
+def test_point_reprojector_real_math_and_bad_srid():
+    """REAL projection path (functions/projection.py): SRID 2272
+    transforms through the genuine Lambert Conformal Conic inverse,
+    bad SRID 300001 is corrected to 2272 first (reference
+    opendata/opendata.py:202-205), 4326 passes through.  Expected
+    values = the module's own inverse, cross-pinned in
+    test_projection.py against the EPSG defining invariants."""
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.projection import to_wgs84
     from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import PointReprojector
 
     t = pa.table(
@@ -108,24 +112,32 @@ def test_point_reprojector_affine_fake_and_bad_srid():
     out = PointReprojector("shape")(t)
     assert out.column_names == ["id", "lon", "lat"]
     lon, lat = out.column("lon").to_pylist(), out.column("lat").to_pylist()
-    assert lon[0] == lon[1] == 2700000 / 100000.0 + (-75.0)
-    assert lat[0] == lat[1] == 210000 / 100000.0 + 39.0
+    exp_lon, exp_lat = to_wgs84(2272, 2700000.0, 210000.0)
+    assert lon[0] == lon[1] == float(exp_lon)
+    assert lat[0] == lat[1] == float(exp_lat)
+    # sanity: the point sits in southeastern Pennsylvania
+    assert -75.5 < lon[0] < -74.9 and 39.8 < lat[0] < 40.1
     assert (lon[2], lat[2]) == (-75.0, 40.0)
 
 
 def test_point_reprojector_default_srid_and_errors():
     from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import PointReprojector
 
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.projection import to_wgs84
+
     t = pa.table({"shape": pa.array(["POINT(2700000 210000)"])})
     out = PointReprojector("shape", default_srid=2272)(t)
-    assert out.column("lon")[0].as_py() == 2700000 / 100000.0 + (-75.0)
+    assert out.column("lon")[0].as_py() == float(to_wgs84(2272, 2700000.0, 210000.0)[0])
     with pytest.raises(ValueError, match="no default_srid"):
         PointReprojector("shape")(t)
     with pytest.raises(ValueError, match="unparseable"):
         PointReprojector("shape")(pa.table({"shape": pa.array(["LINESTRING(0 0, 1 1)"])}))
-    # strict mode marks the real-pyproj site: absent library must raise
+    # strict mode: SRIDs covered by the REAL registry work without
+    # pyproj; an unregistered SRID still raises at the pyproj seam
+    strict = PointReprojector("shape", strict=True, default_srid=2272)
+    assert strict(t).column("lon")[0].as_py() == float(to_wgs84(2272, 2700000.0, 210000.0)[0])
     with pytest.raises(NotImplementedError, match="pyproj"):
-        PointReprojector("shape", strict=True)
+        PointReprojector("shape", strict=True, default_srid=27700)(t)
 
 
 def test_write_csv_gzip_roundtrip_and_idempotence(ray_session, tmp_path):
