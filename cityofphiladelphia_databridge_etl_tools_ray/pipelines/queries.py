@@ -3629,6 +3629,82 @@ def geom_point_lonlat(sf_dir: str):
     )
 
 
+def geom_reproject_polygons(sf_dir: str):
+    """WHOLE-geometry reprojection — the reference's
+    project_and_format_shape walks every coordinate of LINESTRING /
+    POLYGON rows through pyproj row-at-a-time
+    (opendata/opendata.py:206-238); the engine transforms the batch's
+    entire coordinate stream in one vectorized pass through the REAL
+    EPSG:2272 Lambert Conformal Conic inverse
+    (stages/geometry.GeomReprojector + functions/projection.py).
+
+    Synth input: one state-plane POLYGON per customer (a 1000-ft right
+    triangle anchored at key-derived coordinates, closing vertex
+    repeated per WKT).  Output summary per row (n_points + coordinate
+    centroid) keeps the oracle numeric: the SQL side rebuilds the same
+    vertices arithmetically and runs the same unrolled LCC inverse."""
+    import numpy as np
+
+    from ..stages.geometry import GeomReprojector
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def make_polys(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").cast(pa.int64())
+        x0 = pc.add(pa.scalar(2600000), pc.subtract(ck, pc.multiply(pc.divide(ck, pa.scalar(100000)), pa.scalar(100000))))
+        y0 = pc.add(pa.scalar(150000), pc.multiply(b.column("c_nationkey").cast(pa.int64()), pa.scalar(1000)))
+        s = lambda a: pc.cast(a, pa.string())  # noqa: E731
+        j = pc.binary_join_element_wise
+        shape = j(
+            pa.scalar("SRID=2272;POLYGON(("),
+            s(x0), pa.scalar(" "), s(y0), pa.scalar(", "),
+            s(pc.add(x0, pa.scalar(1000))), pa.scalar(" "), s(y0), pa.scalar(", "),
+            s(x0), pa.scalar(" "), s(pc.add(y0, pa.scalar(1000))), pa.scalar(", "),
+            s(x0), pa.scalar(" "), s(y0),
+            pa.scalar("))"),
+            "",
+        )
+        return pa.table({"c_custkey": ck, "shape": shape})
+
+    def summarize(b: pa.Table) -> pa.Table:
+        col = b.column("shape")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        body = pc.struct_field(
+            pc.extract_regex(col, r"^SRID=4326;POLYGON(?P<body>\(.*\))$"), "body"
+        )
+        toks = pc.split_pattern(body, ",")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy()
+        tp = pc.extract_regex(
+            toks.values, r"^[\s(]*(?P<x>-?[0-9.eE+\-]+)\s+(?P<y>-?[0-9.eE+\-]+)[\s)]*$"
+        )
+        lon = pc.cast(pc.struct_field(tp, "x"), pa.float64()).to_numpy(zero_copy_only=False)
+        lat = pc.cast(pc.struct_field(tp, "y"), pa.float64()).to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        starts = off[:-1]
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "n_points": pa.array(counts.astype(np.int64)),
+                "lon_c": pa.array(np.add.reduceat(lon, starts) / counts),
+                "lat_c": pa.array(np.add.reduceat(lat, starts) / counts),
+            }
+        )
+
+    return (
+        ds.map_batches(make_polys, batch_format="pyarrow")
+        .map_batches(
+            GeomReprojector,
+            fn_constructor_kwargs={"geom_col": "shape"},
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+        )
+        .map_batches(summarize, batch_format="pyarrow")
+    )
+
+
 def tz_localize_events(sf_dir: str):
     """Timezone localization — the reference's force-localize of naive
     datetime columns to US/Eastern (oracle/oracle.py:197-221,
@@ -9583,6 +9659,7 @@ QUERIES = {
     "geom_promote_multi": geom_promote_multi,
     "geom_point_lonlat": geom_point_lonlat,
     "geom_reproject_points": geom_reproject_points,
+    "geom_reproject_polygons": geom_reproject_polygons,
     # corpus / training-data ops (documents table)
     "text_token_counts": text_token_counts,
     "corpus_bigram_topk": corpus_bigram_topk,
@@ -10711,6 +10788,44 @@ FROM customer WHERE c_custkey % 4 IN (0, 1)
     # 300001, corrected to 2272) → lon = x/100000 - 75, lat =
     # y/100000 + 39; srid 4326 identity — identical IEEE op order on
     # both sides
+    # whole-polygon reprojection: the same REAL LCC inverse applied to
+    # every vertex (closing vertex repeated, per WKT), then per-row
+    # count + centroid — numeric so the compare needs no float-string
+    # formatting contract
+    "geom_reproject_polygons": """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         2600000 + c_custkey % 100000 AS x0,
+         150000 + c_nationkey * 1000 AS y0
+  FROM customer
+), verts AS (
+  SELECT ck, CAST(x0 + dx AS DOUBLE) * (1200.0e0/3937.0e0) AS xm,
+         CAST(y0 + dy AS DOUBLE) * (1200.0e0/3937.0e0) AS ym
+  FROM base, (VALUES (0, 0), (1000, 0), (0, 1000), (0, 0)) AS o(dx, dy)
+), polar AS (
+  SELECT ck,
+         sqrt((xm - 600000.0e0)*(xm - 600000.0e0) + (7615193.758064943e0 - ym)*(7615193.758064943e0 - ym)) AS rho,
+         atan2(xm - 600000.0e0, 7615193.758064943e0 - ym) AS theta
+  FROM verts
+), pit0 AS (
+  SELECT *, pow(rho / 12336392.186729575e0, 1.0/0.6487931516193333e0) AS tp,
+         pi()/2 - 2*atan(pow(rho / 12336392.186729575e0, 1.0/0.6487931516193333e0)) AS phi
+  FROM polar
+),
+pit1 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit0),
+pit2 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit1),
+pit3 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit2),
+pit4 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit3),
+pit5 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit4),
+pit6 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit5),
+pit7 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit6),
+pit8 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp * pow((1 - 0.08181919104281579e0*sin(phi))/(1 + 0.08181919104281579e0*sin(phi)), 0.08181919104281579e0/2)) AS phi) FROM pit7)
+SELECT ck AS c_custkey,
+       CAST(count(*) AS BIGINT) AS n_points,
+       avg(degrees(theta/0.6487931516193333e0 + (-1.3569934934255912e0))) AS lon_c,
+       avg(degrees(phi)) AS lat_c
+FROM pit8 GROUP BY ck
+""",
     # REAL EPSG:2272 inverse (Lambert Conformal Conic 2SP on GRS80,
     # functions/projection.py): constants n/F/rho0/lon0/e embedded at
     # full precision; the t->phi fixed point is unrolled to the same 8

@@ -168,3 +168,59 @@ def test_write_csv_gzip_roundtrip_and_idempotence(ray_session, tmp_path):
     # idempotence: a rerun (retried tasks) produces the same file set
     write_csv_gzip(ray.data.from_arrow(t).repartition(4), out)
     assert sorted(os.listdir(out)) == files
+
+
+def test_geom_reprojector_full_geometry_stream():
+    """Whole-geometry reprojection: every coordinate of a nested
+    MULTIPOLYGON (hole ring included) goes through the REAL LCC
+    inverse; paren nesting, kind and token order are preserved; 4326
+    rows pass through numerically unchanged."""
+    import numpy as np
+
+    from cityofphiladelphia_databridge_etl_tools_ray.functions.projection import to_wgs84
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import GeomReprojector
+
+    shape = (
+        "SRID=2272;MULTIPOLYGON(((2694000 236000, 2695000 236000, 2694000 237000, 2694000 236000), "
+        "(2694200 236200, 2694300 236200, 2694200 236300, 2694200 236200)))"
+    )
+    t = pa.table(
+        {
+            "shape": pa.array(
+                [shape, "SRID=4326;LINESTRING(-75 40, -75.1 40.1)"]
+            )
+        }
+    )
+    out = GeomReprojector("shape")(t).column("shape").to_pylist()
+    assert out[0].startswith("SRID=4326;MULTIPOLYGON(((")
+    assert out[0].count("(") == shape.count("(") and out[0].count(")") == shape.count(")")
+    # every vertex equals the per-point real transform
+    import re
+
+    got = [
+        (float(x), float(y))
+        for x, y in re.findall(r"(-?[\d.]+) (-?[\d.]+)", out[0])
+    ]
+    src = [
+        (float(x), float(y))
+        for x, y in re.findall(r"(-?[\d.]+) (-?[\d.]+)", shape)
+    ]
+    for (glon, glat), (sx, sy) in zip(got, src):
+        elon, elat = to_wgs84(2272, sx, sy)
+        assert abs(glon - float(elon)) < 1e-9 and abs(glat - float(elat)) < 1e-9
+    assert len(got) == 8
+    # 4326 passthrough: values unchanged
+    assert out[1] == "SRID=4326;LINESTRING(-75 40, -75.1 40.1)"
+
+
+def test_geom_reprojector_errors_and_default_srid():
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import GeomReprojector
+
+    with pytest.raises(ValueError, match="unparseable EWKT"):
+        GeomReprojector("shape")(pa.table({"shape": pa.array(["garbage"])}))
+    with pytest.raises(ValueError, match="no default_srid"):
+        GeomReprojector("shape")(pa.table({"shape": pa.array(["POINT(1 2)"])}))
+    out = GeomReprojector("shape", default_srid=4326)(
+        pa.table({"shape": pa.array(["LINESTRING(-75 40, -74 41)"])})
+    )
+    assert out.column("shape")[0].as_py() == "SRID=4326;LINESTRING(-75 40, -74 41)"
