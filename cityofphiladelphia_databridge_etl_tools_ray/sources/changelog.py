@@ -55,14 +55,24 @@ def read_change_log(
     import pyarrow.compute as pc
     import ray.data
 
-    if isinstance(path, str) and os.path.isdir(path):
-        paths = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz", ".jsonl", ".jsonl.gz"))
-        )
-    elif isinstance(path, str):
-        paths = [path]
+    from ..state.fs import storage_for
+
+    store = None
+    if isinstance(path, str):
+        # WAL dirs ride the same backend scheme as lake roots
+        # (state/fs.py): a norename:// or s3:// WAL is listed and
+        # decoded through its pyarrow FileSystem, so follow-mode can
+        # tail object-store WALs on a multi-node cluster.
+        st, phys = storage_for(path)
+        if st.is_dir(phys) or "://" in path:
+            store = st
+            paths = sorted(
+                st.join(phys, f)
+                for f in st.list_objects(phys)
+                if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz", ".jsonl", ".jsonl.gz"))
+            )
+        else:
+            paths = [path]
     else:
         paths = list(path)
     if min_lsn_exclusive >= 0:
@@ -77,14 +87,21 @@ def read_change_log(
     csv_paths = [p for p in paths if p.endswith((".csv", ".csv.gz"))]
     jsonl_paths = [p for p in paths if p.endswith((".jsonl", ".jsonl.gz"))]
     parts = []
+    pa_fs = store.pa_filesystem if store is not None else None
     if pq_paths:
-        parts.append(ray.data.read_parquet(pq_paths, columns=columns, filter=flt))
+        parts.append(
+            ray.data.read_parquet(pq_paths, columns=columns, filter=flt, filesystem=pa_fs)
+        )
     if ipc_paths:
-        parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+        parts.append(_read_ipc_segments(ipc_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive, store=store))
     if csv_paths:
-        parts.append(_read_csv_segments(csv_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+        parts.append(_read_csv_segments(csv_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive, store=store))
     if jsonl_paths:
-        parts.append(_read_jsonl_segments(jsonl_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive))
+        parts.append(_read_jsonl_segments(jsonl_paths, columns=columns, min_lsn_exclusive=min_lsn_exclusive, store=store))
+    if not parts:  # e.g. a directory holding only foreign files
+        from ..schema import CHANGE_SCHEMA
+
+        return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
     if len(parts) == 1:
         return parts[0]
     # one variadic union: chained .union(.union(...)) builds a nested
@@ -92,7 +109,7 @@ def read_change_log(
     return parts[0].union(*parts[1:])
 
 
-def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int, store=None):
     """CSV / gzip-CSV WAL segments as a Dataset — the reference's
     interchange format (get_csv_from_s3 → upsert-csv,
     databridge_etl_tools/postgres/postgres.py:497-573) as a tail
@@ -101,7 +118,13 @@ def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
     turn_idx / ts columns, unquoted-empty → null for nullable payload
     columns) rather than inferred per file, so every segment decodes
     to identical Arrow types regardless of which values it happens to
-    contain."""
+    contain.
+
+    Encoding fallback (the reference retries latin-1 when a source
+    CSV is not valid UTF-8, postgres/postgres.py:152-156): a segment
+    whose bytes fail the UTF-8 parse is re-read with
+    ``ReadOptions(encoding="latin-1")`` — latin-1 maps every byte, so
+    the retry always succeeds and mojibake never aborts a tail."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -123,11 +146,28 @@ def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
         include_columns=read_cols,
     )
 
+    def _open(p):
+        if store is not None:
+            compression = "gzip" if p.endswith(".gz") else None
+            return pa.input_stream(store.open_input(p), compression=compression)
+        return pa.input_stream(p, compression="detect")
+
     def decode(b: pa.Table) -> pa.Table:
         tabs = []
         for p in b.column("path").to_pylist():
-            with pa.input_stream(p, compression="detect") as f:
-                t = pa_csv.read_csv(f, convert_options=convert)
+            try:
+                with _open(p) as f:
+                    t = pa_csv.read_csv(f, convert_options=convert)
+            except pa.ArrowInvalid as e:
+                if "UTF8" not in str(e) and "utf8" not in str(e):
+                    raise
+                # reference fallback: not UTF-8 -> decode as latin-1
+                with _open(p) as f:
+                    t = pa_csv.read_csv(
+                        f,
+                        read_options=pa_csv.ReadOptions(encoding="latin-1"),
+                        convert_options=convert,
+                    )
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
             if columns:
@@ -141,7 +181,7 @@ def _read_csv_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
     return items.map_batches(decode, batch_format="pyarrow")
 
 
-def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int, store=None):
     """Arrow-IPC WAL segments as a Dataset: one decode task per
     segment file (streaming — segments enter the pipeline as their
     task runs, with normal backpressure)."""
@@ -160,7 +200,11 @@ def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
 
         tabs = []
         for p in b.column("path").to_pylist():
-            t = feather.read_table(p, columns=read_cols)
+            if store is not None:
+                with store.open_input_file(p) as f:  # feather seeks
+                    t = feather.read_table(f, columns=read_cols)
+            else:
+                t = feather.read_table(p, columns=read_cols)
             if min_lsn_exclusive >= 0:
                 t = t.filter(pc.greater(t.column("lsn"), min_lsn_exclusive))
             if columns:
@@ -174,7 +218,7 @@ def _read_ipc_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
     return items.map_batches(decode, batch_format="pyarrow")
 
 
-def _read_jsonl_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
+def _read_jsonl_segments(paths: list[str], *, columns, min_lsn_exclusive: int, store=None):
     """Gzip JSON-lines WAL segments as a Dataset — the Debezium-style
     CDC feed shape (one JSON object per change event).  One decode
     task per segment; parsing is schema-driven from CHANGE_SCHEMA
@@ -192,10 +236,16 @@ def _read_jsonl_segments(paths: list[str], *, columns, min_lsn_exclusive: int):
 
     parse = pa_json.ParseOptions(explicit_schema=CHANGE_SCHEMA)
 
+    def _open(p):
+        if store is not None:
+            compression = "gzip" if p.endswith(".gz") else None
+            return pa.input_stream(store.open_input(p), compression=compression)
+        return pa.input_stream(p, compression="detect")
+
     def decode(b: pa.Table) -> pa.Table:
         tabs = []
         for p in b.column("path").to_pylist():
-            with pa.input_stream(p, compression="detect") as f:
+            with _open(p) as f:
                 t = pa_json.read_json(f, parse_options=parse)
             # order is load-bearing: filter on lsn BEFORE the caller's
             # projection (which may drop lsn) — same rule as CSV/IPC

@@ -112,6 +112,11 @@ class PosixStorage:
     def open_input(self, path: str):
         return open(path, "rb")
 
+    def open_input_file(self, path: str):
+        """Seekable (random-access) handle — same as open_input on
+        POSIX."""
+        return open(path, "rb")
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
@@ -134,7 +139,7 @@ class PosixStorage:
                 for n in os.listdir(dirpath)
                 if os.path.isfile(os.path.join(dirpath, n))
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return []
 
     def list_subdirs(self, dirpath: str) -> list[str]:
@@ -144,8 +149,11 @@ class PosixStorage:
                 for n in os.listdir(dirpath)
                 if os.path.isdir(os.path.join(dirpath, n))
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return []
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
 
     def ensure_dir(self, dirpath: str) -> None:
         os.makedirs(dirpath, exist_ok=True)
@@ -257,7 +265,16 @@ class ObjectStorage:
             return f.read()
 
     def open_input(self, path: str):
-        return self.fs.open_input_stream(path)
+        # compression=None: the pyarrow FileSystem API DEFAULTS to
+        # compression='detect', which would transparently gunzip .gz
+        # objects — callers of this method need the RAW bytes (fsck
+        # hashes them; the changelog reader layers its own codec)
+        return self.fs.open_input_stream(path, compression=None)
+
+    def open_input_file(self, path: str):
+        """Seekable (random-access) handle — what feather/parquet
+        readers require."""
+        return self.fs.open_input_file(path)
 
     def _info(self, path: str):
         from pyarrow.fs import FileType
@@ -291,7 +308,7 @@ class ObjectStorage:
             return self.fs.get_file_info(
                 FileSelector(dirpath, recursive=False, allow_not_found=True)
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError, OSError):
             return []
 
     def list_objects(self, dirpath: str) -> list[str]:
@@ -312,6 +329,12 @@ class ObjectStorage:
             if i.type == FileType.Directory
             and not i.path.endswith(_PTR_SUFFIX)
         )
+
+    def is_dir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        info = self._info(path)
+        return info is not None and info.type == FileType.Directory
 
     def ensure_dir(self, dirpath: str) -> None:
         self.fs.create_dir(dirpath, recursive=True)
@@ -495,7 +518,9 @@ class _NoMoveLocalHandler(_FileSystemHandler):
         self._fs.copy_file(src, dest)
 
     def open_input_stream(self, path):
-        return self._fs.open_input_stream(path)
+        # raw bytes: the PUBLIC open_input_stream defaults to
+        # compression='detect' — a handler must never pre-decompress
+        return self._fs.open_input_stream(path, compression=None)
 
     def open_input_file(self, path):
         return self._fs.open_input_file(path)

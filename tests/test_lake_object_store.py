@@ -178,3 +178,60 @@ def test_pointer_commit_log_gc(ray_session, tmp_path):
     pd.testing.assert_series_equal(
         _state(root)["text"], before["text"], check_names=False
     )
+
+
+def test_wal_source_on_object_store_backend(ray_session, tmp_path):
+    """The changelog source lists, prunes and decodes WAL segments
+    through the storage backend: a norename:// WAL dir (mixed
+    parquet + IPC segments) replays into a norename:// lake —
+    the full multi-node path with no POSIX dependency."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+
+    changes = generate_changes(1000, n_convs=30, delete_frac=0.1, seed=41)
+    wal = tmp_path / "wal"
+    lsn = np.asarray(changes.column("lsn"))
+    write_change_log(changes.filter(pa.array(lsn < 500)), str(wal), n_files=2)
+    write_change_log(
+        changes.filter(pa.array(lsn >= 500)), str(wal), n_files=2, format="ipc"
+    )
+    obj_wal = NORENAME_SCHEME + str(wal)
+    ds = read_change_log(obj_wal)
+    assert ds.count() == 1000
+    # watermark pruning by encoded filename still applies
+    assert read_change_log(obj_wal, min_lsn_exclusive=499).count() == 500
+
+    root = _root(tmp_path)
+    TranscriptLake.create(root, num_partitions=4)
+    replay_into_lake(root, read_change_log(obj_wal), validate_sample=None)
+    got, exp = _state(root), _expected(changes)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
+
+
+def test_csv_latin1_encoding_fallback(ray_session, tmp_path):
+    """The reference retries latin-1 when a CSV is not valid UTF-8
+    (postgres/postgres.py:152-156): a WAL segment with latin-1 bytes
+    decodes through the fallback instead of aborting the tail."""
+    import gzip
+
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+
+    wal = tmp_path / "wal_l1"
+    wal.mkdir()
+    rows = "op,lsn,conv_id,turn_idx,role,text,tool,ts\n" + "".join(
+        f"insert,{i},c{i},0,user,caf\xe9 n\xba{i},,2024-01-01 00:00:0{i}\n"
+        for i in range(3)
+    )
+    seg = wal / "changes-00000-lsn-0-3.csv.gz"
+    with gzip.open(seg, "wb") as f:
+        f.write(rows.encode("latin-1"))  # é / º are invalid UTF-8 solo bytes
+
+    out = read_change_log(str(wal)).to_pandas().sort_values("lsn")
+    assert out["text"].tolist() == ["café nº0", "café nº1", "café nº2"]
+    # same through the object-store backend
+    out2 = read_change_log(NORENAME_SCHEME + str(wal)).to_pandas().sort_values("lsn")
+    assert out2["text"].tolist() == out["text"].tolist()
