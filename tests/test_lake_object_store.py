@@ -235,3 +235,40 @@ def test_csv_latin1_encoding_fallback(ray_session, tmp_path):
     # same through the object-store backend
     out2 = read_change_log(NORENAME_SCHEME + str(wal)).to_pandas().sort_values("lsn")
     assert out2["text"].tolist() == out["text"].tolist()
+
+
+def test_pointer_log_concurrent_writer_semantics(tmp_path):
+    """The documented single-writer contract's failure modes, pinned:
+    (a) a RETRIED identical write re-PUTs the same sha-named object —
+    version list unchanged (idempotent); (b) two DIFFERENT payloads
+    racing the same version (forbidden by contract, possible before a
+    conditional-put hardening) resolve deterministically — every
+    reader sees the lexicographically-largest version, and the next
+    writer observes it and appends above both."""
+    st, phys = storage_for(_root(tmp_path, "ptr"))
+    ptr = st.join(phys, "part-00000", "manifest.json")
+
+    st.put_pointer(ptr, b'{"v": 1}')
+    v1 = st._versions(ptr)
+    st.put_pointer(ptr, b'{"v": 1}')  # identical retry
+    assert st._versions(ptr) != v1  # a new version appends...
+    assert st.get_pointer(ptr) == b'{"v": 1}'  # ...same resolved state
+
+    # simulate two racing writers at the same version number: write
+    # both objects directly (bypassing the version-discovery LIST)
+    import hashlib
+
+    d = ptr + ".v"
+    for payload in (b'{"v": "A"}', b'{"v": "B"}'):
+        sha = hashlib.sha256(payload).hexdigest()[:8]
+        st.put_object(st.join(d, f"cv-{9:010d}-{sha}"), payload)
+    winner = st.get_pointer(ptr)
+    assert winner in (b'{"v": "A"}', b'{"v": "B"}')
+    assert st.get_pointer(ptr) == winner  # deterministic re-read
+    # the next well-behaved writer lands ABOVE both racers
+    st.put_pointer(ptr, b'{"v": 10}')
+    assert st.get_pointer(ptr) == b'{"v": 10}'
+    # gc keeps exactly the newest
+    st.gc_pointer(ptr)
+    assert len(st._versions(ptr)) == 1
+    assert st.get_pointer(ptr) == b'{"v": 10}'
