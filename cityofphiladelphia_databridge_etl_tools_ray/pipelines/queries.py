@@ -13291,7 +13291,31 @@ FROM bucketed GROUP BY event_type, decile
 """
 
 
-from .similarity import contrastive_hard_negatives  # noqa: E402
+from .similarity import contrastive_hard_negatives, embedding_quantize_int8  # noqa: E402
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+
+ORACLE_SQL["embedding_quantize_int8"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e
+)
+SELECT vec_id,
+       m AS max_abs,
+       CAST(CASE WHEN m > 0
+            THEN list_sum(list_transform(v, x -> floor(x * 127.0 / m + 0.5)))
+            ELSE 0 END AS BIGINT) AS code_sum,
+       CAST(CASE WHEN m > 0
+            THEN list_max(list_transform(v, x -> abs(floor(x * 127.0 / m + 0.5))))
+            ELSE 0 END AS BIGINT) AS max_code,
+       CASE WHEN m > 0
+            THEN list_sum(list_transform(v,
+                 x -> pow(x - floor(x * 127.0 / m + 0.5) * (m / 127.0), 2)))
+            ELSE 0.0 END AS l2_err
+FROM s
+"""
 
 QUERIES["contrastive_hard_negatives"] = contrastive_hard_negatives
 

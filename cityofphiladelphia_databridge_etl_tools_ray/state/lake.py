@@ -229,7 +229,18 @@ class TranscriptLake:
         return m.high_lsn if m else -1
 
     def watermarks(self) -> dict[int, int]:
-        return {p: self.watermark(p) for p in range(self.num_partitions)}
+        pids = range(self.num_partitions)
+        if self.store.pa_filesystem is None:
+            return {p: self.watermark(p) for p in pids}
+        # object backend: a pointer read is a LIST + GET round trip;
+        # N serial round trips on the driver would add N×latency to
+        # every replay cycle — overlap them (I/O-bound, thread-safe
+        # pyarrow filesystem)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, self.num_partitions)) as ex:
+            wms = list(ex.map(self.watermark, pids))
+        return dict(zip(pids, wms))
 
     def min_watermark(self) -> int:
         return min(self.watermarks().values())

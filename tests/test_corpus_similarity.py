@@ -683,3 +683,26 @@ def test_kmeans_embeddings_matches_sequential_reference(ray_session):
     assert got["cluster"].tolist() == list(range(KMEANS_K))
     assert got["n"].tolist() == exp_n.tolist()
     np.testing.assert_allclose(got["inertia"].to_numpy(), exp_inertia, rtol=1e-9)
+
+
+def test_embedding_quantize_int8_bounds(ray_session):
+    """Quantization invariants: codes bounded by 127, per-element
+    reconstruction error bounded by half a quantization step, zero
+    error only for lattice-aligned vectors."""
+    import numpy as np
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["embedding_quantize_int8"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert (df["max_code"] <= 127).all() and (df["max_code"] >= 0).all()
+    assert (df["max_abs"] > 0).all()
+    # per-element error <= (step/2)^2, step = max_abs/127; d from the table
+    import pyarrow.parquet as pq
+
+    d = len(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    bound = d * (df["max_abs"] / 254.0) ** 2
+    assert (df["l2_err"] <= bound + 1e-12).all()
