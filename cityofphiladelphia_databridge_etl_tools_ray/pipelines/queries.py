@@ -13291,9 +13291,14 @@ FROM bucketed GROUP BY event_type, decile
 """
 
 
-from .similarity import contrastive_hard_negatives, embedding_quantize_int8  # noqa: E402
+from .similarity import (  # noqa: E402
+    ann_int8_rescore_topk,
+    contrastive_hard_negatives,
+    embedding_quantize_int8,
+)
 
 QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+QUERIES["ann_int8_rescore_topk"] = ann_int8_rescore_topk
 
 ORACLE_SQL["embedding_quantize_int8"] = """
 WITH e AS (
@@ -14063,6 +14068,7 @@ FROM w
 #: the build if an exact-expressible query ships without an oracle (or
 #: if this list goes stale) — oracle coverage can only grow.
 ROWS_ONLY_QUERIES: dict[str, str] = {
+    "ann_int8_rescore_topk": "approximate int8 candidate stage; recall pinned vs exact brute-force twin in test_corpus_similarity",
     "ann_ivf_topk": "approximate IVF ANN; recall pinned vs exact brute-force twin (test_corpus_similarity)",
     "ann_lsh_topk": "approximate LSH ANN; recall pinned vs exact brute-force twin (test_corpus_similarity)",
     "dedup_embedding_cosine_bucketed": "approximate bucketed near-dup; recall pinned vs exact tiled twin",

@@ -642,6 +642,76 @@ def embedding_pca_topk(sf_dir: str):
     )
 
 
+_INT8_RESCORE_CAND = 4 * TOPK  # int8-stage candidates per (query, batch)
+
+
+def _local_int8_rescore(b: pa.Table, *, ref, k: int) -> pa.Table:
+    """Two-stage per-batch scorer — the production ANN serving shape:
+
+    1. **int8 stage**: both sides symmetric per-vector quantized; all
+       candidates scored with an INTEGER dot product (int32 matmul —
+       on real hardware the VNNI/DP4A path at 4× the float32
+       throughput and ¼ the memory traffic);
+    2. **rescore stage**: only the int8-stage top-``_INT8_RESCORE_CAND``
+       per query are re-scored in exact float64; the exact scores are
+       what the global merge ranks.
+
+    Approximate only through stage-1 candidate selection (the exact
+    top-k member must survive the 4k-wide int8 cut to be found) —
+    recall vs the exact twin is pinned in pytest."""
+    d = _deref(ref)
+    qids, Q = d["qids"], d["Q"]
+    ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+    M = _normalize(_matrix(b.column("embedding")))
+
+    def q8(X: np.ndarray):
+        m = np.abs(X).max(axis=1)
+        safe = np.where(m > 0, m, 1.0)
+        codes = np.floor(X * 127.0 / safe[:, None] + 0.5).astype(np.int32)
+        return codes, safe / 127.0
+
+    Qc, _ = q8(Q)
+    Mc, _ = q8(M)
+    S8 = Qc @ Mc.T  # integer scores (scales are per-vector positive
+    # factors — they rescale rows/cols monotonically enough for
+    # CANDIDATE SELECTION; ranking truth comes from the rescore)
+    S8 = S8.astype(np.float64)
+    S8[ids[None, :] == qids[:, None]] = -np.inf
+    rows, cols = _rows_topk(S8, ids, min(_INT8_RESCORE_CAND, len(ids)))
+    keep = np.isfinite(S8[rows, cols])
+    rows, cols = rows[keep], cols[keep]
+    exact = np.einsum("ij,ij->i", Q[rows], M[cols])  # rescore only survivors
+    out = pa.table(
+        {
+            "qid": pa.array(qids[rows]),
+            "nid": pa.array(ids[cols]),
+            "sim": pa.array(exact),
+        }
+    )
+    return out
+
+
+def ann_int8_rescore_topk(sf_dir: str):
+    """Two-stage ANN: int8 integer-dot-product candidate generation +
+    exact float rescoring of the survivors (``_local_int8_rescore``),
+    merged to a global (sim desc, nid asc) top-k per query.  The
+    memory-bandwidth shape that serves ANN at 100 TB: the full corpus
+    streams as int8 codes (4× less traffic), floats are touched only
+    for ~4k candidates per query per batch.  Approximate-by-design →
+    rows-only oracle; recall pinned vs ``ann_bruteforce_topk``."""
+    ref = _queries_ref(sf_dir)
+    return (
+        _read_emb(sf_dir)
+        .map_batches(
+            _local_int8_rescore,
+            fn_kwargs={"ref": ref, "k": TOPK},
+            batch_format="pyarrow",
+        )
+        .groupby("qid")
+        .map_groups(_merge_topk, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization (int8 ANN storage compression)
 # ---------------------------------------------------------------------------

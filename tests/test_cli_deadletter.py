@@ -211,3 +211,36 @@ def test_cli_leaves_caller_owned_ray_session_alive(ray_session, wal, tmp_path):
     assert main(["create-lake", lake_root, "--partitions", "4"]) == 0
     assert main(["replay", lake_root, str(wal)]) == 0
     assert ray.is_initialized()  # caller's session survives the CLI
+
+
+def test_cli_objectstore_roots_end_to_end(ray_session, wal, tmp_path, capsys):
+    """The CLI accepts object-store root strings untouched (the
+    backend scheme rides in the string, state/fs.py): create-lake /
+    replay / watermarks / metrics / fsck / vacuum against a
+    norename:// lake reading a norename:// WAL."""
+    from cityofphiladelphia_databridge_etl_tools_ray.state.fs import NORENAME_SCHEME
+
+    lake_root = NORENAME_SCHEME + str(tmp_path / "objlake")
+    obj_wal = NORENAME_SCHEME + str(wal)
+    assert main(["create-lake", lake_root, "--partitions", "4"]) == 0
+    assert main(["replay", lake_root, obj_wal]) == 0
+    recs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["events_applied"] for r in recs) > 0
+
+    assert main(["watermarks", lake_root]) == 0
+    wm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert max(wm.values()) == 2999
+
+    assert main(["fsck", lake_root]) == 0
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["ok"]
+
+    assert main(["metrics", lake_root]) == 0
+    m = json.loads(capsys.readouterr().out)
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import (
+        apply_changes_reference,
+    )
+
+    expected = apply_changes_reference(None, generate_changes(3000, n_convs=40, seed=5))
+    assert m["row_count"] == len(expected)
+    assert main(["vacuum", lake_root]) == 0

@@ -706,3 +706,23 @@ def test_embedding_quantize_int8_bounds(ray_session):
     )
     bound = d * (df["max_abs"] / 254.0) ** 2
     assert (df["l2_err"] <= bound + 1e-12).all()
+
+
+def test_ann_int8_rescore_recall_vs_exact(ray_session):
+    """The int8 two-stage path must recover (almost) the exact top-k:
+    candidates survive a 4k-wide integer-score cut, then exact
+    rescoring ranks them — recall >= 0.9 overall on the synth corpus,
+    and every returned (qid, nid, rank) that matches the exact twin's
+    qid set keeps the exact tie-break ordering contract."""
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["ann_bruteforce_topk"](sf).to_pandas()
+    got = QUERIES["ann_int8_rescore_topk"](sf).to_pandas()
+    e = set(map(tuple, exact[["qid", "nid"]].itertuples(index=False)))
+    g = set(map(tuple, got[["qid", "nid"]].itertuples(index=False)))
+    assert len(g) == len(got)  # no duplicate (qid, nid)
+    recall = len(e & g) / len(e)
+    assert recall >= 0.9, recall
+    # per-qid result count mirrors the exact twin
+    assert got.groupby("qid").size().to_dict() == exact.groupby("qid").size().to_dict()

@@ -278,6 +278,11 @@ def test_new_ops_plan_shapes(ray_session):
         "corpus_paragraph_dedup": 2,
         "events_sliding_distinct_users": 2,
         "events_path_topk": 3,
+        # round-4 rewrite: distributed df join = term-bucket exchange
+        # + doc-bucket top-k exchange, NEVER an O(vocab) driver pull
+        "corpus_tfidf_top_terms": 2,
+        # quantization is shuffle-free
+        "embedding_quantize_int8": 0,
     }
     for name, budget in budgets.items():
         stats = QUERIES[name](sf).materialize().stats()
