@@ -1007,8 +1007,15 @@ class TranscriptLake:
         """Aggregated lineage/lag metrics across partitions
         (north_rule: per-partition lineage + throughput/lag)."""
         per_part = {}
-        for pid in range(self.num_partitions):
-            m = self.manifest(pid)
+        if self.store.pa_filesystem is None:
+            manifests = [self.manifest(p) for p in range(self.num_partitions)]
+        else:
+            # object backend: overlap the LIST+GET pointer round trips
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, self.num_partitions)) as ex:
+                manifests = list(ex.map(self.manifest, range(self.num_partitions)))
+        for pid, m in enumerate(manifests):
             if m:
                 # row_count == -1 marks unresolved delta runs; resolve on
                 # demand (as total_rows does) so aggregated counts are

@@ -224,3 +224,31 @@ def test_geom_reprojector_errors_and_default_srid():
         pa.table({"shape": pa.array(["LINESTRING(-75 40, -74 41)"])})
     )
     assert out.column("shape")[0].as_py() == "SRID=4326;LINESTRING(-75 40, -74 41)"
+
+
+def test_geom_and_point_reprojector_agree_on_points():
+    """Consistency law: for pure POINT rows the whole-geometry
+    reprojector and the point stage must produce identical
+    coordinates (same transform chain, different parsers)."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.geometry import (
+        GeomReprojector,
+        PointReprojector,
+    )
+
+    shapes = pa.array(
+        [
+            "SRID=2272;POINT(2694000 236000)",
+            "SRID=300001;POINT(2600000 150000)",  # bad-SRID corrected
+            "SRID=3857;POINT(-8367000 4859000)",
+            "SRID=4326;POINT(-75 40)",
+        ]
+    )
+    pt = PointReprojector("shape")(pa.table({"shape": shapes}))
+    gm = GeomReprojector("shape")(pa.table({"shape": shapes}))
+    import re
+
+    for i in range(len(shapes)):
+        m = re.match(r"SRID=4326;POINT\((-?[\d.]+) (-?[\d.]+)\)", gm.column("shape")[i].as_py())
+        assert m, gm.column("shape")[i].as_py()
+        assert abs(float(m.group(1)) - pt.column("lon")[i].as_py()) < 1e-12
+        assert abs(float(m.group(2)) - pt.column("lat")[i].as_py()) < 1e-12
