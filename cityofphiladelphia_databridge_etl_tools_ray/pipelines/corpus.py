@@ -652,10 +652,13 @@ def dedup_minhash_lsh(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """Exact all-pairs word-bigram Jaccard ≥ τ (the oracle-checkable
-    baseline).  The signature table is broadcast once via ``ray.put``
-    (small side at bench scale — at 100 TB this operator is replaced
-    by ``dedup_minhash_lsh``; this one is its ground-truth kernel)."""
+    """Exact all-pairs word-bigram Jaccard ≥ τ via dense broadcast
+    tiles — the GROUND-TRUTH KERNEL only: the scale path for the same
+    exact semantics is :func:`dedup_ngram_jaccard_indexed` (prefix-
+    filtered inverted-index join, identical output under the same
+    oracle), and the approximate recall-traded path is
+    ``dedup_minhash_lsh``.  Kept because a 40-line O(n²) kernel is
+    the right fixture to pin both of those against."""
     import ray
 
     sig_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -685,6 +688,269 @@ def dedup_ngram_jaccard(sf_dir: str):
         )
 
     return sig_ds.map_batches(all_pairs, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+
+
+_PFX_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),      # doc id (or pair a-side)
+        pa.field("b", pa.int64()),      # pair b-side (-1 for non-pairs)
+        pa.field("n_a", pa.int64()),    # |set(a)|
+        pa.field("n_b", pa.int64()),    # |set(b)| (-1 until attached)
+        pa.field("elem", pa.uint64()),  # prefix element (0 elsewhere)
+        pa.field("sset", pa.large_list(pa.uint64())),  # full set (set rows)
+        pa.field("kind", pa.int8()),    # 0=prefix 1=set 2=candidate 3=cand+set_a
+        pa.field("bucket", pa.int32()),
+    ]
+)
+
+
+def _pfx_rows(**cols) -> pa.Table:
+    n = len(cols["a"])
+    defaults = {
+        "a": None, "b": np.full(n, -1, np.int64), "n_a": np.zeros(n, np.int64),
+        "n_b": np.full(n, -1, np.int64), "elem": np.zeros(n, np.uint64),
+        "sset": None, "kind": None, "bucket": None,
+    }
+    out = {}
+    for f in _PFX_SCHEMA:
+        v = cols.get(f.name, defaults[f.name])
+        if f.name == "sset":
+            out[f.name] = (
+                v if v is not None
+                else pa.nulls(n, pa.large_list(pa.uint64()))
+            )
+        else:
+            out[f.name] = pa.array(np.asarray(v), f.type) if not isinstance(v, (pa.Array, pa.ChunkedArray)) else v
+    return pa.Table.from_arrays([out[f.name] for f in _PFX_SCHEMA], schema=_PFX_SCHEMA)
+
+
+def dedup_ngram_jaccard_indexed(sf_dir: str, tau: float = JACCARD_TAU):
+    """EXACT all-pairs word-bigram Jaccard ≥ τ — identical output to
+    :func:`dedup_ngram_jaccard` (same oracle) — via the scale-shaped
+    **prefix-filtered inverted-index join** (the SSJoin/PPJoin family)
+    instead of the O(n²) broadcast tiles:
+
+    1. explode (doc, shingle) and count each shingle's EXACT df on a
+       shingle-hash bucket exchange;
+    2. doc-bucket exchange: order each doc's shingles canonically by
+       (df asc, elem asc) and keep only the τ-PREFIX — the first
+       ``|s| − ⌈τ·|s|⌉ + 1`` elements.  Theorem (prefix filtering):
+       any pair with J ≥ τ shares its canonically-smallest common
+       element inside BOTH prefixes, so candidate generation over
+       prefix elements alone is lossless;
+    3. shingle-bucket exchange over prefix rows: per element, all
+       (a < b) owner pairs passing the length filter
+       ``min(|a|,|b|) ≥ τ·max(|a|,|b|)``;
+    4. two conv-style hash exchanges attach the full (elem-sorted)
+       sets of a then b (kind-tagged unified stream, the
+       conversation_similarity_pairs cogroup pattern; duplicate
+       candidates from multiple shared prefix elements dedup in the
+       a-bucket) and verify exactly with a per-candidate sorted
+       intersection.
+
+    Work is O(Σ df(prefix elems)² + candidates·set), never O(n²) in
+    the corpus; rare shingles dominate prefixes by construction, so
+    hot-shingle blowup is structurally avoided.  The dense O(n²) twin
+    remains as this operator's in-repo ground truth."""
+    import pandas as pd
+
+    from .queries import _nb
+
+    nb_mask = np.uint64(_nb() - 1)
+
+    def explode(b: pa.Table) -> pa.Table:
+        sig = _sig_table(b)
+        flat, off = _sets_from_lists(sig.column("shingles"))
+        n_per = (off[1:] - off[:-1]).astype(np.int64)
+        doc = np.repeat(np.asarray(sig.column("doc_id"), np.int64), n_per)
+        n_rep = np.repeat(n_per, n_per)
+        return _pfx_rows(
+            a=doc, n_a=n_rep, elem=flat, kind=np.zeros(len(doc), np.int8),
+            bucket=(flat & nb_mask).astype(np.int32),
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        # every row of a shingle lands here → exact global df
+        if len(g) == 0:
+            return _PFX_SCHEMA.empty_table()
+        elem = np.asarray(g.column("elem"), np.uint64)
+        order = np.argsort(elem, kind="stable")
+        es = elem[order]
+        starts = np.flatnonzero(np.r_[True, es[1:] != es[:-1]])
+        sizes = np.diff(np.r_[starts, len(es)])
+        df = np.empty(len(es), np.int64)
+        df[order] = np.repeat(sizes, sizes)
+        a = np.asarray(g.column("a"), np.int64)
+        return _pfx_rows(
+            a=a, n_a=np.asarray(g.column("n_a"), np.int64), elem=elem,
+            # df travels in n_b (unused slot at this stage)
+            n_b=df, kind=np.zeros(len(a), np.int8),
+            bucket=(a & (int(nb_mask))).astype(np.int32),
+        )
+
+    def prefix_and_sets(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _PFX_SCHEMA.empty_table()
+        doc = np.asarray(g.column("a"), np.int64)
+        n = np.asarray(g.column("n_a"), np.int64)
+        elem = np.asarray(g.column("elem"), np.uint64)
+        df = np.asarray(g.column("n_b"), np.int64)
+        # canonical order: (doc, df asc, elem asc)
+        order = np.lexsort((elem, df, doc))
+        doc_s, n_s, elem_s = doc[order], n[order], elem[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(doc_s)])
+        pos = np.arange(len(doc_s)) - np.repeat(starts, sizes)
+        pfx_len = n_s - np.ceil(tau * n_s - 1e-12).astype(np.int64) + 1
+        is_pfx = pos < pfx_len
+        pfx = _pfx_rows(
+            a=doc_s[is_pfx], n_a=n_s[is_pfx], elem=elem_s[is_pfx],
+            kind=np.zeros(int(is_pfx.sum()), np.int8),
+            bucket=(elem_s[is_pfx] & nb_mask).astype(np.int32),
+        )
+        # full sets, elem-sorted per doc (verification layout)
+        order2 = np.lexsort((elem, doc))
+        doc2, elem2 = doc[order2], elem[order2]
+        starts2 = np.flatnonzero(np.r_[True, doc2[1:] != doc2[:-1]])
+        offs = np.r_[starts2, len(doc2)].astype(np.int64)
+        docs_u = doc2[starts2]
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs - offs[0], pa.int64()), pa.array(elem2, pa.uint64())
+        )
+        nset = np.diff(offs)
+        sets = _pfx_rows(
+            a=docs_u, n_a=nset, sset=lists,
+            kind=np.ones(len(docs_u), np.int8),
+            bucket=(docs_u & int(nb_mask)).astype(np.int32),
+        )
+        return pa.concat_tables([pfx, sets])
+
+    def candidates(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # prefix rows of one shingle bucket → (a<b) candidates
+        g = g.filter(pc.equal(g.column("kind"), pa.scalar(0, pa.int8())))
+        if len(g) < 2:
+            return _PFX_SCHEMA.empty_table()
+        df_ = pd.DataFrame(
+            {
+                "elem": np.asarray(g.column("elem"), np.uint64),
+                "doc": np.asarray(g.column("a"), np.int64),
+                "n": np.asarray(g.column("n_a"), np.int64),
+            }
+        )
+        pa_l, pb_l, na_l, nbl = [], [], [], []
+        for _, grp in df_.groupby("elem", sort=False):
+            if len(grp) < 2:
+                continue
+            s = grp.sort_values("doc")
+            d = s["doc"].to_numpy()
+            nn = s["n"].to_numpy()
+            ia, ib = np.triu_indices(len(d), 1)
+            # length filter: min >= tau * max (necessary for J >= tau)
+            keep = np.minimum(nn[ia], nn[ib]) >= tau * np.maximum(nn[ia], nn[ib]) - 1e-9
+            pa_l.append(d[ia][keep]); pb_l.append(d[ib][keep])
+            na_l.append(nn[ia][keep]); nbl.append(nn[ib][keep])
+        if not pa_l:
+            return _PFX_SCHEMA.empty_table()
+        a = np.concatenate(pa_l)
+        return _pfx_rows(
+            a=a, b=np.concatenate(pb_l),
+            n_a=np.concatenate(na_l), n_b=np.concatenate(nbl),
+            kind=np.full(len(a), 2, np.int8),
+            bucket=(a & int(nb_mask)).astype(np.int32),
+        )
+
+    def attach_set_a(g: pa.Table) -> pa.Table:
+        kinds = np.asarray(g.column("kind"), np.int8)
+        cand = g.filter(pa.array(kinds == 2))
+        sets = g.filter(pa.array(kinds == 1))
+        if len(cand) == 0:
+            return _PFX_SCHEMA.empty_table()
+        # dedup candidates generated by multiple shared prefix elems:
+        # every copy of (a, b) lands in a's bucket
+        ca = np.asarray(cand.column("a"), np.int64)
+        cb = np.asarray(cand.column("b"), np.int64)
+        order = np.lexsort((cb, ca))
+        first = np.r_[True, (ca[order][1:] != ca[order][:-1]) | (cb[order][1:] != cb[order][:-1])]
+        cand = cand.take(pa.array(order[first]))
+        ca = np.asarray(cand.column("a"), np.int64)
+        # join set_a by doc id (sets unique per bucket)
+        sa = np.asarray(sets.column("a"), np.int64)
+        s_order = np.argsort(sa)
+        ix = s_order[np.searchsorted(sa[s_order], ca)]
+        sset = sets.column("sset")
+        if isinstance(sset, pa.ChunkedArray):
+            sset = sset.combine_chunks()
+        cb2 = np.asarray(cand.column("b"), np.int64)
+        return _pfx_rows(
+            a=ca, b=cb2,
+            n_a=np.asarray(cand.column("n_a"), np.int64),
+            n_b=np.asarray(cand.column("n_b"), np.int64),
+            sset=sset.take(pa.array(ix)),
+            kind=np.full(len(ca), 3, np.int8),
+            bucket=(cb2 & int(nb_mask)).astype(np.int32),
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        kinds = np.asarray(g.column("kind"), np.int8)
+        cand = g.filter(pa.array(kinds == 3))
+        sets = g.filter(pa.array(kinds == 1))
+        if len(cand) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        sb = np.asarray(sets.column("a"), np.int64)
+        s_order = np.argsort(sb)
+        cb = np.asarray(cand.column("b"), np.int64)
+        ix = s_order[np.searchsorted(sb[s_order], cb)]
+        set_b = sets.column("sset")
+        if isinstance(set_b, pa.ChunkedArray):
+            set_b = set_b.combine_chunks()
+        set_b = set_b.take(pa.array(ix))
+        fa, oa = _sets_from_lists(cand.column("sset"))
+        fb, ob = _sets_from_lists(set_b)
+        ca = np.asarray(cand.column("a"), np.int64)
+        na = np.asarray(cand.column("n_a"), np.int64)
+        nbv = np.asarray(cand.column("n_b"), np.int64)
+        inter = np.empty(len(cand), np.int64)
+        for i in range(len(cand)):  # bounded by surviving candidates
+            inter[i] = np.intersect1d(
+                fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]], assume_unique=True
+            ).size
+        j = inter / np.maximum(na + nbv - inter, 1)
+        keep = j >= tau
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ca[keep]),
+                "doc_id_b": pa.array(cb[keep]),
+                "jaccard_e6": pa.array(textsig.jaccard_e6(j[keep])),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    p3 = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prefix_and_sets, batch_format="pyarrow")
+        .materialize()  # consumed three times below (prefix + 2 set joins)
+    )
+    cand = (
+        p3.filter(expr="kind == 0")
+        .groupby("bucket")
+        .map_groups(candidates, batch_format="pyarrow")
+    )
+    sets = p3.filter(expr="kind == 1")
+    with_a = (
+        cand.union(sets)
+        .groupby("bucket")
+        .map_groups(attach_set_a, batch_format="pyarrow")
+    )
+    return (
+        with_a.union(sets)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
 
 
 _CLUSTER_SCHEMA = pa.schema(

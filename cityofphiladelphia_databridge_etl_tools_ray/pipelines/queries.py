@@ -39,6 +39,7 @@ from .corpus import (
     corpus_dedup_incremental,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_ngram_jaccard_indexed,
     dedup_simhash,
     pack_token_budget,
     quota_sample_per_source,
@@ -9681,6 +9682,7 @@ QUERIES = {
     "pack_token_budget": pack_token_budget,
     "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_indexed": dedup_ngram_jaccard_indexed,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_distributed": dedup_clusters_distributed,
     "corpus_neardup_keep": corpus_neardup_keep,
@@ -12408,6 +12410,9 @@ QUERIES["events_value_autocorr"] = events_value_autocorr
 
 # the rename-mapped replay converges to the canonical replay's state
 ORACLE_SQL["cdc_replay_rename_map"] = ORACLE_SQL["cdc_replay_full"]
+# exact prefix-filtered index join: IDENTICAL expected output to the
+# dense twin, so it shares the oracle verbatim
+ORACLE_SQL["dedup_ngram_jaccard_indexed"] = ORACLE_SQL["dedup_ngram_jaccard"]
 
 ORACLE_SQL["events_value_autocorr"] = """
 WITH pairs AS (

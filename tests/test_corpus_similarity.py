@@ -726,3 +726,52 @@ def test_ann_int8_rescore_recall_vs_exact(ray_session):
     assert recall >= 0.9, recall
     # per-qid result count mirrors the exact twin
     assert got.groupby("qid").size().to_dict() == exact.groupby("qid").size().to_dict()
+
+
+def test_ngram_jaccard_indexed_equals_dense_twin(ray_session, tmp_path):
+    """The prefix-filtered inverted-index join must equal the dense
+    O(n²) twin EXACTLY — including on an adversarial corpus: a hot
+    shingle shared by every doc (prefix filtering must still find all
+    pairs), near-threshold pairs on both sides of τ, exact duplicates,
+    and size-filter boundary pairs."""
+    import pyarrow.parquet as pq
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.queries import QUERIES
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),          # near-dup of 1
+        (3, "the cat sat on the mat"),          # exact dup of 1
+        (4, "a completely different sentence about the weather"),
+        (5, "the " * 30 + "end"),               # hot shingle 'the the'
+        (6, "the " * 30 + "end"),               # dup of 5
+        (7, "x y"),                             # tiny doc, 1 shingle
+        (8, "x y"),                             # dup of 7
+        (9, "x z"),                             # shares nothing with 7
+        (10, "the cat sat on the mat today ok") # below-threshold vs 1
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "adv"; d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+        return df[["doc_id_a", "doc_id_b", "jaccard_e6"]]
+
+    dense = canon(QUERIES["dedup_ngram_jaccard"](str(d)))
+    indexed = canon(QUERIES["dedup_ngram_jaccard_indexed"](str(d)))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(indexed, dense)
+    # sanity on the adversarial shape: the dup pairs are found
+    pairs = set(map(tuple, dense[["doc_id_a", "doc_id_b"]].itertuples(index=False)))
+    assert {(1, 3), (5, 6), (7, 8)} <= pairs
+    assert (1, 10) not in pairs or dense.set_index(["doc_id_a", "doc_id_b"]).loc[(1, 10), "jaccard_e6"] >= 500000
