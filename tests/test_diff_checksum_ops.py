@@ -283,6 +283,9 @@ def test_new_ops_plan_shapes(ray_session):
         "corpus_tfidf_top_terms": 2,
         # quantization is shuffle-free
         "embedding_quantize_int8": 0,
+        # exact prefix-filtered index join: df + prefix + candidates
+        # + set-attach + verify = five bounded bucket exchanges
+        "dedup_ngram_jaccard_indexed": 5,
     }
     for name, budget in budgets.items():
         stats = QUERIES[name](sf).materialize().stats()
