@@ -749,9 +749,16 @@ def dedup_ngram_jaccard_indexed(sf_dir: str, tau: float = JACCARD_TAU):
        intersection.
 
     Work is O(Σ df(prefix elems)² + candidates·set), never O(n²) in
-    the corpus; rare shingles dominate prefixes by construction, so
-    hot-shingle blowup is structurally avoided.  The dense O(n²) twin
-    remains as this operator's in-repo ground truth."""
+    the corpus.  REGIME NOTE (measured): prefix filtering prunes when
+    rare elements exist — the natural Zipf-vocabulary regime of web
+    corpora, where each doc's prefix fills with near-unique shingles.
+    The synthetic documents table is the ADVERSARIAL case (931
+    distinct shingles across 5k docs at sf0.1, every element df≈275),
+    so candidates degrade toward Σdf² there and the dense twin wins
+    below the crossover (4.3 s dense vs ~15 s indexed at sf0.1);
+    asymptotically the indexed join is the only exact plan that does
+    not materialize n² work.  The dense O(n²) twin remains as this
+    operator's in-repo ground truth."""
     import pandas as pd
 
     from .queries import _nb
@@ -854,9 +861,20 @@ def dedup_ngram_jaccard_indexed(sf_dir: str, tau: float = JACCARD_TAU):
         if not pa_l:
             return _PFX_SCHEMA.empty_table()
         a = np.concatenate(pa_l)
+        b = np.concatenate(pb_l)
+        na = np.concatenate(na_l)
+        nb2 = np.concatenate(nbl)
+        # in-bucket candidate dedup: on small-vocabulary (all-hot)
+        # corpora the same pair arises from MANY co-bucketed prefix
+        # elements — dropping copies here (before the attach/verify
+        # exchanges ship them) bounds cross-stage traffic at the
+        # distinct-pair count
+        order = np.lexsort((b, a))
+        first = np.r_[True, (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])]
+        keep = order[first]
+        a, b, na, nb2 = a[keep], b[keep], na[keep], nb2[keep]
         return _pfx_rows(
-            a=a, b=np.concatenate(pb_l),
-            n_a=np.concatenate(na_l), n_b=np.concatenate(nbl),
+            a=a, b=b, n_a=na, n_b=nb2,
             kind=np.full(len(a), 2, np.int8),
             bucket=(a & int(nb_mask)).astype(np.int32),
         )
