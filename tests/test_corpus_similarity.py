@@ -775,3 +775,42 @@ def test_ngram_jaccard_indexed_equals_dense_twin(ray_session, tmp_path):
     pairs = set(map(tuple, dense[["doc_id_a", "doc_id_b"]].itertuples(index=False)))
     assert {(1, 3), (5, 6), (7, 8)} <= pairs
     assert (1, 10) not in pairs or dense.set_index(["doc_id_a", "doc_id_b"]).loc[(1, 10), "jaccard_e6"] >= 500000
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _set_pairs(draw):
+    universe = list(range(draw(st.integers(4, 40))))
+    a = draw(st.sets(st.sampled_from(universe), min_size=1, max_size=len(universe)))
+    b = draw(st.sets(st.sampled_from(universe), min_size=1, max_size=len(universe)))
+    order = draw(st.permutations(universe))  # arbitrary canonical order
+    return sorted(a), sorted(b), {e: r for r, e in enumerate(order)}
+
+
+@settings(max_examples=400, deadline=None)
+@given(_set_pairs())
+def test_prefix_filter_lemma(case):
+    """The lossless-candidate-generation lemma dedup_ngram_jaccard_indexed
+    relies on: under ANY global canonical element order, a pair with
+    J ≥ τ shares its canonically-smallest common element inside BOTH
+    τ-prefixes (prefix length |s| − ⌈τ·|s|⌉ + 1)."""
+    import math
+
+    a, b, rank = case
+    tau = 0.5
+    inter = set(a) & set(b)
+    union = set(a) | set(b)
+    if not inter or len(inter) / len(union) < tau:
+        return  # lemma only claims anything for qualifying pairs
+    ca = sorted(a, key=lambda e: rank[e])
+    cb = sorted(b, key=lambda e: rank[e])
+    pa_len = len(a) - math.ceil(tau * len(a)) + 1
+    pb_len = len(b) - math.ceil(tau * len(b)) + 1
+    e_star = min(inter, key=lambda e: rank[e])
+    assert e_star in ca[:pa_len], (ca, pa_len, e_star)
+    assert e_star in cb[:pb_len], (cb, pb_len, e_star)
+    # and the length filter never drops a qualifying pair
+    assert min(len(a), len(b)) >= tau * max(len(a), len(b)) - 1e-9
