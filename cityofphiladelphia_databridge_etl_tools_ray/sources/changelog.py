@@ -64,15 +64,21 @@ def read_change_log(
         # decoded through its pyarrow FileSystem, so follow-mode can
         # tail object-store WALs on a multi-node cluster.
         st, phys = storage_for(path)
-        if st.is_dir(phys) or "://" in path:
+        if st.is_dir(phys):
             store = st
             paths = sorted(
                 st.join(phys, f)
                 for f in st.list_objects(phys)
                 if f.endswith((".parquet", ".arrow", ".csv", ".csv.gz", ".jsonl", ".jsonl.gz"))
             )
+        elif st.exists(phys):
+            # a scheme-prefixed SINGLE segment (s3://bucket/seg.parquet)
+            # must ride the store too, not fall through to local paths
+            if "://" in path:
+                store = st
+            paths = [phys if store is not None else path]
         else:
-            paths = [path]
+            raise FileNotFoundError(f"change log path does not exist: {path}")
     else:
         paths = list(path)
     if min_lsn_exclusive >= 0:

@@ -165,6 +165,11 @@ class RealCodec:
                 if p[i] != 0xFF:
                     i += 1
                     continue
+                # runs of 0xFF are legal fill before a marker byte
+                # (ITU T.81 §B.1.1.2) — skip the padding, else a pad
+                # byte is misread as a segment length
+                while i + 9 < len(p) and p[i + 1] == 0xFF:
+                    i += 1
                 marker = p[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                     h, w = struct.unpack(">HH", p[i + 5 : i + 9])

@@ -18,8 +18,9 @@ implementations:
   ``manifest.json``, the lake-level ``lake.json``).  POSIX: the
   rename swap, as before.  Object store: a **versioned commit log**
   (the Delta-log idea): pointer ``P`` is realized as objects
-  ``P.v/cv-<version 10d>-<sha8>``; a write PUTs the next version, a
-  read lists ``P.v/`` and takes the lexicographically-largest entry.
+  ``P.v/cv-<version 10d>``; a write commits the next version with a
+  CONDITIONAL create (see below), a read lists ``P.v/`` and takes
+  the lexicographically-largest entry.
 
 Commit-point crash matrix (object backend):
 
@@ -32,21 +33,35 @@ after data PUT, before pointer PUT     orphan object; ``vacuum`` reclaims;
 during pointer PUT                     version N+1 either exists fully or
                                        not at all (PUT atomicity); readers
                                        keep resolving version N
-retried writer re-PUTs version N+1     same content → same sha-suffixed
-                                       name → idempotent overwrite
-publish_txn: after pointer PUT,        recovery re-publishes (re-PUT of
+retried writer re-commits version N+1  conditional create FAILS (version
+                                       taken); the retry reads the winner —
+                                       identical bytes → success (its twin
+                                       already committed); different bytes →
+                                       retry at version N+2 (serialized)
+publish_txn: after pointer PUT,        recovery re-publishes (re-commit of
 before staged-object delete            identical content, new version) and
                                        deletes the staged object — converges
 =====================================  =====================================
 
-Writer contract (same as the POSIX lake): ONE logical writer per
-pointer at a time — the replay assigns each partition to exactly one
-merge task, and rescale/vacuum are maintenance operations.  A real
-S3/GCS deployment would harden the version PUT with a conditional
-write (S3 ``If-None-Match``, GCS generation-0 precondition) and
-retry at the next version on conflict; the single hook point is
-:meth:`ObjectStorage.put_pointer`.  ``gc_pointer`` (vacuum) keeps
-only the newest version; like the POSIX vacuum it assumes no
+Writer contract: the replay assigns each partition to exactly one
+merge task, but a "dead" task's zombie twin (network partition, Ray
+speculative retry) can still be running — so the version commit is a
+COMPARE-AND-SWAP, not a blind PUT.  :meth:`ObjectStorage.put_pointer`
+allocates the next version by LIST, then commits it with
+:meth:`ObjectStorage.put_object_if_absent`; exactly one writer wins a
+given version, the loser re-reads and either recognizes its own bytes
+(idempotent zombie retry) or retries at the next version — a total
+order of commits with no lost update.  The exclusive create is real
+on the ``norename://`` test backend (content written to a temp file,
+``os.link`` to the final version name — atomic, full-content,
+fails-if-exists: exactly S3 ``If-None-Match: *`` PUT semantics); on a
+generic pyarrow filesystem without conditional-write support it
+degrades to HEAD + PUT + read-back-verify (detects and retries a
+conflicting overwrite; the residual ABA window is closed only by a
+real conditional PUT — S3 ``If-None-Match``, GCS generation-0 — which
+is the documented production hook at
+:meth:`ObjectStorage.put_object_if_absent`).  ``gc_pointer`` (vacuum)
+keeps only the newest version; like the POSIX vacuum it assumes no
 concurrent reader holds an older listing.
 
 Backend selection rides IN THE ROOT STRING, so worker-side
@@ -62,7 +77,6 @@ Backend selection rides IN THE ROOT STRING, so worker-side
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import posixpath
@@ -236,7 +250,8 @@ class PosixStorage:
 # Object-store backend — versioned-pointer commit log, rename-free
 # ---------------------------------------------------------------------------
 
-_PTR_SUFFIX = ".v"  # pointer P lives at P.v/cv-<version>-<sha8>
+_PTR_SUFFIX = ".v"  # pointer P lives at P.v/cv-<version 10d>
+_CAS_MAX_ATTEMPTS = 64  # version-conflict retries before giving up
 
 
 class ObjectStorage:
@@ -357,18 +372,60 @@ class ObjectStorage:
             n for n in self.list_objects(self._ptr_dir(path)) if n.startswith("cv-")
         ]
 
+    def put_object_if_absent(self, path: str, data: bytes) -> bool:
+        """Conditional whole-object PUT: succeed (True) only if no
+        object exists at ``path``; never overwrite (False on loss).
+
+        This is the compare-and-swap the pointer commit log runs on.
+        When the underlying filesystem handler exposes a real
+        exclusive create (``put_if_absent`` — the ``norename://``
+        backend does, via temp-write + ``os.link``), the CAS is
+        genuine.  A production S3/GCS deployment plugs the native
+        conditional write in HERE (S3 ``PutObject`` with
+        ``If-None-Match: *``, GCS ``ifGenerationMatch=0``).  The
+        generic fallback — HEAD, PUT, read-back-verify — only
+        DETECTS a lost race (returns False so the caller retries at
+        the next version); its read-back window is the documented
+        residual until the conditional hook is wired."""
+        self.fs.create_dir(posixpath.dirname(path), recursive=True)
+        handler = getattr(self.fs, "handler", None)
+        excl = getattr(handler, "put_if_absent", None)
+        if excl is not None:
+            return bool(excl(path, data))
+        # generic fallback: detection, not prevention
+        if self.exists(path):
+            return False
+        with self.fs.open_output_stream(path) as f:
+            f.write(data)
+        try:
+            return self.get_object(path) == data
+        except FileNotFoundError:
+            return False
+
     def put_pointer(self, path: str, data: bytes) -> None:
-        """Append the next version to the pointer's commit log.  The
-        name carries a content sha so a RETRIED identical write lands
-        on the same object (idempotent).  A real object store would
-        make this PUT conditional (If-None-Match / generation-0) and
-        retry at version+1 on conflict — the single-writer-per-pointer
-        contract makes that unreachable here."""
-        vs = self._versions(path)
-        nxt = (int(vs[-1][3:13]) + 1) if vs else 1
-        sha = hashlib.sha256(data).hexdigest()[:8]
-        self.put_object(
-            self.join(self._ptr_dir(path), f"cv-{nxt:010d}-{sha}"), data
+        """Commit the next version to the pointer's commit log with a
+        compare-and-swap: LIST to allocate version N+1, conditional
+        create of ``cv-<N+1>``.  Exactly one writer wins a version;
+        a loser whose bytes already sit at the winning version (a
+        zombie retry of the same logical commit) succeeds
+        idempotently, any other loser retries at the next version —
+        commits are totally ordered, no update is silently lost."""
+        d = self._ptr_dir(path)
+        for _ in range(_CAS_MAX_ATTEMPTS):
+            vs = self._versions(path)
+            nxt = (int(vs[-1][3:13]) + 1) if vs else 1
+            target = self.join(d, f"cv-{nxt:010d}")
+            if self.put_object_if_absent(target, data):
+                return
+            try:
+                if self.get_object(target) == data:
+                    return  # our twin already committed these bytes
+            except FileNotFoundError:
+                pass  # winner vacuumed/raced away — re-list and retry
+        raise RuntimeError(
+            f"pointer commit lost {_CAS_MAX_ATTEMPTS} consecutive "
+            f"version races at {path!r} — a runaway concurrent writer "
+            "is violating the partition-ownership contract"
         )
 
     def get_pointer(self, path: str) -> bytes | None:
@@ -460,6 +517,52 @@ class ObjectStorage:
 from pyarrow.fs import FileSystemHandler as _FileSystemHandler
 
 
+class _AtomicLocalPut:
+    """File-like sink giving the local test backend real PUT
+    atomicity: bytes land in a same-directory temp file; ``close``
+    fsyncs and ``os.replace``s it to the final name in one step, so
+    a concurrent reader sees either nothing or the whole object."""
+
+    def __init__(self, path: str):
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, self._tmp = tempfile.mkstemp(dir=d, prefix=".put-", suffix=".tmp")
+        self._f = os.fdopen(fd, "wb")
+        self._path = path
+        self.closed = False
+
+    def write(self, data) -> int:
+        return self._f.write(data)
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def writable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return False
+
+    def seekable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            self._f.flush()
+            os.fsync(self._f.fileno())
+            self._f.close()
+            os.replace(self._tmp, self._path)
+        finally:
+            self.closed = True
+            if os.path.exists(self._tmp):
+                os.unlink(self._tmp)
+
+
 class _NoMoveLocalHandler(_FileSystemHandler):
     """``pyarrow.fs.FileSystemHandler`` delegating to LocalFileSystem
     with ``move`` HARD-DISABLED — the sandbox's stand-in for an object
@@ -526,7 +629,39 @@ class _NoMoveLocalHandler(_FileSystemHandler):
         return self._fs.open_input_file(path)
 
     def open_output_stream(self, path, metadata):
-        return self._fs.open_output_stream(path)
+        # PUT atomicity: a real object store never exposes a
+        # partially-written object, but LocalFileSystem's output
+        # stream is an in-place truncate-then-write — a concurrent
+        # reader could see torn bytes, silently weakening every test
+        # that relies on the object contract.  Write to a hidden temp
+        # name and os.replace on close (rename is fine INSIDE the
+        # handler — it is only forbidden to the lake protocol, which
+        # is what ``move`` raising enforces).
+        import pyarrow as pa
+
+        return pa.PythonFile(_AtomicLocalPut(path), mode="w")
+
+    def put_if_absent(self, path, data):
+        """Exclusive whole-object create: S3 ``If-None-Match: *`` PUT
+        semantics, faithfully — the content is written to a temp file
+        and ``os.link``ed to the final name, so the object appears
+        atomically WITH its full content and creation fails if the
+        name exists.  Returns True if this writer won the name."""
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".cas-", suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
 
     def open_append_stream(self, path, metadata):
         raise NotImplementedError("append is not available on object stores")

@@ -28,7 +28,11 @@ def _expected(how):
 
 def _canon(df):
     cols = sorted(df.columns)
-    return df[cols].sort_values(cols).reset_index(drop=True)
+    out = df[cols].sort_values(cols).reset_index(drop=True)
+    # one null representation: Arrow→pandas yields None for missing
+    # strings, a pure-pandas merge yields nan — future pandas makes
+    # assert_frame_equal treat those as NOT equal, so fold both to nan
+    return out.where(out.notna(), float("nan"))
 
 
 @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])

@@ -210,6 +210,31 @@ def test_wal_source_on_object_store_backend(ray_session, tmp_path):
     pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
 
 
+def test_wal_single_file_and_missing_path(ray_session, tmp_path):
+    """A scheme-prefixed path to ONE segment file must read that file
+    (it used to silently yield an empty dataset — the dir listing of
+    a file is empty), and a path that exists as neither file nor
+    directory raises instead of fabricating zero rows."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+
+    changes = generate_changes(300, n_convs=10, seed=47)
+    wal = tmp_path / "wal1f"
+    write_change_log(changes, str(wal), n_files=1)
+    (seg,) = [f for f in wal.iterdir() if f.suffix == ".parquet"]
+
+    assert read_change_log(str(seg)).count() == 300  # plain local file
+    obj = NORENAME_SCHEME + str(seg)
+    assert read_change_log(obj).count() == 300  # scheme-prefixed file
+
+    with pytest.raises(FileNotFoundError):
+        read_change_log(NORENAME_SCHEME + str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        read_change_log(str(tmp_path / "nope"))
+
+
 def test_csv_latin1_encoding_fallback(ray_session, tmp_path):
     """The reference retries latin-1 when a CSV is not valid UTF-8
     (postgres/postgres.py:152-156): a WAL segment with latin-1 bytes
@@ -238,37 +263,150 @@ def test_csv_latin1_encoding_fallback(ray_session, tmp_path):
 
 
 def test_pointer_log_concurrent_writer_semantics(tmp_path):
-    """The documented single-writer contract's failure modes, pinned:
-    (a) a RETRIED identical write re-PUTs the same sha-named object —
-    version list unchanged (idempotent); (b) two DIFFERENT payloads
-    racing the same version (forbidden by contract, possible before a
-    conditional-put hardening) resolve deterministically — every
-    reader sees the lexicographically-largest version, and the next
-    writer observes it and appends above both."""
+    """The conditional-put (CAS) commit contract, pinned:
+    (a) sequential identical retry appends a new version with the
+    same bytes — resolved state unchanged; (b) a version can only be
+    created, never overwritten (``put_object_if_absent`` loses
+    against an existing object); (c) a ZOMBIE retry whose bytes
+    already sit at the contested version succeeds without writing;
+    (d) a loser with DIFFERENT bytes lands at the NEXT version —
+    no lost update; (e) vacuum keeps the newest version only."""
     st, phys = storage_for(_root(tmp_path, "ptr"))
     ptr = st.join(phys, "part-00000", "manifest.json")
+    d = ptr + ".v"
 
     st.put_pointer(ptr, b'{"v": 1}')
     v1 = st._versions(ptr)
-    st.put_pointer(ptr, b'{"v": 1}')  # identical retry
+    st.put_pointer(ptr, b'{"v": 1}')  # identical sequential retry
     assert st._versions(ptr) != v1  # a new version appends...
     assert st.get_pointer(ptr) == b'{"v": 1}'  # ...same resolved state
 
-    # simulate two racing writers at the same version number: write
-    # both objects directly (bypassing the version-discovery LIST)
-    import hashlib
+    # (b) exclusive create: a version object is immutable
+    other = st.join(phys, "part-00001", "manifest.json") + ".v"
+    taken = st.join(other, f"cv-{1:010d}")
+    assert st.put_object_if_absent(taken, b'{"v": "A"}')
+    assert not st.put_object_if_absent(taken, b'{"v": "B"}')
+    assert st.get_object(taken) == b'{"v": "A"}'  # loser changed nothing
 
-    d = ptr + ".v"
-    for payload in (b'{"v": "A"}', b'{"v": "B"}'):
-        sha = hashlib.sha256(payload).hexdigest()[:8]
-        st.put_object(st.join(d, f"cv-{9:010d}-{sha}"), payload)
-    winner = st.get_pointer(ptr)
-    assert winner in (b'{"v": "A"}', b'{"v": "B"}')
-    assert st.get_pointer(ptr) == winner  # deterministic re-read
-    # the next well-behaved writer lands ABOVE both racers
-    st.put_pointer(ptr, b'{"v": 10}')
-    assert st.get_pointer(ptr) == b'{"v": 10}'
-    # gc keeps exactly the newest
+    # sibling commits version 3; the zombie's LIST predates it
+    st.put_pointer(ptr, b'{"v": 3}')  # versions now [1, 2, 3]
+    before = st._versions(ptr)
+    real_versions = type(st)._versions
+    stale = {}
+
+    def stale_versions(self, path):
+        vs = real_versions(self, path)
+        if stale.pop("armed", False):
+            return [v for v in vs if v != f"cv-{3:010d}"]
+        return vs
+
+    type(st)._versions = stale_versions
+    try:
+        # (c) zombie twin with the SAME bytes: contests version 3,
+        # loses the create, recognizes its own bytes → success, no write
+        stale["armed"] = True
+        st.put_pointer(ptr, b'{"v": 3}')
+        assert real_versions(st, ptr) == before  # no version appended
+        assert st.get_pointer(ptr) == b'{"v": 3}'
+
+        # (d) a DIFFERENT payload losing the same race retries ABOVE
+        # the taken version — its update is not lost
+        stale["armed"] = True
+        st.put_pointer(ptr, b'{"v": 4}')
+    finally:
+        type(st)._versions = real_versions
+    assert st._versions(ptr)[-1] == f"cv-{4:010d}"
+    assert st.get_pointer(ptr) == b'{"v": 4}'
+    # (e) gc keeps exactly the newest
     st.gc_pointer(ptr)
     assert len(st._versions(ptr)) == 1
-    assert st.get_pointer(ptr) == b'{"v": 10}'
+    assert st.get_pointer(ptr) == b'{"v": 4}'
+
+
+def test_pointer_cas_two_writer_race_drill(tmp_path):
+    """The zombie-retry scenario the CAS exists for: TWO concurrent
+    writers hammer ONE partition pointer with different payload
+    streams.  Invariants asserted: versions are a contiguous 1..K
+    sequence, each version holds exactly one immutable payload,
+    EVERY payload from both writers landed at exactly one version
+    (no lost update), and the final pointer resolves to the very
+    last version committed."""
+    import threading
+
+    st, phys = storage_for(_root(tmp_path, "race"))
+    ptr = st.join(phys, "part-00042", "manifest.json")
+    n_each = 40
+    errs = []
+
+    def writer(tag):
+        try:
+            # a fresh storage per writer — no shared client state
+            s2, _ = storage_for(_root(tmp_path, "race"))
+            for i in range(n_each):
+                s2.put_pointer(ptr, f'{{"w": "{tag}", "i": {i}}}'.encode())
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+
+    vs = st._versions(ptr)
+    # contiguous version chain, exactly one object per version
+    nums = [int(v[3:13]) for v in vs]
+    assert nums == list(range(1, len(nums) + 1))
+    payloads = [st.get_object(st.join(ptr + ".v", v)) for v in vs]
+    # no lost update: all 2×n_each distinct payloads present exactly once
+    import json as _json
+
+    seen = [( _json.loads(p)["w"], _json.loads(p)["i"]) for p in payloads]
+    assert len(set(seen)) == 2 * n_each
+    assert len(seen) == 2 * n_each  # and no duplicate versions of one payload
+    # per-writer order preserved in the total order
+    for tag in ("A", "B"):
+        idx = [i for (w, i) in seen if w == tag]
+        assert idx == sorted(idx)
+    assert st.get_pointer(ptr) == payloads[-1]
+
+
+def test_pointer_cas_generic_fallback_detects_conflict(tmp_path, monkeypatch):
+    """A filesystem WITHOUT a native exclusive create (no handler
+    ``put_if_absent`` — e.g. pyarrow S3 before the If-None-Match hook
+    is wired) must still DETECT a stolen version and retry above it:
+    inject a conflicting object between the existence check and the
+    PUT and assert the writer's update lands at the next version."""
+    from cityofphiladelphia_databridge_etl_tools_ray.state import fs as fsmod
+
+    st, phys = storage_for(_root(tmp_path, "fb"))
+    # hide the native CAS so ObjectStorage takes the generic path
+    monkeypatch.setattr(
+        type(st.fs.handler), "put_if_absent", None, raising=True
+    )
+    ptr = st.join(phys, "p", "manifest.json")
+    st.put_pointer(ptr, b"v1")
+    assert st.get_pointer(ptr) == b"v1"
+
+    real_get = fsmod.ObjectStorage.get_object
+    stolen = {}
+
+    def thieving_get(self, path):
+        if "cv-0000000002" in path and not stolen:
+            # a zombie twin's last-write-wins PUT lands between our
+            # PUT and the read-back verify — the race the fallback
+            # can only DETECT, not prevent
+            stolen["done"] = True
+            with self.fs.open_output_stream(path) as f:
+                f.write(b"zombie")
+        return real_get(self, path)
+
+    monkeypatch.setattr(fsmod.ObjectStorage, "get_object", thieving_get)
+    st.put_pointer(ptr, b"v2")
+    vs = st._versions(ptr)
+    objs = {v: st.get_object(st.join(ptr + ".v", v)) for v in vs}
+    # the thief kept version 2; our update survived at version 3
+    assert objs[f"cv-{2:010d}"] == b"zombie"
+    assert objs[f"cv-{3:010d}"] == b"v2"
+    assert st.get_pointer(ptr) == b"v2"

@@ -174,6 +174,26 @@ def test_real_codec_image_golden_files():
         c.image_meta(np.array([b"not an image at all....."], dtype=object))
 
 
+def test_real_codec_jpeg_fill_bytes_before_marker():
+    """ITU T.81 §B.1.1.2 allows any number of 0xFF fill bytes before
+    a marker byte; the scan must skip the padding run instead of
+    misreading a pad byte as the start of a segment length (which
+    skipped a bogus distance and missed the SOF)."""
+    import struct
+
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import RealCodec
+
+    seg = struct.pack(">HBHHB", 8 + 9, 8, 480, 640, 3) + bytes(9)
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 4) + b"JF"  # padded APP0
+        + b"\xff\xff\xff\xff\xc0" + seg                        # padded SOF0
+        + b"\xff\xd9"
+    )
+    w, h, ch = RealCodec()._image_one(padded)
+    assert (w, h, ch) == (640, 480, 3)
+
+
 def test_real_codec_wav_golden_file():
     from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import RealCodec
 
