@@ -724,7 +724,57 @@ def _pfx_rows(**cols) -> pa.Table:
     return pa.Table.from_arrays([out[f.name] for f in _PFX_SCHEMA], schema=_PFX_SCHEMA)
 
 
-def dedup_ngram_jaccard_indexed(sf_dir: str, tau: float = JACCARD_TAU):
+# adaptive dense-vs-indexed routing: below this corpus size the dense
+# broadcast-tile kernel beats the 5-exchange index join outright
+# (measured: 5k docs at sf0.1 = dense 2.0 s vs indexed 10.3 s), so the
+# regime question only matters above it
+_DENSE_CUTOFF_DOCS = 8192
+# hot-vocabulary guard: per-unit cost ratio between candidate
+# generation (per-element pandas groups + pair enumeration) and the
+# dense kernel's vectorized tile ops.  Measured on the sf0.1 bench
+# corpus: indexed ≈ 10.3 s over ~2.8M candidate units (~3.7 µs/unit)
+# vs dense 2.0 s over 25M tile units (~80 ns/unit) → ~40×.  Route
+# dense whenever estimated candidate work exceeds n²/ratio — i.e.
+# whenever prefix filtering fails to prune at least the constant-
+# factor gap's worth of the n² tile work
+_DENSE_UNIT_RATIO = 40.0
+
+
+def _jaccard_plan_choice(sf_dir: str, tau: float) -> str:
+    """'dense' or 'indexed', decided from a BOUNDED df-histogram
+    sample.  The estimator Σ_e ((1−τ)·df_e + 1)² approximates the
+    index join's candidate-generation work (p_e docs hold element e
+    in their τ-prefix, p_e ≈ (1−τ)·df_e); comparing it against n² is
+    scale-invariant under subsampling — both sides shrink ∝ frac²
+    for a fixed vocabulary shape (flat OR Zipf), so a ≤cutoff-doc
+    sample answers the regime question for the full corpus without a
+    full-corpus exchange."""
+    import pyarrow.parquet as pq
+
+    # metadata-only row count — the routing gate must not cost a read
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= _DENSE_CUTOFF_DOCS:
+        return "dense"
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    flats = []
+    n_s = 0
+    for b in docs.limit(_DENSE_CUTOFF_DOCS).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        sig = _sig_table(t)
+        flat, _off = _sets_from_lists(sig.column("shingles"))
+        flats.append(flat)
+        n_s += len(sig)
+    if n_s == 0:
+        return "indexed"
+    _, df = np.unique(np.concatenate(flats), return_counts=True)
+    pf = max(1.0 - tau, 0.05)
+    est = float(np.sum((df.astype(np.float64) * pf + 1.0) ** 2))
+    return "dense" if est > float(n_s) ** 2 / _DENSE_UNIT_RATIO else "indexed"
+
+
+def dedup_ngram_jaccard_indexed(
+    sf_dir: str, tau: float = JACCARD_TAU, plan: str = "auto"
+):
     """EXACT all-pairs word-bigram Jaccard ≥ τ — identical output to
     :func:`dedup_ngram_jaccard` (same oracle) — via the scale-shaped
     **prefix-filtered inverted-index join** (the SSJoin/PPJoin family)
@@ -758,10 +808,27 @@ def dedup_ngram_jaccard_indexed(sf_dir: str, tau: float = JACCARD_TAU):
     below the crossover (4.3 s dense vs ~15 s indexed at sf0.1);
     asymptotically the indexed join is the only exact plan that does
     not materialize n² work.  The dense O(n²) twin remains as this
-    operator's in-repo ground truth."""
+    operator's in-repo ground truth.
+
+    ``plan`` guards the regime: ``"auto"`` (default) routes via
+    :func:`_jaccard_plan_choice` — small corpora and measured
+    hot-vocabulary inputs run the dense exact twin, heavy-tailed
+    corpora above the cutoff run the index join; ``"indexed"`` /
+    ``"dense"`` force a path (tests pin the indexed plan's
+    correctness with ``plan="indexed"`` so routing can never mask
+    it).  Output is byte-identical under every plan."""
     import pandas as pd
 
     from .queries import _nb
+
+    if plan == "auto":
+        # the dense twin computes at the module τ only — never route
+        # a custom-τ call away from the indexed kernel
+        plan = _jaccard_plan_choice(sf_dir, tau) if tau == JACCARD_TAU else "indexed"
+    if plan == "dense":
+        return dedup_ngram_jaccard(sf_dir)
+    if plan != "indexed":
+        raise ValueError(f"plan must be auto|dense|indexed, got {plan!r}")
 
     nb_mask = np.uint64(_nb() - 1)
 

@@ -766,8 +766,15 @@ def test_ngram_jaccard_indexed_equals_dense_twin(ray_session, tmp_path):
         df = ds.to_pandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
         return df[["doc_id_a", "doc_id_b", "jaccard_e6"]]
 
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        dedup_ngram_jaccard_indexed,
+    )
+
     dense = canon(QUERIES["dedup_ngram_jaccard"](str(d)))
-    indexed = canon(QUERIES["dedup_ngram_jaccard_indexed"](str(d)))
+    # plan="indexed" forces the prefix-filtered join — auto-routing
+    # would (correctly) pick the dense twin on a 10-doc corpus and
+    # this equality would test nothing
+    indexed = canon(dedup_ngram_jaccard_indexed(str(d), plan="indexed"))
     import pandas as pd
 
     pd.testing.assert_frame_equal(indexed, dense)
@@ -775,6 +782,52 @@ def test_ngram_jaccard_indexed_equals_dense_twin(ray_session, tmp_path):
     pairs = set(map(tuple, dense[["doc_id_a", "doc_id_b"]].itertuples(index=False)))
     assert {(1, 3), (5, 6), (7, 8)} <= pairs
     assert (1, 10) not in pairs or dense.set_index(["doc_id_a", "doc_id_b"]).loc[(1, 10), "jaccard_e6"] >= 500000
+
+
+def test_ngram_jaccard_plan_routing(ray_session, tmp_path):
+    """The auto plan must (a) pick dense below the size cutoff, and
+    above it pick (b) dense for a flat/hot vocabulary — the regime
+    where prefix filtering prunes nothing and the measured 40× unit-
+    cost gap makes the index join lose — but (c) indexed for a
+    heavy-tailed vocabulary where most shingles are near-unique."""
+    import pyarrow.parquet as pq
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        _DENSE_CUTOFF_DOCS,
+        _jaccard_plan_choice,
+        JACCARD_TAU,
+    )
+
+    def write(name, texts):
+        d = tmp_path / name
+        d.mkdir()
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    n = _DENSE_CUTOFF_DOCS + 512
+    # (a) small corpus → dense regardless of vocabulary
+    small = write("small", ["totally unique words %d here" % i for i in range(64)])
+    assert _jaccard_plan_choice(small, JACCARD_TAU) == "dense"
+    # (b) hot vocabulary above the cutoff: every doc shares one tiny
+    # shingle set → every element's df ≈ n → candidate work ≈ n²
+    hot = write("hot", ["the cat sat on the mat again today"] * n)
+    assert _jaccard_plan_choice(hot, JACCARD_TAU) == "dense"
+    # (c) heavy tail above the cutoff: shingles are essentially
+    # unique per doc → candidate work ≈ vocabulary size ≪ n²
+    tail = write(
+        "tail",
+        ["alpha%d beta%d gamma%d delta%d epsilon%d" % (i, i, i, i, i) for i in range(n)],
+    )
+    assert _jaccard_plan_choice(tail, JACCARD_TAU) == "indexed"
 
 
 from hypothesis import given, settings

@@ -285,10 +285,22 @@ def test_new_ops_plan_shapes(ray_session):
         "embedding_quantize_int8": 0,
         # exact prefix-filtered index join: df + prefix + candidates
         # + set-attach + verify = five bounded bucket exchanges
+        # (plan forced — auto-routing picks the dense twin at this
+        # corpus size, which would make the budget vacuous)
         "dedup_ngram_jaccard_indexed": 5,
     }
+    from functools import partial
+
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.corpus import (
+        dedup_ngram_jaccard_indexed,
+    )
+
+    runners = dict(QUERIES)
+    runners["dedup_ngram_jaccard_indexed"] = partial(
+        dedup_ngram_jaccard_indexed, plan="indexed"
+    )
     for name, budget in budgets.items():
-        stats = QUERIES[name](sf).materialize().stats()
+        stats = runners[name](sf).materialize().stats()
         assert stats.count("SortReduce") <= budget, (name, stats)
 
 
