@@ -200,3 +200,93 @@ def test_follow_cycle_racing_inflight_rescale_is_rejected(ray_session, tmp_path)
     TranscriptLake(root).split_partitions(2)  # finish the rescale
     m = replay_into_lake(root, read_change_log(wal))
     assert (m["events_applied"] > 0).any()
+
+
+@pytest.mark.parametrize("scheme", ["", "norename://"], ids=["posix", "objectstore"])
+def test_follow_interleaved_with_compaction_and_vacuum(ray_session, tmp_path, scheme):
+    """Tiered compaction and snapshot-aware vacuum racing a LIVE
+    follow tail, on both storage backends.  Between tail cycles the
+    "cluster operator" snapshots the lake, compacts every partition,
+    and vacuums — twice, with new WAL windows landing each time.  The
+    tail must stay exactly-once (final state byte-equal to an
+    undisturbed one-shot replay), the mid-stream snapshot must keep
+    time-traveling to the exact pre-compaction state after BOTH
+    vacuums, and dropping it must let the next vacuum reclaim its
+    files without touching the live tree (fsck-clean)."""
+    changes = generate_changes(2400, n_convs=60, delete_frac=0.1, seed=34)
+    lsn = np.asarray(changes.column("lsn"))
+    w1 = changes.filter(pa.array(lsn < 800))
+    w2 = changes.filter(pa.array((lsn >= 800) & (lsn < 1600)))
+    w3 = changes.filter(pa.array(lsn >= 1600))
+
+    # undisturbed one-shot oracle
+    ref_root = str(tmp_path / "ref")
+    TranscriptLake.create(ref_root, num_partitions=4)
+    replay_into_lake(ref_root, ray.data.from_arrow(changes), validate_sample=None)
+    expected = _state(ref_root)
+    # oracle for the snapshot point (w1 only applied)
+    ref1 = str(tmp_path / "ref1")
+    TranscriptLake.create(ref1, num_partitions=4)
+    replay_into_lake(ref1, ray.data.from_arrow(w1), validate_sample=None)
+    expected_w1 = _state(ref1)
+
+    root = scheme + str(tmp_path / "lake")
+    TranscriptLake.create(root, num_partitions=4)
+    wal = str(tmp_path / "wal")
+    write_change_log(w1, wal, n_files=2)
+
+    stage = {"n": 0, "sid": None}
+
+    def operator(_interval):
+        lake = TranscriptLake(root)
+        stage["n"] += 1
+        if stage["n"] == 1:
+            # w1 is applied: snapshot it, then compact + vacuum UNDER
+            # the snapshot while delivering window 2
+            stage["sid"] = lake.snapshot(note="pre-compaction")
+            write_change_log(w2, wal, n_files=2)
+            for pid in range(lake.num_partitions):
+                lake.compact_partition(pid)
+            lake.vacuum()
+        elif stage["n"] == 2:
+            # w1+w2 applied: compact + vacuum again with the snapshot
+            # still live, deliver window 3
+            write_change_log(w3, wal, n_files=2)
+            for pid in range(lake.num_partitions):
+                lake.compact_partition(pid)
+            lake.vacuum()
+
+    follow_wal(
+        root, wal, sleep=operator, idle_stop=2, max_cycles=10,
+        mode="merge", validate_sample=None,
+    )
+
+    got = _state(root)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
+    lake = TranscriptLake(root)
+    # the snapshot survived two compaction+vacuum passes byte-exactly
+    sid = stage["sid"]
+    assert sid is not None
+    snap = (
+        lake.dataset(snapshot=sid)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        snap["text"], expected_w1["text"], check_names=False
+    )
+    # drop it; the next vacuum reclaims its superseded files and the
+    # live tree stays intact
+    lake.drop_snapshot(sid)
+    removed = lake.vacuum()
+    assert removed  # the pre-compaction files were only snapshot-pinned
+    pd.testing.assert_frame_equal(
+        _state(root)[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
+    audit = TranscriptLake(root).fsck()
+    assert audit["ok"], audit["errors"]
