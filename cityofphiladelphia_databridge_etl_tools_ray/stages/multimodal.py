@@ -141,13 +141,33 @@ class RealCodec:
     Header parsing is inherently per-file (a real libjpeg call is
     too); the per-row loop here is the decode kernel itself, not
     avoidable plumbing — batch sizes stay byte-budgeted around it.
-    Unknown containers and the stages that genuinely need external
-    systems (pixel-level features → a vision model, video frame
-    demux → ffmpeg) still raise ``NotImplementedError`` at the exact
-    plug-in point, preserving the honest seam."""
 
-    @staticmethod
-    def _image_one(p: bytes) -> tuple[int, int, int]:
+    OPTIONAL third-party extension: when PIL (images) / soundfile
+    (audio) import cleanly they decode the containers the stdlib
+    parsers REJECT (TIFF/WebP…, FLAC/OGG…).  The stdlib parsers keep
+    precedence for their four image containers and WAV so pinned
+    golden values — and the driver oracles built on them — can never
+    move underneath an environment that happens to have the libs
+    installed.  Containers neither path handles, and the stages that
+    genuinely need external systems (pixel-level features → a vision
+    model, video frame demux → ffmpeg), still raise
+    ``NotImplementedError`` at the exact plug-in point."""
+
+    def __init__(self):
+        try:  # optional — absent in this sandbox, used when deployed
+            from PIL import Image as _pil_image
+
+            self._pil = _pil_image
+        except ImportError:
+            self._pil = None
+        try:
+            import soundfile as _soundfile
+
+            self._sf = _soundfile
+        except ImportError:
+            self._sf = None
+
+    def _image_one(self, p: bytes) -> tuple[int, int, int]:
         import struct
 
         if p is None or len(p) < 16:
@@ -187,6 +207,18 @@ class RealCodec:
             w, h = struct.unpack("<ii", p[18:26])
             (bpp,) = struct.unpack("<H", p[28:30])
             return w, abs(h), max(1, bpp // 8)
+        if self._pil is not None:
+            # extension containers only (TIFF/WebP/…): the four
+            # stdlib-parsed formats never reach here, so their pinned
+            # golden values are PIL-proof
+            import io as _io
+
+            try:
+                with self._pil.open(_io.BytesIO(p)) as img:
+                    w, h = img.size
+                    return w, h, max(1, len(img.getbands()))
+            except Exception:
+                pass
         raise NotImplementedError(
             "real image decode for this container requires PIL/libjpeg"
         )
@@ -199,17 +231,23 @@ class RealCodec:
             np.array([m[2] for m in metas], np.int32),
         )
 
-    @staticmethod
-    def _audio_one(p: bytes) -> tuple[int, int, int]:
+    def _audio_one(self, p: bytes) -> tuple[int, int, int]:
         import io as _io
         import wave
 
-        if p is None or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
-            raise NotImplementedError(
-                "real audio decode for this container requires libsndfile/ffmpeg"
-            )
-        with wave.open(_io.BytesIO(p)) as w:
-            return w.getframerate(), w.getnchannels(), w.getnframes()
+        if p is not None and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            # stdlib keeps precedence for WAV — pinned goldens
+            with wave.open(_io.BytesIO(p)) as w:
+                return w.getframerate(), w.getnchannels(), w.getnframes()
+        if p is not None and self._sf is not None:
+            try:  # extension containers (FLAC/OGG/…)
+                with self._sf.SoundFile(_io.BytesIO(p)) as f:
+                    return f.samplerate, f.channels, len(f)
+            except Exception:
+                pass
+        raise NotImplementedError(
+            "real audio decode for this container requires libsndfile/ffmpeg"
+        )
 
     def audio_meta(self, payloads: np.ndarray):
         metas = [self._audio_one(p) for p in payloads]

@@ -246,3 +246,92 @@ def test_strict_stage_decodes_real_payloads_in_actor_pool(ray_session):
     assert got.loc[0, "sample_rate"] == 44100
     assert got.loc[0, "n_samples"] == 441
     assert got.loc[0, "duration_ms"] == 10
+
+
+def test_real_codec_optional_lib_dispatch(monkeypatch):
+    """When PIL / soundfile import cleanly the RealCodec must use them
+    for EXTENSION containers the stdlib parsers reject — and must NOT
+    consult them for the four stdlib image formats or WAV, so the
+    pinned golden values (and driver oracles) cannot move in an
+    environment that has the libs installed.  The libs are absent in
+    this sandbox, so fake modules prove the dispatch."""
+    import sys
+    import types
+
+    from cityofphiladelphia_databridge_etl_tools_ray.stages import multimodal as mm
+
+    calls = {"pil": 0, "sf": 0}
+
+    class _FakeImg:
+        size = (111, 222)
+
+        def getbands(self):
+            return ("R", "G", "B", "A")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil_image = types.SimpleNamespace(
+        open=lambda buf: (calls.__setitem__("pil", calls["pil"] + 1), _FakeImg())[1]
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_pil_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+
+    class _FakeSound:
+        samplerate = 48000
+        channels = 2
+
+        def __init__(self, buf):
+            calls["sf"] += 1
+
+        def __len__(self):
+            return 96000
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.SoundFile = _FakeSound
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+    c = mm.RealCodec()
+    assert c._pil is not None and c._sf is not None
+
+    # extension containers route to the libs
+    tiff = b"II*\x00" + bytes(64)  # little-endian TIFF magic
+    assert c._image_one(tiff) == (111, 222, 4)
+    assert calls["pil"] == 1
+    flac = b"fLaC" + bytes(64)
+    assert c._audio_one(flac) == (48000, 2, 96000)
+    assert calls["sf"] == 1
+
+    # stdlib containers NEVER consult the libs — goldens are PIL-proof
+    w, h, ch = c._image_one(_golden_png(3, 2, 2))
+    assert (w, h, ch) == (3, 2, 3)
+    assert c._image_one(_golden_gif(12, 34)) == (12, 34, 3)
+    rate, nch, frames = c._audio_one(_golden_wav(8000, 2, 16))
+    assert (rate, nch, frames) == (8000, 2, 16)
+    assert calls["pil"] == 1 and calls["sf"] == 1
+
+
+def test_real_codec_without_optional_libs_unchanged():
+    """Absent the optional libs (this sandbox), extension containers
+    still raise at the documented seam and the goldens hold."""
+    from cityofphiladelphia_databridge_etl_tools_ray.stages.multimodal import RealCodec
+
+    c = RealCodec()
+    assert c._pil is None and c._sf is None
+    with pytest.raises(NotImplementedError):
+        c._image_one(b"II*\x00" + bytes(64))
+    with pytest.raises(NotImplementedError):
+        c._audio_one(b"fLaC" + bytes(64))
