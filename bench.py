@@ -326,23 +326,28 @@ def skew():
         write_change_log(ch, wal_dir, n_files=64, format=WAL_FORMAT)
         with open(os.path.join(wal_dir, ".done"), "w") as f:
             f.write("ok")
+        del ch  # a 64M-event table is ~90 GB — do not hold it through the legs
     read_change_log(wal_dir).count()  # warm page cache
 
     legs = {}
-    for name, kwargs in (
-        ("combiner_only", {}),
-        ("combiner_salted8", {"salt": 8}),
+    for name, scheme, kwargs in (
+        ("combiner_only", "", {}),
+        ("combiner_salted8", "", {"salt": 8}),
+        # the same hot WAL through the rename-free versioned-pointer
+        # commit protocol: skew handling must not depend on POSIX
+        ("combiner_objectstore", "norename://", {}),
     ):
         times, max_merge = [], []
         for rep in range(3):
-            root = os.path.join(BENCH_DIR, f"skewlake-{name}-{rep}")
-            shutil.rmtree(root, ignore_errors=True)
+            base = os.path.join(BENCH_DIR, f"skewlake-{name}-{rep}")
+            shutil.rmtree(base, ignore_errors=True)
+            root = scheme + base
             TranscriptLake.create(root, num_partitions=N_PARTITIONS)
             t0 = time.perf_counter()
             m = replay_into_lake(root, read_change_log(wal_dir), **kwargs)
             times.append(round(time.perf_counter() - t0, 2))
             max_merge.append(round(float(m["merge_sec"].max()), 2))
-            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(base, ignore_errors=True)
         med = sorted(times)[1]
         legs[name] = {
             "replay_sec": times,
@@ -392,6 +397,7 @@ def objectstore():
         write_change_log(ch, wal_dir, n_files=64, format=WAL_FORMAT)
         with open(os.path.join(wal_dir, ".done"), "w") as f:
             f.write("ok")
+        del ch  # a 64M-event table is ~90 GB — do not hold it through the legs
     read_change_log(wal_dir).count()  # warm page cache
 
     legs = {}
@@ -418,6 +424,51 @@ def objectstore():
     legs["overhead_ratio"] = round(
         legs["objectstore_norename"]["median_sec"] / legs["posix"]["median_sec"], 3
     )
+
+    # live s3:// leg (loopback endpoint, scripts/minis3.py): the SAME
+    # replay through a genuine pyarrow S3FileSystem — URI parsing, AWS
+    # SDK HTTP, multipart writes, ranged reads.  One rep at a bounded
+    # event count (the endpoint holds objects in memory); the point is
+    # the protocol running end-to-end over s3://, not raw throughput —
+    # absolute numbers are dominated by the single-host HTTP stub.
+    # Skippable via GRAFT_S3_LEG=0 (e.g. for very large -size runs).
+    if os.environ.get("GRAFT_S3_LEG", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from minis3 import MiniS3
+
+        n_s3 = min(n, int(os.environ.get("GRAFT_S3_EVENTS", "1000000")))
+        s3wal_local = os.path.join(BENCH_DIR, f"s3wal-{n_s3}-{WAL_FORMAT}")
+        if not os.path.exists(os.path.join(s3wal_local, ".done")):
+            shutil.rmtree(s3wal_local, ignore_errors=True)
+            ch = generate_changes(
+                n_s3, n_convs=50000, max_turns=50, update_frac=0.5, delete_frac=0.1, seed=17
+            )
+            write_change_log(ch, s3wal_local, n_files=16, format=WAL_FORMAT)
+            with open(os.path.join(s3wal_local, ".done"), "w") as f:
+                f.write("ok")
+        with MiniS3() as srv:
+            from cityofphiladelphia_databridge_etl_tools_ray.state.fs import storage_for
+
+            wal_uri = srv.uri("bench/wal")
+            st, phys = storage_for(wal_uri)
+            for seg in sorted(os.listdir(s3wal_local)):
+                if seg.startswith("."):
+                    continue
+                with open(os.path.join(s3wal_local, seg), "rb") as f:
+                    st.put_object(st.join(phys, seg), f.read())
+            root = srv.uri("bench/lake")
+            TranscriptLake.create(root, num_partitions=N_PARTITIONS)
+            t0 = time.perf_counter()
+            replay_into_lake(root, read_change_log(wal_uri))
+            dt = round(time.perf_counter() - t0, 2)
+            s3_rows = TranscriptLake(root).total_rows()
+        legs["s3_loopback"] = {
+            "events": n_s3,
+            "replay_sec": [dt],
+            "median_sec": dt,
+            "events_per_sec": round(n_s3 / dt),
+            "lake_rows": s3_rows,
+        }
     print(
         json.dumps(
             {

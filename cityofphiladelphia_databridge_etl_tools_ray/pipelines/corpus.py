@@ -996,11 +996,24 @@ def dedup_ngram_jaccard_indexed(
         ca = np.asarray(cand.column("a"), np.int64)
         na = np.asarray(cand.column("n_a"), np.int64)
         nbv = np.asarray(cand.column("n_b"), np.int64)
-        inter = np.empty(len(cand), np.int64)
-        for i in range(len(cand)):  # bounded by surviving candidates
-            inter[i] = np.intersect1d(
-                fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]], assume_unique=True
-            ).size
+        # all-pairs sorted-intersection sizes in ONE vectorized pass:
+        # tag every element with its candidate id, lexsort the union
+        # of both sides, and count adjacent (pair, elem) duplicates —
+        # each side is unique within a pair, so every duplicate is
+        # exactly one intersection element.  Replaces the per-pair
+        # np.intersect1d loop (O(pairs) python overhead) with one
+        # O(E log E) numpy kernel over E = Σ(|A|+|B|).
+        fa, oa = fa[oa[0] : oa[-1]], oa - oa[0]  # offsets absolute → 0-based
+        fb, ob = fb[ob[0] : ob[-1]], ob - ob[0]
+        ids = np.arange(len(cand), dtype=np.int64)
+        pid = np.concatenate(
+            [np.repeat(ids, np.diff(oa)), np.repeat(ids, np.diff(ob))]
+        )
+        el = np.concatenate([fa, fb])
+        order = np.lexsort((el, pid))
+        p_s, e_s = pid[order], el[order]
+        dup = (p_s[1:] == p_s[:-1]) & (e_s[1:] == e_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=len(cand)).astype(np.int64)
         j = inter / np.maximum(na + nbv - inter, 1)
         keep = j >= tau
         return pa.table(

@@ -867,3 +867,29 @@ def test_prefix_filter_lemma(case):
     assert e_star in cb[:pb_len], (cb, pb_len, e_star)
     # and the length filter never drops a qualifying pair
     assert min(len(a), len(b)) >= tau * max(len(a), len(b)) - 1e-9
+
+
+def test_tagged_lexsort_intersection_kernel():
+    """The vectorized all-pairs intersection in the index join's
+    verify stage (tag each element with its candidate id, lexsort,
+    count adjacent duplicates) must equal per-pair np.intersect1d on
+    randomized unique-set pairs — each side unique within a pair, so
+    every adjacent duplicate is exactly one intersection element."""
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(1, 20))
+        sa = [np.unique(rng.integers(0, 50, rng.integers(1, 30)).astype(np.uint64)) for _ in range(n)]
+        sb = [np.unique(rng.integers(0, 50, rng.integers(1, 30)).astype(np.uint64)) for _ in range(n)]
+        fa = np.concatenate(sa); oa = np.r_[0, np.cumsum([len(s) for s in sa])]
+        fb = np.concatenate(sb); ob = np.r_[0, np.cumsum([len(s) for s in sb])]
+        ids = np.arange(n, dtype=np.int64)
+        pid = np.concatenate([np.repeat(ids, np.diff(oa)), np.repeat(ids, np.diff(ob))])
+        el = np.concatenate([fa, fb])
+        order = np.lexsort((el, pid))
+        p_s, e_s = pid[order], el[order]
+        dup = (p_s[1:] == p_s[:-1]) & (e_s[1:] == e_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=n)
+        exp = np.array(
+            [np.intersect1d(a, b, assume_unique=True).size for a, b in zip(sa, sb)]
+        )
+        np.testing.assert_array_equal(inter, exp)
