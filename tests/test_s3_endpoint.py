@@ -168,3 +168,41 @@ def test_cross_lake_transaction_two_phase(ray_session, s3):
         _state(b)["text"], _expected(cb)["text"], check_names=False
     )
     assert TxnLog(txn_dir).pending() == []
+
+
+def test_follow_tail_on_s3(ray_session, s3, tmp_path):
+    """Continuous WAL tail with BOTH the WAL and the lake on s3://: a
+    producer appends segments between cycles through the S3 API; the
+    follower must converge to the sequential reference exactly-once,
+    with idle cycles pruning fully-applied segments by filename."""
+    changes = generate_changes(1200, n_convs=30, delete_frac=0.1, seed=13)
+    lsn = np.asarray(changes.column("lsn"))
+    w1 = changes.filter(pa.array(lsn < 600))
+    w2 = changes.filter(pa.array(lsn >= 600))
+
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.pipelines.replay import follow_wal
+
+    loc1 = tmp_path / "w1"
+    write_change_log(w1, str(loc1), n_files=2)
+    wal = _upload_wal(str(loc1), s3.uri("follow/wal"))
+    root = s3.uri("follow/lake")
+    TranscriptLake.create(root, num_partitions=2)
+
+    stage = {"n": 0}
+
+    def producer(_interval):
+        stage["n"] += 1
+        if stage["n"] == 1:  # deliver window 2 through the S3 API
+            loc2 = tmp_path / "w2"
+            write_change_log(w2, str(loc2), n_files=2)
+            _upload_wal(str(loc2), wal)
+
+    m = follow_wal(
+        root, wal, sleep=producer, idle_stop=2, max_cycles=10,
+        validate_sample=None,
+    )
+    assert int(m["events_applied"].sum()) == len(changes)
+    pd.testing.assert_series_equal(
+        _state(root)["text"], _expected(changes)["text"], check_names=False
+    )
