@@ -410,3 +410,97 @@ def test_pointer_cas_generic_fallback_detects_conflict(tmp_path, monkeypatch):
     assert objs[f"cv-{2:010d}"] == b"zombie"
     assert objs[f"cv-{3:010d}"] == b"v2"
     assert st.get_pointer(ptr) == b"v2"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_hyp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_hyp.data())
+def test_pointer_cas_stale_view_interleavings_property(data):
+    """CAS commit invariants under ARBITRARY stale version listings —
+    the only shared state between concurrent writers is the version
+    list, so hiding a hypothesis-chosen suffix of it at each LIST
+    simulates every interleaving the threaded drill samples: commits
+    stay totally ordered (contiguous chain), every distinct payload
+    lands at exactly one version, per-writer order is preserved, and
+    an identical-bytes re-commit never duplicates a version."""
+    import tempfile
+
+    root = NORENAME_SCHEME + tempfile.mkdtemp(prefix="casprop-")
+    st, phys = storage_for(root)
+    ptr = st.join(phys, "p", "manifest.json")
+
+    real_versions = type(st)._versions
+    hide = {"n": 0}
+
+    def stale_versions(self, path):
+        vs = real_versions(self, path)
+        k = hide["n"]
+        hide["n"] = 0
+        return vs[: len(vs) - k] if k else vs
+
+    type(st)._versions = stale_versions
+    try:
+        streams = {
+            w: [
+                (w, i, f'{{"w":"{w}","i":{i}}}'.encode())
+                for i in range(data.draw(st_hyp.integers(1, 6), label=f"n_{w}"))
+            ]
+            for w in ("A", "B")
+        }
+        payloads = streams["A"] + streams["B"]
+        # hypothesis-chosen interleaving that PRESERVES each writer's
+        # own order (a merge of two ordered streams — what concurrency
+        # can actually produce)
+        pos = {"A": 0, "B": 0}
+        schedule = []
+        while pos["A"] < len(streams["A"]) or pos["B"] < len(streams["B"]):
+            choices = [w for w in ("A", "B") if pos[w] < len(streams[w])]
+            w = (
+                choices[0]
+                if len(choices) == 1
+                else data.draw(st_hyp.sampled_from(choices), label="next")
+            )
+            schedule.append(streams[w][pos[w]])
+            pos[w] += 1
+        for w, i, p in schedule:
+            # each commit's FIRST list may be stale by up to 3 versions
+            cur = len(real_versions(st, ptr))
+            hide["n"] = data.draw(
+                st_hyp.integers(0, min(3, cur)), label=f"stale_{w}{i}"
+            )
+            st.put_pointer(ptr, p)
+            # occasional zombie re-commit of the same payload
+            if data.draw(st_hyp.booleans(), label=f"retry_{w}{i}"):
+                before = real_versions(st, ptr)
+                hide["n"] = data.draw(
+                    st_hyp.integers(0, min(3, len(before))), label=f"rs_{w}{i}"
+                )
+                st.put_pointer(ptr, p)
+    finally:
+        type(st)._versions = real_versions
+
+    vs = st._versions(ptr)
+    nums = [int(v[3:13]) for v in vs]
+    assert nums == list(range(1, len(nums) + 1))  # contiguous, no gaps
+    contents = [st.get_object(st.join(ptr + ".v", v)) for v in vs]
+    import json as _json
+
+    seen = [(_json.loads(c)["w"], _json.loads(c)["i"]) for c in contents]
+    # every payload committed somewhere; re-commits may append an
+    # identical-content version (harmless) but only ADJACENT to or
+    # after the original — per-writer index order must hold over
+    # first occurrences
+    for w, i, _ in payloads:
+        assert (w, i) in seen
+    for tag in ("A", "B"):
+        firsts = []
+        done = set()
+        for (w, i) in seen:
+            if w == tag and i not in done:
+                done.add(i)
+                firsts.append(i)
+        assert firsts == sorted(firsts)
+    assert st.get_pointer(ptr) == contents[-1]
