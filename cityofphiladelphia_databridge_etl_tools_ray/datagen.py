@@ -174,11 +174,11 @@ def write_change_log(
     import pyarrow.parquet as pq
     from pyarrow import feather
 
-    if format not in ("parquet", "ipc", "csv", "jsonl"):
+    if format not in ("parquet", "ipc", "csv", "jsonl", "orc"):
         raise ValueError(
-            f"format must be 'parquet', 'ipc', 'csv' or 'jsonl', got {format!r}"
+            f"format must be 'parquet', 'ipc', 'csv', 'jsonl' or 'orc', got {format!r}"
         )
-    ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz", "jsonl": "jsonl.gz"}[format]
+    ext = {"parquet": "parquet", "ipc": "arrow", "csv": "csv.gz", "jsonl": "jsonl.gz", "orc": "orc"}[format]
     os.makedirs(out_dir, exist_ok=True)
     if len(changes) == 0:  # empty log -> no segments (lsn.min() would raise)
         return []
@@ -210,6 +210,13 @@ def write_change_log(
 
             with pa.CompressedOutputStream(path, "gzip") as f:
                 pa_csv.write_csv(part, f)
+        elif format == "orc":
+            # the Hive/Hadoop-ecosystem interchange format (a CDC feed
+            # landed by Hive/Spark jobs); decoded by
+            # sources/changelog._read_orc_segments
+            from pyarrow import orc as pa_orc
+
+            pa_orc.write_table(part, path)
         else:
             feather.write_feather(part, path, compression="lz4")
         paths.append(path)

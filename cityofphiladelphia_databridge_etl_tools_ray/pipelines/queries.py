@@ -809,6 +809,23 @@ def cdc_replay_from_jsonl(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
 
 
+def cdc_replay_from_orc(sf_dir: str):
+    """Full replay whose WAL tail is **ORC segments** — the
+    Hive/Hadoop-ecosystem CDC interchange shape (a feed landed by
+    Hive/Spark jobs), driven through the engine's tail source: one
+    decode task per segment with reader-side column projection, ORC's
+    ns timestamps cast back to CHANGE_SCHEMA's timestamp[us] so every
+    format yields byte-identical Arrow schemas, lsn-range file-name
+    pruning → the same normalize → shuffle → LWW merge path as every
+    other WAL format, same oracle."""
+    from ..sources.changelog import read_change_log
+
+    t = _interchange_changes(sf_dir)
+    seg_dir = _write_interchange_wal(t, sf_dir, "orc")
+    out = replay_to_table(read_change_log(seg_dir), num_partitions=32, keep_lsn=True)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text", "ts", "lsn"])
+
+
 def wal_hot_keys(sf_dir: str):
     """Skew diagnostics over the WAL: the top-20 hottest conv_ids by
     event count (ties → conv_id asc) plus each key's share of the
@@ -9566,6 +9583,7 @@ QUERIES = {
     "cdc_replay_generic_pk": cdc_replay_generic_pk,
     "cdc_replay_from_csv": cdc_replay_from_csv,
     "cdc_replay_from_jsonl": cdc_replay_from_jsonl,
+    "cdc_replay_from_orc": cdc_replay_from_orc,
     "wal_hot_keys": wal_hot_keys,
     "wal_heavy_hitters_sketch": wal_heavy_hitters_sketch,
     "transcript_reassembly": transcript_reassembly,
@@ -9909,6 +9927,14 @@ SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'del
 SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
 """,
     "cdc_replay_from_jsonl": _CHANGES_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text, ts, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+""",
+    "cdc_replay_from_orc": _CHANGES_CTE
     + """
 , ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

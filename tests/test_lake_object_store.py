@@ -504,3 +504,50 @@ def test_pointer_cas_stale_view_interleavings_property(data):
                 firsts.append(i)
         assert firsts == sorted(firsts)
     assert st.get_pointer(ptr) == contents[-1]
+
+
+def test_orc_wal_segments_all_paths(ray_session, tmp_path):
+    """ORC WAL segments (the Hive/Hadoop-ecosystem CDC interchange):
+    decode to byte-identical Arrow schemas (timestamp ns→us cast),
+    mix with parquet/IPC segments in one directory, prune by encoded
+    lsn filename, respect reader-side projection, ride the object
+    backend, and replay to the sequential reference."""
+    from cityofphiladelphia_databridge_etl_tools_ray.datagen import write_change_log
+    from cityofphiladelphia_databridge_etl_tools_ray.sources.changelog import (
+        read_change_log,
+    )
+
+    changes = generate_changes(900, n_convs=30, delete_frac=0.1, seed=51)
+    lsn = np.asarray(changes.column("lsn"))
+    wal = str(tmp_path / "walorc")
+    write_change_log(changes.filter(pa.array(lsn < 300)), wal, n_files=2, format="orc")
+    write_change_log(
+        changes.filter(pa.array((lsn >= 300) & (lsn < 600))), wal, n_files=2
+    )
+    write_change_log(changes.filter(pa.array(lsn >= 600)), wal, n_files=2, format="ipc")
+
+    ds = read_change_log(wal)
+    assert ds.count() == 900
+    # every segment format yields the same Arrow schema (ts back at us)
+    assert ds.schema().base_schema.field("ts").type == pa.timestamp("us")
+    # watermark pruning by encoded filename applies to .orc too
+    assert read_change_log(wal, min_lsn_exclusive=299).count() == 600
+    # reader-side projection with the forced-lsn filter rule
+    proj = read_change_log(wal, min_lsn_exclusive=299, columns=["conv_id", "op"])
+    t = proj.take_batch(10, batch_format="pyarrow")
+    assert t.column_names == ["conv_id", "op"]
+
+    # replay ORC-sourced WAL into a lake on the OBJECT backend
+    st, phys = storage_for(NORENAME_SCHEME + str(tmp_path / "walobj"))
+    for name in sorted(__import__("os").listdir(wal)):
+        with open(f"{wal}/{name}", "rb") as f:
+            st.put_object(st.join(phys, name), f.read())
+    obj_wal = NORENAME_SCHEME + str(tmp_path / "walobj")
+    assert read_change_log(obj_wal).count() == 900
+
+    root = _root(tmp_path, "orclake")
+    TranscriptLake.create(root, num_partitions=4)
+    replay_into_lake(root, read_change_log(obj_wal), validate_sample=None)
+    got, exp = _state(root), _expected(changes)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["text"], exp["text"], check_names=False)
